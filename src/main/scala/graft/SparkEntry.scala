@@ -1,13 +1,428 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.SensorEtl
+import graft.functions.TextAnalytics
+import graft.ml.Pipelines
+import graft.operators.{Dedup, Relational, Similarity, TimeWindows}
+import graft.timeseries.HoltForecast
+
+/** Driver contract (see /root/repo/SURVEY.md §7 and VERDICT.md).
+  *
+  * Every operator from SURVEY.md §2 plus the LLM-pipeline north-star ops
+  * ships as a `queries` entry; every SQL-expressible one also ships a
+  * DuckDB oracle in `oracleSql` (same column names both sides — the
+  * driver's compare sorts columns by name and hashes values).
+  *
+  * Determinism contract for oracle-checked queries: double sums/means go
+  * through DECIMAL casts (order-independent), pivots use fixed value
+  * lists with max (not first), rankings always carry a unique tiebreak
+  * column, and float similarity ranks order on round(cos, 6). See
+  * `graft.operators` package doc.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (reference-parity ETL spine with first-ignoreNulls
+    * pivot, `/root/reference/sensor_data_etl.py:57-92`) on sf=0.001;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    SensorEtl.flagship(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 + north-star. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans / projections / filters / scalars (S1-S2, S5, P1-P13)
+    "q_scan_project"   -> (Relational.scanProject _),
+    "q_filter_conj"    -> (Relational.filterConj _),
+    "q_when_otherwise" -> (Relational.whenOtherwise _),
+    "q_cast_date_unix" -> (Relational.castDateUnix _),
+    "q_isin"           -> (Relational.isinFilter _),
+    "q_csv_roundtrip"  -> (Relational.csvRoundtrip _),
+    // joins (J1-J4)
+    "q_join_compound"  -> (Relational.joinCompound _),
+    "q_join_using"     -> (Relational.joinUsing _),
+    "q_join_broadcast" -> (Relational.joinBroadcast _),
+    // aggregations (A1-A8)
+    "q_groupby_max"    -> (Relational.groupbyMax _),
+    "q_groupby_daily"  -> (Relational.groupbyDaily _),
+    "q_pivot_fill"     -> (Relational.pivotFill _),
+    "q_dropna"         -> (Relational.pivotDropna _),
+    "q_quantile"       -> (TimeWindows.quantiles _),
+    "q_quantile_trim"  -> (TimeWindows.quantileTrim _),
+    // sorts / top-k (O1-O2)
+    "q_orderby_topk"   -> (Relational.orderbyTopk _),
+    // windows / time series (W1-W6, A7)
+    "q_lead_window"    -> (TimeWindows.leadWindow _),
+    "q_lead_global"    -> (TimeWindows.leadGlobal _),
+    "q_resample_30m"   -> (TimeWindows.resample30m _),
+    "q_ffill"          -> (TimeWindows.ffill _),
+    "q_interpolate"    -> (TimeWindows.interpolate _),
+    "q_seasonal_decompose" -> (TimeWindows.seasonalDecompose _),
+    // the ETL spine, deterministic variant (flagship = entry())
+    "q_etl_wide"       -> (SensorEtl.wide _),
+    // LLM-pipeline: text analysis
+    "q_text_stats"     -> (TextAnalytics.textStats _),
+    "q_lang_id"        -> (TextAnalytics.langId _),
+    "q_token_count"    -> (TextAnalytics.tokenCount _),
+    "q_fingerprint"    -> (TextAnalytics.fingerprint _),
+    // LLM-pipeline: dedup
+    "q_dedup_exact"    -> (Dedup.exact _),
+    "q_ngram_jaccard"  -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "q_minhash_lsh"    -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "q_simhash"        -> (Dedup.simhash _),
+    "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
+    // LLM-pipeline: similarity search
+    "q_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    // typed grouped forecasting kernel (U1/U2 replacement)
+    "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
+    // ML pipelines (M1-M10)
+    "q_ml_classification" -> (Pipelines.classification _),
+    "q_ml_regression"  -> (Pipelines.regression _),
+    "q_sql_transformer" -> (Pipelines.sqlTransformer _),
+  )
+
+  /** DuckDB oracles; keys absent here (ML fits, LSH, simhash, Holt, IVF)
+    * get the driver's weaker rows-only check — they are either seeded
+    * model fits or depend on JVM-specific hashes (xxhash64, MinHash
+    * coefficients) no other engine reproduces. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT event_id, user_id AS terminal_id, value FROM events",
+
+    "q_filter_conj" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE value < 100.0 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND NOT (event_type = 'error')""".stripMargin,
+
+    "q_when_otherwise" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' OR event_type = 'view' THEN 'browse'
+        |       WHEN event_type = 'signup' THEN 'onboard'
+        |       ELSE event_type END AS kind
+        |FROM events""".stripMargin,
+
+    "q_cast_date_unix" ->
+      """SELECT event_id, CAST(ts AS DATE) AS event_date,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |FROM events""".stripMargin,
+
+    "q_isin" ->
+      "SELECT event_id, event_type, value FROM events WHERE event_type IN ('purchase', 'signup')",
+
+    "q_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_join_compound" ->
+      """WITH dim AS (
+        |  SELECT user_id, event_type, count(*) AS type_count, max(value) AS type_max
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_type, dim.type_count, dim.type_max
+        |FROM events e JOIN dim
+        |  ON e.user_id = dim.user_id AND e.event_type = dim.event_type""".stripMargin,
+
+    "q_join_using" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+        |  FROM events GROUP BY 1, 2),
+        |cnts AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS day_n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, day_max, day_n FROM daily JOIN cnts USING (user_id, day)""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS cust_cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_groupby_max" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day, event_type, max(value) AS max_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_groupby_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, max(value) AS max_value, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_pivot_fill" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day,
+        |  COALESCE(max(value) FILTER (WHERE event_type = 'click'), 0.0) AS click,
+        |  COALESCE(max(value) FILTER (WHERE event_type = 'error'), 0.0) AS "error",
+        |  COALESCE(max(value) FILTER (WHERE event_type = 'purchase'), 0.0) AS purchase,
+        |  COALESCE(max(value) FILTER (WHERE event_type = 'view'), 21.0) AS "view"
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_dropna" ->
+      """SELECT * FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(value) FILTER (WHERE event_type = 'click') AS click,
+        |    max(value) FILTER (WHERE event_type = 'error') AS "error",
+        |    max(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    max(value) FILTER (WHERE event_type = 'view') AS "view"
+        |  FROM events GROUP BY 1, 2) t
+        |WHERE click IS NOT NULL AND "error" IS NOT NULL
+        |  AND purchase IS NOT NULL AND "view" IS NOT NULL""".stripMargin,
+
+    "q_quantile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.75), 4) AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_quantile_trim" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_trimmed
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q
+        |  FROM events) t
+        |WHERE q IN (2, 3) GROUP BY 1""".stripMargin,
+
+    "q_orderby_topk" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+
+    "q_lead_window" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+        |  FROM events GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT user_id, day, day_max,
+        |    lead(day_max, 1) OVER (PARTITION BY user_id ORDER BY day) AS next_day_max
+        |  FROM daily) t
+        |WHERE next_day_max IS NOT NULL""".stripMargin,
+
+    "q_lead_global" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, max(value) AS day_max
+        |  FROM events GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT day, day_max, lead(day_max, 1) OVER (ORDER BY day) AS next_day_max
+        |  FROM daily) t
+        |WHERE next_day_max IS NOT NULL""".stripMargin,
+
+    "q_resample_30m" ->
+      """SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |  count(*) AS n, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_ffill" ->
+      """WITH f AS (SELECT * FROM events WHERE user_id < 50),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |  FROM f GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+        |  FROM f GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+        |  FROM bounds)
+        |SELECT s.user_id, s.bucket, h.avg_value,
+        |  last_value(h.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.user_id = h.user_id AND s.bucket = h.bucket""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH f AS (SELECT * FROM events WHERE user_id < 50),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |  FROM f GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+        |  FROM f GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.user_id, s.bucket, h.avg_value FROM spine s
+        |  LEFT JOIN hourly h ON s.user_id = h.user_id AND s.bucket = h.bucket),
+        |x AS (
+        |  SELECT user_id, bucket, avg_value,
+        |    last_value(avg_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+        |    first_value(avg_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+        |  FROM j)
+        |SELECT user_id, bucket, avg_value,
+        |  CASE WHEN avg_value IS NOT NULL THEN avg_value
+        |       WHEN prev_v IS NULL THEN next_v
+        |       WHEN next_v IS NULL THEN prev_v
+        |       ELSE prev_v + (next_v - prev_v) *
+        |         (CAST(CAST(floor(epoch(bucket)) AS BIGINT) - CAST(floor(epoch(prev_b)) AS BIGINT) AS DOUBLE) /
+        |          CAST(CAST(floor(epoch(next_b)) AS BIGINT) - CAST(floor(epoch(prev_b)) AS BIGINT) AS DOUBLE))
+        |  END AS interp
+        |FROM x""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS day_avg
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, day_avg,
+        |    CAST(SUM(CAST(day_avg AS DECIMAL(24,8))) OVER w AS DOUBLE) / count(*) OVER w AS trend
+        |  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |v AS (
+        |  SELECT day, day_avg, trend, day_avg - trend AS dev,
+        |    CAST(dayofweek(day) + 1 AS INTEGER) AS dow
+        |  FROM t),
+        |sea AS (
+        |  SELECT day, day_avg, trend, dev, dow,
+        |    CAST(SUM(CAST(dev AS DECIMAL(24,8))) OVER pw AS DOUBLE) / count(*) OVER pw AS seasonal
+        |  FROM v WINDOW pw AS (PARTITION BY dow))
+        |SELECT day, day_avg, trend, dow, seasonal, dev - seasonal AS resid FROM sea""".stripMargin,
+
+    "q_etl_wide" ->
+      """WITH enriched AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+        |    CAST(json_extract_string(props, 'k') AS INTEGER) % 7 AS code_id
+        |  FROM events WHERE value >= 0.0),
+        |target AS (
+        |  SELECT user_id, day, max(code_id) AS code_id FROM enriched GROUP BY 1, 2),
+        |features AS (
+        |  SELECT user_id, day,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'click'), 0.0) AS click,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'error'), 0.0) AS "error",
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'purchase'), 0.0) AS purchase,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'view'), 21.0) AS "view"
+        |  FROM enriched GROUP BY 1, 2),
+        |codes(code_id, code_name) AS (
+        |  VALUES (0, 'Normal'), (1, 'GasHighAlarm'), (2, 'GasLowAlarm'), (3, 'GasAlarm'),
+        |         (4, 'Maintenance'), (5, 'Calibration'), (6, 'Offline'))
+        |SELECT t.code_id, f.user_id, f.day, f.click, f."error", f.purchase, f."view",
+        |  c.code_name
+        |FROM features f JOIN target t USING (user_id, day) JOIN codes c ON t.code_id = c.code_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id, len_chars, n_tokens, alpha_ratio, stop_ratio, mean_token_len,
+        |  (n_tokens >= 5 AND n_tokens <= 100000 AND alpha_ratio >= 0.5
+        |    AND stop_ratio >= 0.01) AS quality_ok
+        |FROM (
+        |  SELECT doc_id,
+        |    length(text) AS len_chars,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_token_len
+        |  FROM documents) t""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |       WHEN es_hits >= fr_hits THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  (CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |       WHEN es_hits >= fr_hits THEN 'es'
+        |       ELSE 'fr' END) = lang AS is_match
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS en_hits,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS de_hits,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['el','la','de','que','y','los','es'], t))) AS es_hits,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['le','la','les','et','des','un','est'], t))) AS fr_hits
+        |  FROM documents) t""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, text_hash, lang, n_chars FROM (
+        |  SELECT doc_id, sha256(text) AS text_hash, lang, n_chars,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+        |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh) WHERE df.df <= 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.shared, sa.n_sh AS a_n, sb.n_sh AS b_n,
+        |  CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON p.a_id = sa.doc_id
+        |JOIN sizes sb ON p.b_id = sb.doc_id
+        |WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |x AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM x)
+        |SELECT q_id, vec_id, rank, round(cos, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+
+    "q_sql_transformer" ->
+      """WITH enriched AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+        |    CAST(json_extract_string(props, 'k') AS INTEGER) % 7 AS code_id
+        |  FROM events WHERE value >= 0.0),
+        |features AS (
+        |  SELECT user_id, day,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'click'), 0.0) AS click,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'error'), 0.0) AS "error",
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'purchase'), 0.0) AS purchase,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'view'), 21.0) AS "view"
+        |  FROM enriched GROUP BY 1, 2)
+        |SELECT user_id, day, click, "error", purchase, "view",
+        |  "view" / (click + 1.0) AS view_click_ratio
+        |FROM features""".stripMargin,
+  )
 }

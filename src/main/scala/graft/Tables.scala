@@ -18,7 +18,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = s.read.parquet(s"$d/part.parquet")
   def orders(s: SparkSession, d: String): DataFrame    = s.read.parquet(s"$d/orders.parquet")
   def lineitem(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/lineitem.parquet")
-  def events(s: SparkSession, d: String): DataFrame    = s.read.parquet(s"$d/events.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * read it as raw nanos (legacy conf) and truncate to microseconds —
+    * the same ns→µs truncation DuckDB applies, so oracles agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/embeddings.parquet")
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM-data pipelines over the `documents`
+  * table (brief north-star: language-ID, quality scoring, token counting,
+  * fingerprinting). All pure codegen-friendly Column expressions / SQL
+  * higher-order functions — no UDFs, so every transform stays inside
+  * whole-stage codegen and scales embarrassingly (per-row, no shuffle).
+  */
+object TextAnalytics {
+
+  /** Whitespace tokens of the trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "los", "es")
+  private val stopFr = Seq("le", "la", "les", "et", "des", "un", "est")
+
+  private def hits(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(stop.map(lit): _*), t))).cast("long")
+
+  /** Per-document statistics: char/token counts, alpha ratio, stopword
+    * ratio, mean token length, and a simple quality gate — the standard
+    * pre-training corpus filters (length / punctuation / stopword ratio). */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val t    = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      nTok.as("n_tokens"),
+      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+        / length(col("text"))).as("alpha_ratio"),
+      (hits(t, stopEn).cast("double") / nTok).as("stop_ratio"),
+      (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok)
+        .as("mean_token_len"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 5 && col("n_tokens") <= 100000
+          && col("alpha_ratio") >= 0.5 && col("stop_ratio") >= 0.01))
+  }
+
+  /** Stopword-profile language ID (n-gram-heuristic family): score each
+    * candidate language by stopword hits, pick the max with a fixed
+    * priority tiebreak. Per-row, shuffle-free. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        hits(t, stopEn).as("en_hits"), hits(t, stopDe).as("de_hits"),
+        hits(t, stopEs).as("es_hits"), hits(t, stopFr).as("fr_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits")
+          && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+  }
+
+  /** Token counting, whitespace + BPE-ish regex (letters / digits / single
+    * punctuation — the usual cheap proxy for tokenizer budget). */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        .as("n_bpe_tokens"))
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set — an order-insensitive content signature (bag-of-words identity),
+    * the groupable analog of a rolling hash. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+        .as("fp"))
+}

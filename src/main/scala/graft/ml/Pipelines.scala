@@ -1,0 +1,116 @@
+package graft.ml
+
+import java.nio.file.Files
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{IndexToString, SQLTransformer, StringIndexer, StringIndexerModel, VectorAssembler}
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.SensorEtl
+import graft.operators.TimeWindows
+
+/** ML pipelines (SURVEY.md §2.10, M1-M10), Scala-native spark.ml — the
+  * exact classes the reference's Python wrappers call.
+  *
+  * Classification mirrors `/root/reference/sensor_data_classification.py`:
+  * wide features → StringIndexer(label) → VectorAssembler → MLP →
+  * IndexToString — with the reference's bug fixed (its IndexToString read
+  * `label`, printing ground truth as "prediction"; ours reads
+  * `prediction`, SURVEY §8.3). Regression mirrors
+  * `sensor_data_regression.py`: daily max + lead label → VectorAssembler →
+  * GBTRegressor → r2/rmse + featureImportances. randomSplit is SEEDED
+  * (the reference's is not, SURVEY §8.5). Model save/load (S6) is
+  * round-tripped inside the classification pipeline.
+  */
+object Pipelines {
+
+  private val featureCols = Array("click", "error", "purchase", "view")
+
+  /** M1-M5,M7,M8 + S6 — gas-event-classifier analog: per-(user,day) wide
+    * features, label = code_name. Returns per-class prediction counts
+    * (stable, small output). */
+  def classification(s: SparkSession, d: String): DataFrame = {
+    val data = SensorEtl.wide(s, d)
+      .select(col("code_name").as("target"),
+        col("click"), col("error"), col("purchase"), col("view"))
+      .cache()
+
+    val indexer: StringIndexerModel = new StringIndexer()
+      .setInputCol("target").setOutputCol("label")
+      .setStringOrderType("alphabetAsc")   // deterministic label ids
+      .fit(data)
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols).setOutputCol("features")
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLayers(Array(featureCols.length, 20, indexer.labelsArray.head.length))
+      .setSeed(42L).setMaxIter(50)
+    val decoder = new IndexToString()
+      .setInputCol("prediction").setOutputCol("predicted_target")
+      .setLabels(indexer.labelsArray.head)
+    val pipeline = new Pipeline().setStages(Array(indexer, assembler, mlp, decoder))
+
+    val Array(train, test) = data.randomSplit(Array(0.75, 0.25), seed = 42L)
+    val model = pipeline.fit(train.cache())
+
+    // S6: model save/load round-trip; predictions come from the RELOADED
+    // model, proving persistence end-to-end (cf. sensor_data_classification.py:66)
+    val dir = Files.createTempDirectory("graft_mlp_").toString
+    model.write.overwrite().save(dir)
+    val reloaded = PipelineModel.load(dir)
+    val predictions = reloaded.transform(test).cache()
+
+    val f1 = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .evaluate(predictions)
+    predictions
+      .groupBy("predicted_target")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("f1", lit(f1))
+  }
+
+  /** M1,M6,M7,M9,M10 — "max H2S tomorrow" analog: per-user daily max +
+    * next-day label (lead over a series-partitioned window — the scale-safe
+    * fix of the reference's global window), epoch + day-of-week features,
+    * GBT regression. Returns a metrics table (r2, rmse, importances). */
+  def regression(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labeled = TimeWindows.leadWindow(s, d)
+      .withColumn("epoch_day", unix_timestamp(col("day").cast("timestamp")) / 86400)
+      .withColumn("dow", dayofweek(col("day")).cast("double"))
+      .cache()
+
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("day_max", "epoch_day", "dow")).setOutputCol("features")
+    val gbt = new GBTRegressor()
+      .setLabelCol("next_day_max").setFeaturesCol("features")
+      .setMaxIter(20).setMaxDepth(4).setSeed(42L)
+    val pipeline = new Pipeline().setStages(Array(assembler, gbt))
+
+    val Array(train, test) = labeled.randomSplit(Array(0.75, 0.25), seed = 42L)
+    val model = pipeline.fit(train.cache())
+    val predictions = model.transform(test).cache()
+
+    def eval(metric: String): Double = new RegressionEvaluator()
+      .setLabelCol("next_day_max").setPredictionCol("prediction")
+      .setMetricName(metric).evaluate(predictions)
+
+    val gbtModel = model.stages.last.asInstanceOf[GBTRegressionModel]
+    val importances = gbtModel.featureImportances.toArray
+    (Seq("r2" -> eval("r2"), "rmse" -> eval("rmse")) ++
+      Array("day_max", "epoch_day", "dow").zip(importances)
+        .map { case (f, v) => s"importance_$f" -> v })
+      .toDF("metric", "value")
+  }
+
+  /** M4 — SQLTransformer as a pipeline stage (cf. `sensor_data_train
+    * .py:48-51`, whose SQL never ran due to a missing space; fixed here):
+    * derives a ratio feature inside the pipeline. */
+  def sqlTransformer(s: SparkSession, d: String): DataFrame = {
+    val st = new SQLTransformer().setStatement(
+      "SELECT user_id, day, click, error, purchase, view, " +
+        "view / (click + 1.0) AS view_click_ratio FROM __THIS__")
+    st.transform(SensorEtl.wide(s, d))
+  }
+}

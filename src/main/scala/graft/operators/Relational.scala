@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Batch relational operator battery (SURVEY.md §2.1-2.4, §2.6, §2.8-2.9).
+  *
+  * The reference's fact table is a sensor-reading CSV
+  * (`/root/reference/sensor_data_etl.py:35-51`); the driver testdata's
+  * `events` table plays that role (FIXTURES.md §C): user_id≈terminal_id,
+  * ts≈datetime, event_type≈sensor_name, value≈sensor_reading.
+  *
+  * Every query is a pure declarative DataFrame plan: filters/projections
+  * reach the parquet scan via Catalyst pushdown, joins shuffle on their
+  * keys (or broadcast for bounded dims), aggregations run partial+final.
+  * No collect(), no driver-side loops, no UDFs.
+  */
+object Relational {
+
+  /** S1+P1+P2 — parquet scan, projection, alias. Column pruning pushes a
+    * 3-column ReadSchema into the scan (cf. `sensor_data_etl.py:27-30`). */
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id").as("terminal_id"), col("value"))
+
+  /** P5+P6+P7 — conjunctive comparison filter + timestamp-literal predicate
+    * + negation (cf. geo bounding box `sensor_data_etl.py:57-58`, temporal
+    * split `sensor_data_classification.py:30-32`). All three predicates are
+    * pushed to the parquet scan. */
+  def filterConj(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("value") < 100.0
+        && col("ts") >= lit("2024-01-10 00:00:00").cast(TimestampType)
+        && !(col("event_type") === "error"))
+      .select("event_id", "ts", "event_type", "value")
+
+  /** P8 — when/otherwise normalization (cf. `'CO '`→`'CO'` at
+    * `sensor_data_etl.py:31-33`, message-code collapse at
+    * `read_sensor_configs.py:59-64`). */
+  def whenOtherwise(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      when(col("event_type") === "click" || col("event_type") === "view", "browse")
+        .when(col("event_type") === "signup", "onboard")
+        .otherwise(col("event_type"))
+        .as("kind"))
+
+  /** P9+P10 — Timestamp→Date cast and unix epoch seconds
+    * (cf. `sensor_data_regression.py:37,47`). */
+  def castDateUnix(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      to_date(col("ts")).as("event_date"),
+      unix_timestamp(col("ts")).as("epoch_s"))
+
+  /** P13 — IN-list filter (cf. `WHERE ... IN` pushdown
+    * `read_sensor_configs.py:34,40`). Pushed to the scan as In(). */
+  def isinFilter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "signup"))
+      .select("event_id", "event_type", "value")
+
+  /** J1 — inner equi-join on a compound 2-column key, expression form with
+    * qualified column selection (cf. fact×sensor_configs on
+    * (terminal_id, sensor_type_id), `sensor_data_etl.py:60-71`). The dim is
+    * derived per (user_id, event_type) like sensor_configs is per
+    * (terminal, sensor). Shuffles both sides on the compound key; AQE may
+    * broadcast the dim (≤750 rows) at runtime. */
+  def joinCompound(s: SparkSession, d: String): DataFrame = {
+    val ev  = Tables.events(s, d)
+    val dim = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("type_count"), max("value").as("type_max"))
+    // dim derives from ev — alias both sides so the compound-key equi-join
+    // is an unambiguous self-join, then select qualified columns (J1 shape)
+    ev.as("e").join(dim.as("dim"),
+        col("e.user_id") === col("dim.user_id")
+          && col("e.event_type") === col("dim.event_type"))
+      .select(col("e.event_id"), col("e.user_id"), col("e.event_type"),
+        col("dim.type_count"), col("dim.type_max"))
+  }
+
+  /** J2 — USING-style join on a name list (dedups key columns), recombining
+    * two aggregates of the same fact (cf. features⋈target on
+    * (datetime, latitude, longitude), `sensor_data_etl.py:86`). */
+  def joinUsing(s: SparkSession, d: String): DataFrame = {
+    val ev    = Tables.events(s, d)
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max("value").as("day_max"))
+    val cnts  = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("day_n"))
+    daily.join(cnts, Seq("user_id", "day"))
+  }
+
+  /** J3 — broadcast-hint join chain onto a bounded dim (cf. the 7-row
+    * message_code_table broadcast, `sensor_data_etl.py:88`). region has 5
+    * rows at every sf — broadcast is the only sane plan at 100 TB too. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"))
+      .agg(count(lit(1)).as("cust_cnt"), exactSum(col("c_acctbal")).as("acctbal_sum"))
+  }
+
+  /** A1 — groupBy on 3 keys with max aggregate (cf. per-(datetime,lat,lon)
+    * max message code, `sensor_data_etl.py:73-76`). Partial (map-side)
+    * aggregation then one shuffle on the full key. */
+  def groupbyMax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .agg(max("value").as("max_value"))
+
+  /** A3+A4 — daily aggregate with max/count/mean (cf. daily H2S max,
+    * `sensor_data_regression.py:39`). */
+  def groupbyDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max("value").as("max_value"),
+        count(lit(1)).as("n"),
+        exactAvg(col("value")).as("avg_value"))
+
+  /** A2+P11 — long→wide pivot with a FIXED value list + per-column null
+    * defaults (cf. `sensor_data_etl.py:78-84`; gas nulls→0, O2→21). The
+    * fixed list avoids the extra distinct-values job the reference pays and
+    * keeps the schema static — mandatory at 100 TB. `max` (not `first`)
+    * keeps the result deterministic for the oracle; the flagship `entry()`
+    * keeps the reference's first-ignoreNulls semantics. */
+  def pivotFill(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "view"))
+      .agg(max(col("value")))
+      .na.fill(Map("click" -> 0.0, "error" -> 0.0, "purchase" -> 0.0, "view" -> 21.0))
+
+  /** P12 — dropna: pivot WITHOUT fill, then drop rows with any null
+    * (cf. `sensor_data_regression.py:48`). */
+  def pivotDropna(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "view"))
+      .agg(max(col("value")))
+      .na.drop()
+
+  /** O1+O2 — global order + limit = top-k. Catalyst plans
+    * TakeOrderedAndProject (per-partition top-k, no full sort/exchange of
+    * the data) — exactly what a 100 TB `ORDER BY ... LIMIT` needs. Unique
+    * event_id tiebreak keeps the result deterministic
+    * (cf. `sensor_data_etl.py:71`, `show(30)` sites §2.6). */
+  def orderbyTopk(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .orderBy(col("value").desc, col("event_id").asc)
+      .limit(100)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  /** S2+S5 — CSV sink + scan with an EXPLICIT schema, no header, mirroring
+    * the reference's declared 14-field StructType CSV source
+    * (`sensor_data_etl.py:35-51`). Round-trips a projection of events
+    * through CSV, then aggregates — proving the scan path parses with the
+    * declared types. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).csv(tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window / time-series operator battery (SURVEY.md §2.5, A5-A7, W1-W6).
+  *
+  * Scale stance: the reference's `Window.partitionBy()` empty global window
+  * (`/root/reference/sensor_data_regression.py:42`) is a single-partition
+  * exchange — the one reference plan deliberately NOT reproduced for row
+  * level data. Every row-level window here partitions by the series key
+  * (user_id); the only global window runs on day-level aggregates (≤ one
+  * row per day), where a single partition is bounded by the calendar, not
+  * by data volume.
+  */
+object TimeWindows {
+
+  /** W1+W2 scale-safe — daily per-series max, then next-day label via
+    * lead() over a window PARTITIONED BY the series key, then dropna
+    * (cf. `sensor_data_regression.py:39-48`, with the global-window
+    * scale bug fixed per SURVEY §7). */
+  def leadWindow(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max("value").as("day_max"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily
+      .withColumn("next_day_max", lead(col("day_max"), 1).over(w))
+      .na.drop()
+  }
+
+  /** W1 parity — the reference's GLOBAL ordered window, kept semantically
+    * but applied after day-level aggregation so the single partition holds
+    * ≤ one row per calendar day (bounded at any data scale). */
+  def leadGlobal(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max("value").as("day_max"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("next_day_max", lead(col("day_max"), 1).over(w))
+      .na.drop()
+  }
+
+  /** W3+A7 — 30-minute tumbling-window resample with mean, per series
+    * (cf. pandas `resample('30T').mean()`,
+    * `spark_pandas_timeseries_forecast.py:34-35`). `window()` is a plain
+    * projection (no shuffle beyond the groupBy). */
+  def resample30m(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), window(col("ts"), "30 minutes"))
+      .agg(exactAvg(col("value")).as("avg_value"),
+        count(lit(1)).as("n"),
+        max("value").as("max_value"))
+      .select(col("user_id"), col("window.start").as("bucket"),
+        col("avg_value"), col("n"), col("max_value"))
+
+  /** Hourly per-series means joined onto a dense per-series hour spine
+    * (generated with `sequence()` — the distributed analog of a pandas
+    * DatetimeIndex). Missing hours surface as null means, ready for
+    * ffill/interpolation. */
+  private def hourSpine(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.events(s, d).where(col("user_id") < 50)
+    val hourly = f
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(exactAvg(col("value")).as("avg_value"))
+    val spine = f
+      .groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+        date_trunc("hour", max(col("ts"))).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("bucket"))
+    spine.join(hourly, Seq("user_id", "bucket"), "left")
+  }
+
+  /** W4 — forward-fill over gaps: last non-null over an ordered,
+    * series-partitioned, unbounded-preceding frame
+    * (cf. pandas `.ffill()`, `pandas_timeseries_forecast.py:65`). */
+  def ffill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourSpine(s, d)
+      .withColumn("filled", last(col("avg_value"), ignoreNulls = true).over(w))
+  }
+
+  /** W5 — linear interpolation over gaps: previous/next non-null value and
+    * their bucket epochs via ignoreNulls last/first over forward/backward
+    * frames, then the standard lerp
+    * (cf. pandas `.interpolate('linear')`,
+    * `spark_pandas_timeseries_forecast.py:34-35`). */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    val back = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val markedBucket = when(col("avg_value").isNotNull, col("bucket"))
+    hourSpine(s, d)
+      .withColumn("prev_v", last(col("avg_value"), ignoreNulls = true).over(back))
+      .withColumn("prev_b", last(markedBucket, ignoreNulls = true).over(back))
+      .withColumn("next_v", first(col("avg_value"), ignoreNulls = true).over(fwd))
+      .withColumn("next_b", first(markedBucket, ignoreNulls = true).over(fwd))
+      .withColumn("interp",
+        when(col("avg_value").isNotNull, col("avg_value"))
+          .when(col("prev_v").isNull, col("next_v"))
+          .when(col("next_v").isNull, col("prev_v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+            ((unix_timestamp(col("bucket")) - unix_timestamp(col("prev_b"))).cast("double") /
+             (unix_timestamp(col("next_b")) - unix_timestamp(col("prev_b"))).cast("double"))))
+      .select("user_id", "bucket", "avg_value", "interp")
+  }
+
+  /** A5 — exact per-group quantiles (the reference's `approxQuantile` probe
+    * `sensor_data_etl.py:95-98`, fixed to be per-column rather than its
+    * copy-paste all-H2S bug, and made exact so a DuckDB oracle can check
+    * it; the sketch variant is `approxQuantileProbe` below). */
+  def quantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"))
+
+  /** A5 sketch form — Greenwald-Khanna approxQuantile exactly as the
+    * reference calls it (relativeError 0.25), per column. Driver-side
+    * Array result, so exposed for tests/bench rather than the oracle. */
+  def approxQuantileProbe(s: SparkSession, d: String): Map[String, Array[Double]] = {
+    val wide = Relational.pivotFill(s, d)
+    Seq("click", "error", "purchase", "view")
+      .map(c => c -> wide.stat.approxQuantile(c, Array(0.25, 0.75), 0.25))
+      .toMap
+  }
+
+  /** A6 — quantile trim, rank-exact: keep the middle two quartiles by
+    * ntile(4) over a (value, unique-id) order — same intent as the pandas
+    * `[q.2, q.8]` trim (`spark_pandas_timeseries_forecast.py:37`) but
+    * deterministic (no interpolated boundary). */
+  def quantileTrim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("q", ntile(4).over(w))
+      .where(col("q").isin(2, 3))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_trimmed"))
+  }
+
+  /** W6 — additive seasonal decomposition as a window/agg composition
+    * (cf. statsmodels `seasonal_decompose`,
+    * `pandas_timeseries_forecast.py:103-104`): trend = centered moving
+    * average (±3 days over the daily series), seasonal = mean deviation
+    * per day-of-week, resid = value - trend - seasonal. */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // Window means over doubles are order-dependent; routing each mean
+    // through DECIMAL(24,8) keeps every component bit-deterministic (see
+    // operators package doc) without changing the math materially.
+    def decMean(c: org.apache.spark.sql.Column, over: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(c.cast(DecimalType(24, 8))).over(over).cast("double") / count(lit(1)).over(over)
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(exactAvg(col("value")).as("day_avg"))
+    val wTrend = Window.orderBy("day").rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("trend", decMean(col("day_avg"), wTrend))
+      .withColumn("dev", col("day_avg") - col("trend"))
+      .withColumn("dow", dayofweek(col("day")))
+    val wSeason = Window.partitionBy("dow")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withTrend
+      .withColumn("seasonal", decMean(col("dev"), wSeason))
+      .withColumn("resid", col("dev") - col("seasonal"))
+      .select("day", "day_avg", "trend", "dow", "seasonal", "resid")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.SensorEtl
+import graft.ml.Pipelines
+
+/** ML pipeline smoke tests (SURVEY.md §5.4): metrics finite and above a
+  * floor, deterministic seeds, save/load round-trip (exercised inside
+  * Pipelines.classification itself). */
+class MlPipelineSpec extends SparkTestBase {
+
+  test("flagship ETL wide table: static schema, no nulls after fill") {
+    val wide = SensorEtl.wide(spark, sf)
+    assert(wide.columns.toSet ==
+      Set("code_id", "user_id", "day", "click", "error", "purchase", "view", "code_name"))
+    val anyNull = wide.columns.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(c))
+    val counts = wide.agg(anyNull.head, anyNull.tail: _*).collect().head
+    assert((0 until counts.length).forall(i => counts.getLong(i) == 0L))
+  }
+
+  test("classification pipeline (MLP + save/load) yields a finite f1") {
+    val out = Pipelines.classification(spark, sf).collect()
+    assert(out.nonEmpty)
+    val f1 = out.head.getAs[Double]("f1")
+    assert(java.lang.Double.isFinite(f1) && f1 >= 0.0 && f1 <= 1.0)
+  }
+
+  test("regression pipeline (GBT) yields finite rmse and importances summing to ~1") {
+    val metrics = Pipelines.regression(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(java.lang.Double.isFinite(metrics("rmse")) && metrics("rmse") >= 0.0)
+    val impSum = metrics.collect { case (k, v) if k.startsWith("importance_") => v }.sum
+    assert(math.abs(impSum - 1.0) < 1e-6 || impSum == 0.0)
+  }
+
+  test("SQLTransformer stage derives the ratio feature") {
+    val out = Pipelines.sqlTransformer(spark, sf)
+    assert(out.columns.contains("view_click_ratio"))
+    assert(out.where(col("view_click_ratio").isNull).count() == 0)
+  }
+
+  test("seeded randomSplit is reproducible (X1 fixed)") {
+    val df = Tables.events(spark, sf)
+    val a = df.randomSplit(Array(0.75, 0.25), seed = 42L)(0).count()
+    val b = df.randomSplit(Array(0.75, 0.25), seed = 42L)(0).count()
+    assert(a == b)
+  }
+}
