@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump executedPlan summaries for every query and flag
+  * scale-hostile shapes (cartesian products, unexpected single-partition
+  * exchanges, missing pushdowns). Args: sfDir [name...]. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSet else SparkEntry.queries.keySet
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => names(q._1)).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CARTESIAN" -> plan.contains("CartesianProduct"),
+          "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+          "SinglePartition" -> plan.contains("SinglePartition"),
+          "BHJ" -> plan.contains("BroadcastHashJoin"),
+          "TakeOrdered" -> plan.contains("TakeOrderedAndProject"),
+          "PushedFilters" -> plan.contains("PushedFilters: ["),
+          "WSCG" -> plan.contains("WholeStageCodegen"),
+        ).collect { case (k, true) => k }.mkString(",")
+        println(s"[plan] $name: $flags")
+      } catch {
+        case e: Throwable => println(s"[plan] $name: ERROR ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -32,9 +32,14 @@ object Pipelines {
     * features, label = code_name. Returns per-class prediction counts
     * (stable, small output). */
   def classification(s: SparkSession, d: String): DataFrame = {
+    // ~150 users × 30 days of features — tiny relative to cluster width.
+    // Iterative fitting (LBFGS) launches a job per iteration, so collapse
+    // to a few partitions: per-job task overhead, not compute, dominates
+    // otherwise. At real scale this would size to data/128MB instead.
     val data = SensorEtl.wide(s, d)
       .select(col("code_name").as("target"),
         col("click"), col("error"), col("purchase"), col("view"))
+      .repartition(2)
       .cache()
 
     val indexer: StringIndexerModel = new StringIndexer()
@@ -45,7 +50,7 @@ object Pipelines {
       .setInputCols(featureCols).setOutputCol("features")
     val mlp = new MultilayerPerceptronClassifier()
       .setLayers(Array(featureCols.length, 20, indexer.labelsArray.head.length))
-      .setSeed(42L).setMaxIter(50)
+      .setSeed(42L).setMaxIter(30)
     val decoder = new IndexToString()
       .setInputCol("prediction").setOutputCol("predicted_target")
       .setLabels(indexer.labelsArray.head)
@@ -76,16 +81,19 @@ object Pipelines {
     * GBT regression. Returns a metrics table (r2, rmse, importances). */
   def regression(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // see classification: small feature table + per-iteration jobs (GBT
+    // launches jobs per boosting round) -> collapse partitions first
     val labeled = TimeWindows.leadWindow(s, d)
       .withColumn("epoch_day", unix_timestamp(col("day").cast("timestamp")) / 86400)
       .withColumn("dow", dayofweek(col("day")).cast("double"))
+      .repartition(2)
       .cache()
 
     val assembler = new VectorAssembler()
       .setInputCols(Array("day_max", "epoch_day", "dow")).setOutputCol("features")
     val gbt = new GBTRegressor()
       .setLabelCol("next_day_max").setFeaturesCol("features")
-      .setMaxIter(20).setMaxDepth(4).setSeed(42L)
+      .setMaxIter(10).setMaxDepth(4).setSeed(42L)
     val pipeline = new Pipeline().setStages(Array(assembler, gbt))
 
     val Array(train, test) = labeled.randomSplit(Array(0.75, 0.25), seed = 42L)

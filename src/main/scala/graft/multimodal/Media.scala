@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (brief north-star): image/audio/video as
+  * opaque `binary` columns with typed metadata, processed with the typed
+  * Dataset API (`mapPartitions` — the JVM analog of `mapInPandas`: one
+  * iterator per partition, batch-shaped, no per-row task overhead).
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs):
+  * `decodeStub` produces a deterministic fake feature vector from the
+  * bytes. The Spark-side plumbing — schema, partitioning, batch iterator
+  * shape, feature schema — is real and tested; swapping `decodeStub` for
+  * a JNI/ffmpeg decoder changes no plan shape.
+  *
+  * Scale notes: media blobs stay opaque byte arrays end to end (no
+  * row-level UDF boxing of pixel data); per-partition processing keeps
+  * decoder init (the expensive part of real codecs) amortized across a
+  * partition, exactly like a Pandas-UDF batch would.
+  */
+object Media {
+
+  case class MediaRow(media_id: Long, kind: String, width: Int, height: Int,
+      content: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      byte_mean: Double, feature: Array[Float])
+
+  /** STUB decoder: deterministic 8-dim "feature" from raw bytes (byte
+    * histogram moments). Replace with a real codec at the same signature. */
+  def decodeStub(content: Array[Byte], dim: Int = 8): Array[Float] = {
+    val f = new Array[Float](dim)
+    var i = 0
+    while (i < content.length) {
+      f(i % dim) += (content(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    if (content.length > 0) { var j = 0; while (j < dim) { f(j) /= content.length; j += 1 } }
+    f
+  }
+
+  /** Synthesize a media table from `documents` (text bytes as the opaque
+    * payload) — the testdata has no binary table; the schema is the
+    * contract. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRow]
+  }
+
+  /** Feature extraction over partitions: decoder "init" once per
+    * partition, then streamed batch processing. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real codecs would init here, once per partition
+      rows.map { r =>
+        val feat = decodeStub(r.content)
+        val mean = if (r.content.isEmpty) 0.0
+          else r.content.map(b => (b & 0xFF).toDouble).sum / r.content.length
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong, mean, feat)
+      }
+    }
+  }
+
+  /** Frame-sampling analog for "video": slice the payload into fixed-size
+    * frames and keep every `stride`-th — pure byte plumbing, shows the
+    * explode-with-metadata shape real frame sampling needs. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.content.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (frame, idx) => (r.media_id, idx, frame.length, decodeStub(frame)) }
+    }.toDF("media_id", "frame_idx", "frame_bytes", "frame_feature")
+  }
+}

@@ -48,19 +48,22 @@ object Dedup {
     * maxDf² per shingle — linear-ish in corpus size, not quadratic. */
   def ngramJaccard(s: SparkSession, d: String,
       threshold: Double = 0.12, maxDf: Long = 100L): DataFrame = {
+    // single pass over the shingle index: per-doc size and per-shingle df
+    // via window counts (2 shuffles), cache before the self-join so the
+    // index is built once, carry sizes through the pair groupBy (no extra
+    // size joins)
     val sh = shingles(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= maxDf),
-      Seq("sh"))
-    val pairs = rare.as("a")
-      .join(rare.as("b"),
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .where(col("df") <= maxDf)
+      .select("doc_id", "sh", "n_sh")
+      .cache()
+    sh.as("a")
+      .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "a_n"), Seq("a_id"))
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "b_n"), Seq("b_id"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n_sh")).as("a_n"), first(col("b.n_sh")).as("b_n"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("a_n") + col("b_n") - col("shared")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -92,21 +95,28 @@ object Dedup {
     * Pure expression pipeline: per-token 64-bit hash (xxhash64), per-bit
     * ±1 votes aggregated with SQL higher-order functions. */
   def simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val toks = TextAnalytics.tokens(col("text"))
-    // votes: for bit i, sum over tokens of (bit set ? 1 : -1); simhash bit
-    // i = 1 iff votes > 0. aggregate() folds entirely inside codegen.
-    val sim = expr(
-      """aggregate(
-        |  sequence(0, 63),
-        |  0L,
-        |  (acc, i) -> acc + if(
-        |    aggregate(th, 0L,
-        |      (v, h) -> v + if(((h >> i) & 1L) = 1L, 1L, -1L)) > 0L,
-        |    shiftleft(1L, i), 0L))""".stripMargin)
+    // Per-token 64-bit hashes come from the codegen'd xxhash64 expression;
+    // the 64-bit vote fold runs as a typed map (tight JVM loop) — nested
+    // higher-order aggregate() expressions are CodegenFallback/interpreted
+    // and were ~50× slower here.
     Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(toks).as("tok_set"))
-      .withColumn("th", transform(col("tok_set"), t => xxhash64(t)))
-      .withColumn("simhash", sim)
+      .select(col("doc_id"), transform(array_distinct(toks), t => xxhash64(t)).as("th"))
+      .as[(Long, Array[Long])]
+      .map { case (id, th) =>
+        val votes = new Array[Int](64)
+        var i = 0
+        while (i < th.length) {
+          val h = th(i); var b = 0
+          while (b < 64) { if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+          i += 1
+        }
+        var sig = 0L; var b = 0
+        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      }
+      .toDF("doc_id", "simhash")
       .select(col("doc_id"), col("simhash"),
         col("simhash").bitwiseAND(lit(0xFFFFL)).as("band0"),
         shiftrightunsigned(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),
@@ -122,8 +132,9 @@ object Dedup {
     val byBand = (0 to 3).map { b =>
       sh.select(col("doc_id"), col("simhash"), col(s"band$b").as("band"), lit(b).as("band_idx"))
     }.reduce(_.unionAll(_))
-    val hamming = expr(
-      "aggregate(sequence(0,63), 0, (acc,i) -> acc + int((shiftrightunsigned(a_sim ^ b_sim, i) & 1)))")
+    // bit_count is a single codegen'd popcount — never an interpreted
+    // 64-step HOF fold
+    val hamming = expr("bit_count(a_sim ^ b_sim)")
     byBand.as("a")
       .join(byBand.as("b"),
         col("a.band") === col("b.band") && col("a.band_idx") === col("b.band_idx")

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (brief: "Structured Streaming for
+  * streams"). The reference has no streaming (SURVEY.md §2.12); this is
+  * the extension path for the same sensor/event schema: readStream →
+  * event-time windowed aggregation with a watermark → writeStream, plus a
+  * mapGroupsWithState sessionizer for custom state.
+  *
+  * Scale notes: watermark bounds state (late data beyond 10 min is
+  * dropped, so state size is O(active windows × keys), not O(stream));
+  * the windowed agg is a streaming partial+final hash agg sharded by
+  * (user_id, window) — the same shuffle shape as the batch resample, so
+  * the batch and streaming paths stay semantically aligned.
+  */
+object EventStreams {
+
+  /** The events schema as a streaming source schema (file sources require
+    * a user-supplied schema). ts arrives as epoch micros here — streaming
+    * file sources can't use the nanos-legacy path the batch reader needs. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Streaming analog of TimeWindows.resample30m: per-user 30-min tumbling
+    * event-time windows with a 10-minute watermark. Works on any streaming
+    * DataFrame with the event schema (rate/file/kafka-shaped). */
+  def windowedMeans(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), window(col("ts"), "30 minutes"))
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"), max("value").as("max_value"))
+      .select(col("user_id"), col("window.start").as("bucket"),
+        col("avg_value"), col("n"), col("max_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  case class SessionUpdate(user_id: Long, nEvents: Long, total: Double, closed: Boolean)
+
+  /** Custom streaming state via mapGroupsWithState: per-user running
+    * session (count + sum), closed after 30 min idle (processing-time
+    * timeout). State is one small record per active user — bounded.
+    *
+    * `withTimeout = false` disables session expiry — needed by batch-style
+    * tests that drain a finite source with processAllAvailable: with a
+    * timeout armed the engine keeps scheduling timeout-check batches and
+    * the drain never goes idle. */
+  def sessionize(events: Dataset[Event], withTimeout: Boolean = true): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeoutConf) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(user, s.nEvents, s.total, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val batch = rows.toSeq
+            val next = SessionState(
+              prev.nEvents + batch.length,
+              prev.total + batch.map(_.value).sum,
+              math.max(prev.lastTs, batch.map(_.ts.getTime).maxOption.getOrElse(0L)))
+            state.update(next)
+            if (withTimeout) state.setTimeoutDuration("30 minutes")
+            SessionUpdate(user, next.nEvents, next.total, closed = false)
+          }
+      }
+  }
+
+  /** End-to-end smoke used by tests: stream a parquet-derived file source
+    * through windowedMeans into a memory sink, return the materialized
+    * result. */
+  def runWindowedOnce(s: SparkSession, srcDir: String, queryName: String): DataFrame = {
+    val stream = s.readStream.schema(eventSchema).parquet(srcDir)
+    val q = windowedMeans(stream).writeStream
+      .format("memory").queryName(queryName).outputMode(OutputMode.Complete())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(queryName)
+  }
+}

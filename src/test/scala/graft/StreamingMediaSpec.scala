@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.multimodal.Media
+import graft.streaming.EventStreams
+
+/** Streaming extension + multimodal plumbing tests. */
+class StreamingMediaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming windowed means match the batch resample semantics") {
+    // stage a small event file with the streaming schema (epoch-us ts)
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .where(col("user_id") < 5)
+      .write.mode("overwrite").parquet(dir)
+
+    val streamed = EventStreams.runWindowedOnce(spark, dir, "stream_means_test")
+    val batch = spark.read.parquet(dir)
+      .groupBy(col("user_id"), window(col("ts"), "30 minutes"))
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"), max("value").as("max_value"))
+      .select(col("user_id"), col("window.start").as("bucket"),
+        col("avg_value"), col("n"), col("max_value"))
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+  }
+
+  test("sessionize state machine counts per-user events") {
+    val dir = Files.createTempDirectory("graft_sess_").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .where(col("user_id") < 3)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(EventStreams.eventSchema).parquet(dir)
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream, withTimeout = false).writeStream
+      .format("memory").queryName("sessions_test")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions_test")
+    val expected = spark.read.parquet(dir).groupBy("user_id").count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    val got = out.groupBy("user_id").agg(max("nEvents").as("n"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(got == expected)
+  }
+
+  test("media feature extraction preserves ids, byte stats, and feature shape") {
+    val media = Media.mediaTable(spark, sf)
+    val feats = Media.extractFeatures(media)
+    assert(feats.count() == media.count())
+    val row = feats.orderBy("media_id").head()
+    assert(row.feature.length == 8)
+    assert(row.n_bytes > 0 && row.byte_mean > 0.0 && row.byte_mean < 255.0)
+    // deterministic stub: same input -> same feature
+    val again = Media.extractFeatures(media).orderBy("media_id").head()
+    assert(row.feature.toSeq == again.feature.toSeq)
+  }
+
+  test("frame sampling keeps every stride-th frame with metadata") {
+    val media = Media.mediaTable(spark, sf).limit(5)
+    val frames = Media.sampleFrames(media, frameBytes = 64, stride = 4)
+    val idx = frames.select("frame_idx").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(idx.nonEmpty && idx.forall(_ % 4 == 0))
+    assert(frames.where(col("frame_bytes") > 64).count() == 0)
+  }
+}
