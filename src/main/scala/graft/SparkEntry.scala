@@ -73,6 +73,10 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "q_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_embed_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    // streaming (extension): windowed means via Structured Streaming,
+    // oracle-checked against the SAME SQL as the batch resample
+    "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
     // typed grouped forecasting kernel (U1/U2 replacement)
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
     // ML pipelines (M1-M10)
@@ -207,6 +211,13 @@ object SparkEntry {
         |WHERE next_day_max IS NOT NULL""".stripMargin,
 
     "q_resample_30m" ->
+      """SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |  count(*) AS n, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // streaming result must equal the batch resample — same oracle
+    "q_stream_resample" ->
       """SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
         |  count(*) AS n, max(value) AS max_value

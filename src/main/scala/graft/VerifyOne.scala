@@ -19,6 +19,8 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // keep the oracle dump in sync so tools/check.py sees new oracles
+    Verify.writeOracleJson(outDir)
     SparkEntry.queries.filter(q => names(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

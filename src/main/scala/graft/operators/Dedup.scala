@@ -90,6 +90,38 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
   }
 
+  /** Embedding-cosine near-dup: candidate pairs come from shared IVF
+    * centroid buckets (never all-pairs), verified by exact cosine ≥ τ.
+    * Same-bucket blocking trades recall for linearity exactly like the
+    * text-side LSH: at 100 TB the bucketed corpus is written
+    * partitioned-by-centroid and each bucket's pair space is bounded by
+    * bucket size. Near-identical vectors land in the same bucket by
+    * construction (their centroid similarities are near-identical). */
+  def embeddingNearDup(s: SparkSession, d: String,
+      tau: Double = 0.95, nCentroids: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.floatDot
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_sim_key").desc, col("c_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("c_sim_key",
+        round(floatDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 6))
+      .withColumn("c_rank", row_number().over(wAssign))
+      .where(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+      .cache()
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        floatDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .where(col("cos") >= tau)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.bucket").as("bucket"), round(col("cos"), 4).as("sim"))
+  }
+
   /** 64-bit SimHash per document from token hashes (sign-aggregated bit
     * votes), plus 4×16-bit band keys for bucketed near-dup grouping.
     * Pure expression pipeline: per-token 64-bit hash (xxhash64), per-bit

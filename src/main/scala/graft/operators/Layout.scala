@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators (SURVEY §2.9 X3 + the 100 TB playbook the
+  * reference lacked): keyed repartitioning, bucketed co-located joins,
+  * and salted skew joins. The reference hand-tuned magic
+  * `repartition(20/50/100/200)` constants; these helpers encode the
+  * *reasons* one reshapes data instead.
+  */
+object Layout {
+
+  /** Keyed repartition (hash, not round-robin): co-locates rows by join/agg
+    * key so the next keyed operation is exchange-free. Prefer this over the
+    * reference's bare `repartition(n)` — round-robin buys parallelism but
+    * destroys co-location. */
+  def repartitionByKey(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.repartition(n, keys: _*)
+
+  /** Write a table bucketed+sorted by key. Reading both sides back from
+    * bucketed tables makes equi-joins exchange-free (SortMergeJoin with no
+    * Exchange) — at 100 TB this is THE way to amortize a fact table's
+    * shuffle across every downstream join. Requires a metastore table
+    * (saveAsTable), not a bare path. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, key: String,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Salted inner equi-join for skewed keys: explode the small/dim side
+    * into `salt` replicas, scatter the fact side's hot keys uniformly with
+    * a random-free deterministic salt (hash of a unique column), join on
+    * (key, salt). Turns one straggler partition into `salt` even ones.
+    * AQE's skew-join handles moderate skew automatically; salting is for
+    * the pathological keys AQE can't split (single-key hot spots in
+    * aggregations that follow). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, uniqueCol: String,
+      salt: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(hash(col(uniqueCol)), lit(salt)))
+    val saltedDim = dim
+      .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -32,14 +32,47 @@ object EventStreams {
 
   /** Streaming analog of TimeWindows.resample30m: per-user 30-min tumbling
     * event-time windows with a 10-minute watermark. Works on any streaming
-    * DataFrame with the event schema (rate/file/kafka-shaped). */
+    * DataFrame with the event schema (rate/file/kafka-shaped). The mean
+    * uses the same DECIMAL-exact sum as the batch operator, so streaming
+    * and batch results are bit-identical (and both match the DuckDB
+    * oracle). */
   def windowedMeans(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"), window(col("ts"), "30 minutes"))
-      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"), max("value").as("max_value"))
+      .agg(graft.operators.exactAvg(col("value")).as("avg_value"),
+        count(lit(1)).as("n"), max("value").as("max_value"))
       .select(col("user_id"), col("window.start").as("bucket"),
         col("avg_value"), col("n"), col("max_value"))
+
+  /** Batch-equivalent streaming resample over the events table itself:
+    * stream the parquet file (nanos ts read as long, truncated to µs like
+    * Tables.events), aggregate with windowedMeans in complete mode into a
+    * memory sink, return the materialized table. Declared as a query so
+    * the DuckDB oracle checks STREAMING semantics against the same SQL as
+    * the batch q_resample_30m. (Memory sink = harness; production would
+    * writeStream to parquet/kafka with the identical plan.) */
+  def streamResample(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = "graft_stream_resample"
+    val q = windowedMeans(stream).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Layout}
+
+/** Physical-layout helpers: bucketed exchange-free joins, salted skew
+  * joins, keyed repartition; plus the bucketed embedding near-dup. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join without an Exchange (co-located join)") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val daily = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    Layout.writeBucketed(ev, "ev_b", 4, "user_id")
+    Layout.writeBucketed(daily, "daily_b", 4, "user_id")
+    // disable broadcast so the planner exercises the bucketed SMJ path
+    // (at 100 TB neither side would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_b").join(spark.table("daily_b"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == ev.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join result equals plain join result (skew mitigation is semantics-free)") {
+    val fact = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    val dim = Seq(("click", 1), ("error", 2), ("purchase", 3), ("signup", 4), ("view", 5))
+      .toDF("event_type", "type_code")
+    val plain = fact.join(dim, "event_type")
+    val salted = Layout.saltedJoin(fact, dim, "event_type", "event_id", salt = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.select("event_id", "type_code")
+      .except(plain.select("event_id", "type_code")).count() == 0)
+  }
+
+  test("repartitionByKey produces hash partitioning on the key") {
+    val df = Tables.events(spark, sf)
+    val parted = Layout.repartitionByKey(df, 4, col("user_id"))
+    assert(parted.rdd.getNumPartitions == 4)
+    val plan = parted.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+
+  test("embedding near-dup finds planted duplicate vectors via shared buckets") {
+    // plant: vec 100 == vec 0 (duplicate), others random-ish -> only the
+    // planted pair should exceed tau=0.99
+    val base = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val planted = (base + (100L -> base(0L))).toSeq.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_emb_").toString
+    planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDup(spark, dir, tau = 0.99).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a_id") == 0L && r.getAs[Long]("b_id") == 100L),
+      s"planted dup not found: ${pairs.mkString(",")}")
+  }
+}

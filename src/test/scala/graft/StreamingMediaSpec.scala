@@ -20,7 +20,8 @@ class StreamingMediaSpec extends SparkTestBase {
     val streamed = EventStreams.runWindowedOnce(spark, dir, "stream_means_test")
     val batch = spark.read.parquet(dir)
       .groupBy(col("user_id"), window(col("ts"), "30 minutes"))
-      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"), max("value").as("max_value"))
+      .agg(graft.operators.exactAvg(col("value")).as("avg_value"),
+        count(lit(1)).as("n"), max("value").as("max_value"))
       .select(col("user_id"), col("window.start").as("bucket"),
         col("avg_value"), col("n"), col("max_value"))
 
