@@ -16,14 +16,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try writeOrdered(fn(spark, sfDir), s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     writeOracleJson(outDir)
     spark.stop()
+  }
+
+  /** Write a query result as ONE parquet file in a deterministic row
+    * order (all columns, asc nulls-first — Spark's default, matching the
+    * oracle's ORDER BY ALL NULLS FIRST wrapper). Keeps the driver's
+    * hash-compare stable whether or not it sorts rows itself. */
+  def writeOrdered(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.orderBy(df.columns.map(col).toSeq: _*)
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Dump SparkEntry.oracleSql as JSON (shared with VerifyOne). */
@@ -40,8 +49,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // wrap every oracle so its rows come back in the same deterministic
+    // order writeOrdered gives the Spark dump (see writeOrdered scaladoc)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val wrapped = s"SELECT * FROM (\n$v\n) graft_ordered ORDER BY ALL NULLS FIRST"
+        s"${q(k)}: ${q(wrapped)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
 }

@@ -24,7 +24,7 @@ object VerifyOne {
     SparkEntry.queries.filter(q => names(q._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        Verify.writeOrdered(fn(spark, sfDir), s"$outDir/$name")
         println(f"[verify-one] $name ok (${(System.nanoTime() - t0) / 1e9}%.1f s)")
       } catch {
         case e: Throwable =>

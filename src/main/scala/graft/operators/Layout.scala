@@ -30,6 +30,13 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Write partitioned parquet (one directory per key value). At 100 TB
+    * this is the other half of the layout story next to bucketing:
+    * queries filtering on the partition key prune whole directories
+    * before any IO (PartitionFilters in the scan, see LayoutSpec). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Salted inner equi-join for skewed keys: explode the small/dim side
     * into `salt` replicas, scatter the fact side's hot keys uniformly with
     * a random-free deterministic salt (hash of a unique column), join on

@@ -48,6 +48,18 @@ class LayoutSpec extends SparkTestBase {
     assert(plan.contains("hashpartitioning(user_id"), plan)
   }
 
+  test("partitioned write enables partition pruning (PartitionFilters, not data filters)") {
+    val dir = Files.createTempDirectory("graft_part_").toString + "/events_by_type"
+    Layout.writePartitioned(
+      Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value"),
+      dir, "event_type")
+    val pruned = spark.read.parquet(dir).where(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    val expected = Tables.events(spark, sf).where(col("event_type") === "click").count()
+    assert(pruned.count() == expected)
+  }
+
   test("embedding near-dup finds planted duplicate vectors via shared buckets") {
     // plant: vec 100 == vec 0 (duplicate), others random-ish -> only the
     // planted pair should exceed tau=0.99
