@@ -26,6 +26,11 @@ object Bench {
         } catch {
           case e: Throwable =>
             name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        } finally {
+          // isolate queries: drop caches left by operators (minhash vecs,
+          // shingle indexes, ML feature tables) so later iterative fits
+          // don't pay GC pressure for earlier queries' storage
+          spark.catalog.clearCache()
         }
       }
     def jstr(s: String): String =
