@@ -48,6 +48,7 @@ object SparkEntry {
     "q_dropna"         -> (Relational.pivotDropna _),
     "q_quantile"       -> (TimeWindows.quantiles _),
     "q_quantile_trim"  -> (TimeWindows.quantileTrim _),
+    "q_quantile_trim_sketch" -> ((s: SparkSession, d: String) => TimeWindows.quantileTrimSketch(s, d)),
     // sorts / top-k (O1-O2)
     "q_orderby_topk"   -> (Relational.orderbyTopk _),
     // windows / time series (W1-W6, A7)

@@ -19,7 +19,7 @@ object Verify {
       try writeOrdered(fn(spark, sfDir), s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally spark.catalog.clearCache() // isolate queries (see Bench)
     }
     writeOracleJson(outDir)
     spark.stop()

@@ -48,14 +48,18 @@ object Dedup {
     * maxDf² per shingle — linear-ish in corpus size, not quadratic. */
   def ngramJaccard(s: SparkSession, d: String,
       threshold: Double = 0.12, maxDf: Long = 100L): DataFrame = {
-    // single pass over the shingle index: per-doc size and per-shingle df
-    // via window counts (2 shuffles), cache before the self-join so the
-    // index is built once, carry sizes through the pair groupBy (no extra
-    // size joins)
-    val sh = shingles(s, d)
+    // Per-doc size via a window over doc_id (partition bounded by doc
+    // length). Per-shingle df must NOT be a window over sh: a hot shingle
+    // would pile its whole posting list into one sorted partition. Instead
+    // compute df with a partial-aggregating groupBy (skew-free), keep only
+    // the HOT shingles (few by definition), and drop them with a broadcast
+    // anti-join — the skew never reaches a sort or a join build side.
+    val withSizes = shingles(s, d)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .where(col("df") <= maxDf)
+    val hot = withSizes.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sh")
+    val sh = withSizes
+      .join(broadcast(hot), Seq("sh"), "left_anti")
       .select("doc_id", "sh", "n_sh")
       .cache()
     sh.as("a")

@@ -145,6 +145,23 @@ object TimeWindows {
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_trimmed"))
   }
 
+  /** A6 scale path — sketch-based quantile trim: per-group GK-sketch
+    * boundaries (partial-aggregating, no sort) broadcast back onto the
+    * rows. The exact ntile form above is the oracle-able variant, but its
+    * per-group full sort is the one step that cannot scale when a single
+    * group holds a large fraction of the data; this is the 100 TB form. */
+  def quantileTrimSketch(s: SparkSession, d: String,
+      pLo: Double = 0.25, pHi: Double = 0.75): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bounds = ev.groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, $pLo, 10000)").as("q_lo"),
+        expr(s"approx_percentile(value, $pHi, 10000)").as("q_hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .where(col("value") >= col("q_lo") && col("value") <= col("q_hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_trimmed"))
+  }
+
   /** W6 — additive seasonal decomposition as a window/agg composition
     * (cf. statsmodels `seasonal_decompose`,
     * `pandas_timeseries_forecast.py:103-104`): trend = centered moving

@@ -83,6 +83,17 @@ class RelationalSpec extends SparkTestBase {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("sketch quantile trim approximates the exact ntile trim (A6 scale path)") {
+    val exact = TimeWindows.quantileTrim(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val sketch = TimeWindows.quantileTrimSketch(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (t, n) =>
+      val ns = sketch(t)
+      assert(math.abs(ns - n) <= math.max(10, n / 5), s"$t: exact $n vs sketch $ns")
+    }
+  }
+
   test("quantile trim keeps the middle half (A6)") {
     val trimmed = TimeWindows.quantileTrim(spark, sf)
     val byType = trimmed.collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
