@@ -50,7 +50,7 @@ object Pipelines {
       .setInputCols(featureCols).setOutputCol("features")
     val mlp = new MultilayerPerceptronClassifier()
       .setLayers(Array(featureCols.length, 20, indexer.labelsArray.head.length))
-      .setSeed(42L).setMaxIter(30)
+      .setSeed(42L).setMaxIter(20)
     val decoder = new IndexToString()
       .setInputCol("prediction").setOutputCol("predicted_target")
       .setLabels(indexer.labelsArray.head)
@@ -106,7 +106,7 @@ object Pipelines {
 
     val gbtModel = model.stages.last.asInstanceOf[GBTRegressionModel]
     val importances = gbtModel.featureImportances.toArray
-    (Seq("r2" -> eval("r2"), "rmse" -> eval("rmse")) ++
+    (Seq("r2" -> eval("r2"), "rmse" -> eval("rmse"), "mse" -> eval("mse")) ++
       Array("day_max", "epoch_day", "dow").zip(importances)
         .map { case (f, v) => s"importance_$f" -> v })
       .toDF("metric", "value")

@@ -86,7 +86,7 @@ object Dedup {
       .setNumFeatures(1 << 18).setBinary(true)
     val vecs = tf.transform(sets).select("doc_id", "features").cache()
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("bands")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(5).setSeed(42L)
     val model = lsh.fit(vecs)
     model.approxSimilarityJoin(vecs, vecs, maxJaccardDist, "jaccard_dist")
       .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
