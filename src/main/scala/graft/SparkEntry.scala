@@ -371,7 +371,15 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
-        |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+        |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> list_reduce(
+        |          list_prepend(CAST(7 AS BIGINT),
+        |            list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |          (a, b) -> (a * 131 + b) % 1000000007))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents""".stripMargin,
 
     "q_dedup_exact" ->

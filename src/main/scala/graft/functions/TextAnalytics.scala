@@ -71,12 +71,21 @@ object TextAnalytics {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
         .as("n_bpe_tokens"))
 
-  /** Canonical document fingerprint: md5 over the sorted distinct token
-    * set — an order-insensitive content signature (bag-of-words identity),
-    * the groupable analog of a rolling hash. */
+  /** Document fingerprints: (a) md5 over the sorted distinct token set —
+    * an order-insensitive bag-of-words identity; (b) a polynomial rolling
+    * hash over the token sequence (order-sensitive), char-fold 131 /
+    * token-fold 31 mod 1e9+7 — the classic streamable content signature. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
       md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
-        .as("fp"))
+        .as("fp"),
+      expr(
+        """aggregate(
+          |  split(lower(trim(text)), '\\s+'),
+          |  CAST(0 AS BIGINT),
+          |  (H, t) -> (H * 31 + aggregate(
+          |    split(t, ''), CAST(7 AS BIGINT),
+          |    (h, c) -> (h * 131 + ascii(c)) % 1000000007)) % 1000000007)""".stripMargin)
+        .as("fp_roll"))
 }
