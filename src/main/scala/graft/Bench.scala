@@ -33,11 +33,7 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    import JsonUtil.jstr
     val qs = results.map {
       case (k, Right(v)) => s"${jstr(k)}:$v"
       case (k, Left(e))  => s"${jstr(k)}:{${jstr("err")}:${jstr(e)}}"

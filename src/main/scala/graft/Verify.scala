@@ -37,24 +37,12 @@ object Verify {
 
   /** Dump SparkEntry.oracleSql as JSON (shared with VerifyOne). */
   def writeOracleJson(outDir: String): Unit = {
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // wrap every oracle so its rows come back in the same deterministic
     // order writeOrdered gives the Spark dump (see writeOrdered scaladoc)
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         val wrapped = s"SELECT * FROM (\n$v\n) graft_ordered ORDER BY ALL NULLS FIRST"
-        s"${q(k)}: ${q(wrapped)}"
+        s"${JsonUtil.jstr(k)}: ${JsonUtil.jstr(wrapped)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }

@@ -10,6 +10,9 @@ object VerifyOne {
     val sfDir  = args(0)
     val outDir = args(1)
     val names  = if (args.length > 2) args.drop(2).toSet else SparkEntry.queries.keySet
+    val unknown = names -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -61,9 +61,13 @@ object Pipelines {
 
     // S6: model save/load round-trip; predictions come from the RELOADED
     // model, proving persistence end-to-end (cf. sensor_data_classification.py:66)
-    val dir = Files.createTempDirectory("graft_mlp_").toString
-    model.write.overwrite().save(dir)
-    val reloaded = PipelineModel.load(dir)
+    val dir = Files.createTempDirectory("graft_mlp_")
+    model.write.overwrite().save(dir.toString)
+    val reloaded = PipelineModel.load(dir.toString)
+    // load() materializes the model; drop the on-disk copy so repeated
+    // verify/bench cycles don't accumulate tmp model directories
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
     val predictions = reloaded.transform(test).cache()
 
     val f1 = new MulticlassClassificationEvaluator()

@@ -104,17 +104,8 @@ object Dedup {
   def embeddingNearDup(s: SparkSession, d: String,
       tau: Double = 0.95, nCentroids: Int = 16): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.floatDot
-    val e = Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
-    val cents = e.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_sim_key").desc, col("c_id"))
-    val assigned = e.join(broadcast(cents))
-      .withColumn("c_sim_key",
-        round(floatDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 6))
-      .withColumn("c_rank", row_number().over(wAssign))
-      .where(col("c_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+    val assigned = Similarity
+      .assignToNearestCentroid(Similarity.withNorm(s, d), nCentroids)
       .cache()
     assigned.as("a")
       .join(assigned.as("b"),

@@ -162,7 +162,9 @@ object Relational {
     * through CSV, then aggregates — proving the scan path parses with the
     * declared types. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // JVM-unique path: concurrent runs (Verify + Bench on the same sfDir)
+    // must not overwrite each other's round-trip directory mid-read
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${java.lang.ProcessHandle.current().pid()}"
     Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
       .write.mode("overwrite").csv(tmp)

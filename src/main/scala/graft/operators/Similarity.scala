@@ -26,12 +26,33 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     floatDot(a, b) / (sqrt(floatDot(a, a)) * sqrt(floatDot(b, b)))
 
+  /** Embeddings with a precomputed L2 norm column (`nrm`). */
+  def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
+
+  /** IVF coarse quantization: nearest-centroid bucket per vector, where
+    * the centroids are the nCentroids lowest vec_ids (deterministic
+    * seeds). One broadcast pass, no corpus shuffle. Shared by annIvf and
+    * Dedup.embeddingNearDup so assignment semantics (rounding, tie-break)
+    * stay in one place. Input must carry a `nrm` column (see withNorm). */
+  def assignToNearestCentroid(e: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_sim_key").desc, col("c_id"))
+    e.join(broadcast(cents))
+      .withColumn("c_sim_key",
+        round(floatDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 6))
+      .withColumn("c_rank", row_number().over(wAssign))
+      .where(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
     * corpus = all vectors. Ranking key is (round(cos,6) DESC, vec_id) so
     * the result is deterministic under floating-point ULP differences. */
   def cosineTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
+    val e = withNorm(s, d)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
@@ -52,20 +73,10 @@ object Similarity {
     * partitioned-by-centroid so probes prune partitions. */
   def annIvf(s: SparkSession, d: String, nCentroids: Int = 16, nprobe: Int = 2,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
+    val e = withNorm(s, d)
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-
-    // assign: nearest centroid per vector (broadcast nested-loop over the
-    // centroid set, then per-vector argmax — no corpus shuffle)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_sim_key").desc, col("c_id"))
-    val assigned = e.join(broadcast(cents))
-      .withColumn("c_sim_key",
-        round(floatDot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 6))
-      .withColumn("c_rank", row_number().over(wAssign))
-      .where(col("c_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+    val assigned = assignToNearestCentroid(e, nCentroids)
 
     // probe: each query's nprobe nearest centroids
     val q = e.where(col("vec_id") < nQueries)

@@ -56,8 +56,13 @@ object HoltForecast {
     * the in-group mirror of pandas `resample('30T').mean().interpolate()`. */
   def resampleInterpolate(points: Seq[(Long, Double)], bucketSec: Long = 1800L): IndexedSeq[Double] = {
     if (points.isEmpty) return IndexedSeq.empty
-    val byBucket = points.groupBy(p => p._1 / bucketSec)
-      .map { case (b, ps) => b -> ps.map(_._2).sum / ps.size }
+    interpolateBuckets(points.groupBy(p => p._1 / bucketSec)
+      .map { case (b, ps) => b -> ps.map(_._2).sum / ps.size })
+  }
+
+  /** Dense linear interpolation over a sparse bucket→mean map. */
+  def interpolateBuckets(byBucket: Map[Long, Double]): IndexedSeq[Double] = {
+    if (byBucket.isEmpty) return IndexedSeq.empty
     val (lo, hi) = (byBucket.keys.min, byBucket.keys.max)
     val buckets = (lo to hi).map(byBucket.get)
     // linear interpolation between known neighbors (ends are always known:
@@ -98,13 +103,23 @@ object HoltForecast {
     }
   }
 
-  /** The per-group kernel: resample → interpolate → trim → Holt → h steps. */
+  /** The per-group kernel: resample → interpolate → trim → Holt → h steps.
+    * The raw iterator folds straight into per-bucket sums — per-group
+    * memory is O(resampled buckets), never O(raw series), and no sort of
+    * the raw readings is needed (bucketing is order-insensitive). */
   def forecastGroup(series: Long, readings: Iterator[Reading],
-      alpha: Double, beta: Double, horizon: Int): Iterator[ForecastPoint] = {
-    val pts = readings.map(r => (r.epochSec, r.value)).toVector
-    if (pts.isEmpty) Iterator.empty
+      alpha: Double, beta: Double, horizon: Int,
+      bucketSec: Long = 1800L): Iterator[ForecastPoint] = {
+    val sums = scala.collection.mutable.HashMap.empty[Long, (Double, Int)]
+    readings.foreach { r =>
+      val b = r.epochSec / bucketSec
+      val (s0, n0) = sums.getOrElse(b, (0.0, 0))
+      sums(b) = (s0 + r.value, n0 + 1)
+    }
+    if (sums.isEmpty) Iterator.empty
     else {
-      val ys = quantileTrim(resampleInterpolate(pts.sortBy(_._1)))
+      val ys = quantileTrim(interpolateBuckets(
+        sums.view.mapValues { case (s0, n0) => s0 / n0 }.toMap))
       if (ys.isEmpty) Iterator.empty
       else {
         val (level, trend) = holtFit(ys, alpha, beta)

@@ -28,19 +28,28 @@ case class FloatDotProduct(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable regardless of children: mismatched array lengths yield null
+  // (keeps ev.isNull assignable in the generated code)
+  override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    // mismatched lengths -> null, matching the zip_with/aggregate fold
+    // this replaces (zip_with null-pads the shorter side, nulling the
+    // sum): a truncated embedding must surface, not silently rank wrong
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,12 +58,16 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

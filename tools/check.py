@@ -50,7 +50,6 @@ def main(sf_dir, out_dir):
         try:
             ora_rel = con.sql(sql)
             ora_cols = sorted(ora_rel.columns)
-            ora_types = dict(zip(ora_rel.columns, [str(t) for t in ora_rel.types]))
             ora = con.sql(
                 "SELECT " + ", ".join(f'"{c}"' for c in ora_cols) + " FROM ora_rel").fetchall()
         except Exception as e:
