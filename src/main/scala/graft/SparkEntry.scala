@@ -80,6 +80,8 @@ object SparkEntry {
     "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
     // typed grouped forecasting kernel (U1/U2 replacement)
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
+    "q_ar_forecast"    -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecast(s, d)),
+    "q_holt_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.holtGridSearch(s, d)),
     // ML pipelines (M1-M10)
     "q_ml_classification" -> (Pipelines.classification _),
     "q_ml_regression"  -> (Pipelines.regression _),

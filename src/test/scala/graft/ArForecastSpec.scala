@@ -1,0 +1,59 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.timeseries.ArForecast
+
+/** Properties for the AR(p) kernel and the per-series grid search. */
+class ArForecastSpec extends SparkTestBase {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("Yule-Walker recovers the coefficient of a noise-free AR(1)") {
+    check(Prop.forAll(Gen.choose(0.3, 0.9), Gen.choose(1.0, 10.0)) { (phi, x0) =>
+      val ys = Iterator.iterate(x0)(_ * phi).take(200).toVector
+      val est = ArForecast.yuleWalker(ys, 1)(0)
+      math.abs(est - phi) < 0.05
+    })
+  }
+
+  test("AR(2) captures a pure sinusoid (characteristic roots on the unit circle)") {
+    val w = 2 * math.Pi / 24
+    val ys = (0 until 480).map(t => math.sin(w * t) * 5.0 + 10.0).toVector
+    val phi = ArForecast.yuleWalker(ys, 2)
+    // theoretical AR(2) for a sinusoid: phi1 = 2cos(w), phi2 = -1
+    assert(math.abs(phi(0) - 2 * math.cos(w)) < 0.05, phi.mkString(","))
+    assert(math.abs(phi(1) + 1.0) < 0.05, phi.mkString(","))
+    // forecast continues the oscillation within amplitude bounds
+    val fc = ArForecast.arForecast(ys, phi, 48)
+    assert(fc.forall(v => v > 4.0 && v < 16.0), fc.take(10).mkString(","))
+  }
+
+  test("constant series forecasts the constant (AR any order)") {
+    check(Prop.forAll(Gen.choose(1.0, 50.0)) { c =>
+      val ys = Vector.fill(60)(c)
+      val fc = ArForecast.arForecast(ys, ArForecast.yuleWalker(ys, 4), 5)
+      fc.forall(v => math.abs(v - c) < 1e-6)
+    })
+  }
+
+  test("distributed AR forecast on sf0.001: finite, one horizon per series") {
+    val rows = ArForecast.forecast(spark, sf, p = 4, horizon = 3).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => java.lang.Double.isFinite(r.getAs[Double]("forecast"))))
+    rows.groupBy(_.getAs[Long]("series")).values.foreach(g => assert(g.length == 3))
+  }
+
+  test("grid search picks the parameter pair with minimal validation MSE") {
+    val out = ArForecast.holtGridSearch(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val mse = r.getAs[Double]("valMse")
+      assert(java.lang.Double.isFinite(mse) && mse >= 0.0)
+      val a = r.getAs[Double]("alpha"); val b = r.getAs[Double]("beta")
+      assert(Seq(0.2, 0.5, 0.8).contains(a) && Seq(0.1, 0.3, 0.6).contains(b))
+    }
+  }
+}
