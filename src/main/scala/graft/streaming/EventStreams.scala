@@ -113,6 +113,56 @@ object EventStreams {
       }
   }
 
+  case class HoltState(level: Double, trend: Double, n: Long)
+  case class HoltUpdate(user_id: Long, level: Double, trend: Double,
+      n: Long, next_forecast: Double)
+
+  /** Advance Holt recurrences over a batch of observations (ts order).
+    * Shared by the streaming operator and its test expectation. */
+  def holtAdvance(prev: Option[HoltState], ys: Seq[Double],
+      alpha: Double, beta: Double): Option[HoltState] = {
+    if (ys.isEmpty) prev
+    else prev match {
+      case None =>
+        val (l, b) = graft.timeseries.HoltForecast.holtFit(ys.toIndexedSeq, alpha, beta)
+        Some(HoltState(l, b, ys.length.toLong))
+      case Some(st) =>
+        var level = st.level
+        var trend = st.trend
+        ys.foreach { y =>
+          val prevLevel = level
+          level = alpha * y + (1 - alpha) * (level + trend)
+          trend = beta * (level - prevLevel) + (1 - beta) * trend
+        }
+        Some(HoltState(level, trend, st.n + ys.length))
+    }
+  }
+
+  /** Incremental per-series Holt smoothing over a stream via
+    * flatMapGroupsWithState: state is ONE (level, trend, n) record per
+    * series (bounded regardless of stream length); each micro-batch folds
+    * its observations in event-time order and emits the updated state +
+    * one-step forecast. The streaming continuation of the batch
+    * HoltForecast kernel. */
+  def streamingHolt(events: Dataset[Event],
+      alpha: Double = 0.5, beta: Double = 0.3): Dataset[HoltUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HoltState, HoltUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[HoltState]) =>
+          val ys = rows.toSeq.sortBy(_.ts.getTime).map(_.value)
+          holtAdvance(state.getOption, ys, alpha, beta) match {
+            case Some(next) =>
+              state.update(next)
+              Iterator.single(HoltUpdate(user, next.level, next.trend, next.n,
+                next.level + next.trend))
+            case None => Iterator.empty
+          }
+      }
+  }
+
   /** End-to-end smoke used by tests: stream a parquet-derived file source
     * through windowedMeans into a memory sink, return the materialized
     * result. */

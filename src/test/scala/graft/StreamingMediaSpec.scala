@@ -50,6 +50,53 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("streaming Holt matches the batch fold across multiple micro-batches") {
+    val base = Files.createTempDirectory("graft_sholt_").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .where(col("user_id") === 1).orderBy("ts")
+    // two files -> two micro-batches with maxFilesPerTrigger=1, proving
+    // state carries across batches (file source lists in path order)
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    import spark.implicits._
+    val schema = ev.schema
+    spark.createDataFrame(spark.sparkContext.parallelize(first.toSeq), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/f0")
+    spark.createDataFrame(spark.sparkContext.parallelize(second.toSeq), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/f1")
+    val stagedDir = s"$base/staged"
+    new java.io.File(stagedDir).mkdirs()
+    val now = System.currentTimeMillis()
+    for ((f, i) <- Seq("f0", "f1").zipWithIndex; p <- new java.io.File(s"$base/$f").listFiles()
+         if p.getName.endsWith(".parquet")) {
+      val dst = new java.io.File(s"$stagedDir/part-$i.parquet")
+      Files.copy(p.toPath, dst.toPath)
+      // FileStreamSource orders batches by mtime — make it explicit
+      dst.setLastModified(now - 60000L + i * 30000L)
+    }
+
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+      .as[EventStreams.Event]
+    val q = EventStreams.streamingHolt(stream).writeStream
+      .format("memory").queryName("sholt_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("sholt_test").orderBy("n").collect()
+    assert(updates.length == 2, updates.mkString(","))
+
+    // expectation: fold the same two batches through the shared helper
+    val ys1 = first.sortBy(_.getAs[java.sql.Timestamp]("ts").getTime).map(_.getAs[Double]("value")).toSeq
+    val ys2 = second.sortBy(_.getAs[java.sql.Timestamp]("ts").getTime).map(_.getAs[Double]("value")).toSeq
+    val expected = EventStreams.holtAdvance(
+      EventStreams.holtAdvance(None, ys1, 0.5, 0.3), ys2, 0.5, 0.3).get
+    val last = updates.last
+    assert(math.abs(last.getAs[Double]("level") - expected.level) < 1e-9)
+    assert(math.abs(last.getAs[Double]("trend") - expected.trend) < 1e-9)
+    assert(last.getAs[Long]("n") == expected.n)
+  }
+
   test("media feature extraction preserves ids, byte stats, and feature shape") {
     val media = Media.mediaTable(spark, sf)
     val feats = Media.extractFeatures(media)
