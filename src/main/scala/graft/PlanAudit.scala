@@ -26,7 +26,9 @@ object PlanAudit {
           "BHJ" -> plan.contains("BroadcastHashJoin"),
           "TakeOrdered" -> plan.contains("TakeOrderedAndProject"),
           "PushedFilters" -> plan.contains("PushedFilters: ["),
-          "WSCG" -> plan.contains("WholeStageCodegen"),
+          // codegen stages render as "*(n) Operator" prefixes in the plan
+          // string, not the literal class name (VERDICT r2 item 9)
+          "WSCG" -> "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
         ).collect { case (k, true) => k }.mkString(",")
         println(s"[plan] $name: $flags")
       } catch {

@@ -74,11 +74,15 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "q_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
-    "q_embed_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    // τ = 0.4 at the gate: the driver's synthetic embeddings carry no
+    // planted near-identical pairs (max pairwise cos ≈ 0.51), so the
+    // near-dup default τ=0.95 would exercise nothing (VERDICT r2 item 5)
+    "q_embed_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d, tau = 0.4)),
     // streaming (extension): windowed means via Structured Streaming,
     // oracle-checked against the SAME SQL as the batch resample
     "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
     // typed grouped forecasting kernel (U1/U2 replacement)
+    "q_holt_prep"      -> ((s: SparkSession, d: String) => HoltForecast.prep(s, d)),
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
     "q_ar_forecast"    -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecast(s, d)),
     "q_holt_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.holtGridSearch(s, d)),
@@ -430,6 +434,111 @@ object SparkEntry {
         |      AS INTEGER) AS rank
         |  FROM x)
         |SELECT q_id, vec_id, rank, round(cos, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+
+    // IVF assignment is deterministic SQL: centroids = ⌊√N⌋-ish lowest
+    // vec_ids, nearest by exact cosine (ties → lowest c_id). Both engines
+    // accumulate the dot product left-to-right in double, so the sims —
+    // and therefore buckets, pairs, and ranks — hash-match bitwise.
+    "q_embed_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+        |  WHERE vec_id < LEAST(4096, GREATEST(4,
+        |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |a AS (
+        |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
+        |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+        |        c.c_id) AS rn
+        |    FROM n, c) t
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+        |  FROM a JOIN a b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, bucket, round(cos, 4) AS sim FROM p WHERE cos >= 0.4""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+        |  WHERE vec_id < LEAST(4096, GREATEST(4,
+        |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |asg AS (
+        |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
+        |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+        |        c.c_id) AS rn
+        |    FROM n, c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, q_emb, q_nrm, c_id AS bucket FROM (
+        |    SELECT q.q_id, q.q_emb, q.q_nrm, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(q.q_emb[i] AS DOUBLE) * c.c_emb[i])) / (q.q_nrm * c.c_nrm), 6) DESC,
+        |        c.c_id) AS rn
+        |    FROM q, c) t
+        |  WHERE rn <= 2),
+        |x AS (
+        |  SELECT p.q_id, a.vec_id, a.bucket,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(p.q_emb[i] AS DOUBLE) * a.embedding[i])) / (p.q_nrm * a.nrm) AS cos
+        |  FROM asg a JOIN probes p USING (bucket)
+        |  WHERE a.vec_id <> p.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, bucket, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM x)
+        |SELECT q_id, vec_id, bucket, rank, round(cos, 4) AS sim FROM r WHERE rank <= 5""".stripMargin,
+
+    // the Holt/AR kernels' input path: per-series 30-min DECIMAL means,
+    // dense spine, direct-lerp gap fill — hash-matches the in-JVM
+    // interpolateBuckets kernel bit for bit (VERDICT r2 item 7)
+    "q_holt_prep" ->
+      """WITH m AS (
+        |  SELECT user_id AS series, CAST(floor(epoch(ts)) AS BIGINT) // 1800 AS b,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT series, min(b) AS mn, max(b) AS mx FROM m GROUP BY 1),
+        |spine AS (SELECT series, unnest(generate_series(mn, mx)) AS b FROM bounds),
+        |j AS (
+        |  SELECT s.series, s.b, m.y FROM spine s
+        |  LEFT JOIN m ON s.series = m.series AND s.b = m.b),
+        |x AS (
+        |  SELECT series, b, y,
+        |    last_value(y IGNORE NULLS) OVER (PARTITION BY series ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN y IS NOT NULL THEN b END IGNORE NULLS) OVER (
+        |      PARTITION BY series ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+        |    first_value(y IGNORE NULLS) OVER (PARTITION BY series ORDER BY b
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN y IS NOT NULL THEN b END IGNORE NULLS) OVER (
+        |      PARTITION BY series ORDER BY b
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+        |  FROM j)
+        |SELECT series, b * 1800 AS bucket,
+        |  CASE WHEN y IS NOT NULL THEN y
+        |       ELSE prev_v + (next_v - prev_v) *
+        |         (CAST(b - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+        |  END AS y
+        |FROM x""".stripMargin,
 
     "q_sql_transformer" ->
       """WITH enriched AS (

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** AR(p) point forecast for one series. */
-case class ArPoint(series: Long, step: Int, forecast: Double, p: Int, n_obs: Int)
+/** AR(p) point forecast for one series (d = differencing order applied). */
+case class ArPoint(series: Long, step: Int, forecast: Double, p: Int, d: Int, n_obs: Int)
 
 /** Holt grid-search result for one series. */
 case class HoltFit(series: Long, alpha: Double, beta: Double, valMse: Double,
@@ -75,9 +75,39 @@ object ArForecast {
     out.result()
   }
 
-  /** Distributed AR(p) forecast over the events table (per-user series,
-    * 30-min resampled like the Holt kernel). */
-  def forecast(s: SparkSession, d: String, p: Int = 4, horizon: Int = 6): DataFrame = {
+  /** ARIMA(p, d, 0): difference `d` times, fit AR(p) by Yule-Walker on the
+    * differenced series, forecast h steps, then integrate back — each
+    * integration level is a cumulative sum anchored at that level's last
+    * observed value. Covers the "I" the reference's grid searched over
+    * (`pandas_timeseries_forecast.py:43-55`); the MA component remains
+    * out of scope (documented, SURVEY §2.11). */
+  def arimaForecast(ys: IndexedSeq[Double], p: Int, d: Int, h: Int): Vector[Double] = {
+    require(d >= 0, s"differencing order must be >= 0, got $d")
+    var cur = ys
+    val lasts = Array.ofDim[Double](d)
+    var k = 0
+    while (k < d) {
+      lasts(k) = cur.last
+      val prev = cur
+      cur = (1 until prev.length).map(i => prev(i) - prev(i - 1))
+      k += 1
+    }
+    var fc = arForecast(cur, yuleWalker(cur, p), h)
+    k = d - 1
+    while (k >= 0) {
+      var acc = lasts(k)
+      fc = fc.map { z => acc += z; acc }
+      k -= 1
+    }
+    fc
+  }
+
+  /** Distributed AR forecast over the events table (per-user series,
+    * 30-min resampled like the Holt kernel). Emits one forecast track per
+    * differencing order in `diffOrders` — d=0 is the plain AR(p) of round
+    * 2, d=1 handles trending series (VERDICT r2 item 6). */
+  def forecast(s: SparkSession, d: String, p: Int = 4, horizon: Int = 6,
+      diffOrders: Seq[Int] = Seq(0, 1)): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
       .select(col("user_id").as("series"),
@@ -85,14 +115,15 @@ object ArForecast {
       .as[Reading]
       .groupByKey(_.series)
       .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
-        val ys = HoltForecast.resampleInterpolate(it.map(r => (r.epochSec, r.value)).toVector)
-        if (ys.length <= p + 1) Iterator.empty
-        else {
-          val phi = yuleWalker(ys, p)
-          arForecast(ys, phi, horizon).iterator.zipWithIndex.map {
-            case (f, i) => ArPoint(k, i + 1, f, p, ys.length)
+        val ys = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value))))
+        diffOrders.iterator
+          .filter(dd => ys.length > p + 1 + dd) // need > p+1 points AFTER differencing
+          .flatMap { dd =>
+            arimaForecast(ys, p, dd, horizon).iterator.zipWithIndex.map {
+              case (f, i) => ArPoint(k, i + 1, f, p, dd, ys.length)
+            }
           }
-        }
       }
       .toDF()
   }
@@ -104,7 +135,14 @@ object ArForecast {
     * fit each (α, β) on the first 80% of the resampled series, score MSE
     * one-step-ahead over the last 20%, keep the argmin, forecast with it
     * (cf. `pandas_timeseries_forecast.py:75-91` — same harness, Holt
-    * parameters instead of ARIMA orders). */
+    * parameters instead of ARIMA orders).
+    *
+    * Each (α, β) is scored by ONE incremental O(N) pass
+    * (`HoltForecast.holtWalkForward`) whose errors are bitwise-identical
+    * to refitting on every growing prefix — the O(9·V·N) refit loop this
+    * replaces was 60% of the round-2 bench (VERDICT r2 item 1). The pass
+    * also yields the full-series (level, trend), so the winning combo
+    * needs no refit before forecasting. */
   def holtGridSearch(s: SparkSession, d: String, horizon: Int = 3): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
@@ -113,25 +151,23 @@ object ArForecast {
       .as[Reading]
       .groupByKey(_.series)
       .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
-        val ys = HoltForecast.resampleInterpolate(it.map(r => (r.epochSec, r.value)).toVector)
+        val ys = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
         val cut = (ys.length * 0.8).toInt
         if (cut < 3 || ys.length - cut < 1) Iterator.empty
         else {
-          val (train, valid) = ys.splitAt(cut)
-          val scored = for (a <- alphaGrid; b <- betaGrid) yield {
-            // walk-forward: refit on the growing prefix, predict one step
-            val sqErrs = valid.indices.map { i =>
-              val prefix = ys.take(cut + i)
-              val (level, trend) = HoltForecast.holtFit(prefix, a, b)
-              val e = (level + trend) - valid(i)
-              e * e
+          var bestA = 0.0; var bestB = 0.0
+          var bestMse = Double.PositiveInfinity
+          var bestLevel = 0.0; var bestTrend = 0.0
+          for (a <- alphaGrid; b <- betaGrid) {
+            val (mse, level, trend) = HoltForecast.holtWalkForward(ys, cut, a, b)
+            // strict < keeps the first argmin, matching minBy on the grid order
+            if (mse < bestMse) {
+              bestMse = mse; bestA = a; bestB = b
+              bestLevel = level; bestTrend = trend
             }
-            (a, b, sqErrs.sum / sqErrs.length)
           }
-          val (bestA, bestB, mse) = scored.minBy(_._3)
-          val (level, trend) = HoltForecast.holtFit(ys, bestA, bestB)
           (1 to horizon).iterator.map(h =>
-            HoltFit(k, bestA, bestB, mse, h, level + h * trend))
+            HoltFit(k, bestA, bestB, bestMse, h, bestLevel + h * bestTrend))
         }
       }
       .toDF()

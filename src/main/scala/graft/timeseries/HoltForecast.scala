@@ -52,6 +52,33 @@ object HoltForecast {
   def sesFit(ys: IndexedSeq[Double], alpha: Double): Double =
     ys.tail.foldLeft(ys.head)((l, y) => alpha * y + (1 - alpha) * l)
 
+  /** One-pass walk-forward validation: fold Holt over ys[0, cut), then for
+    * each i ≥ cut predict one step ahead, record the squared error, and
+    * absorb ys(i) into the state. Because `holtFit` is a left fold, the
+    * (level, trend) carried here just before absorbing ys(i) is
+    * bitwise-identical to `holtFit(ys.take(i), α, β)` — so this one O(N)
+    * pass produces exactly the same one-step-ahead errors as refitting on
+    * every growing prefix (which is O(N·V) with a Vector copy per point).
+    * Returns (validation MSE, final level, final trend); the final state
+    * equals `holtFit(ys, α, β)`, so no refit is needed for forecasting.
+    * Requires 2 ≤ cut < ys.length. */
+  def holtWalkForward(ys: Array[Double], cut: Int,
+      alpha: Double, beta: Double): (Double, Double, Double) = {
+    require(cut >= 2 && cut < ys.length, s"need 2 <= cut < n, got cut=$cut n=${ys.length}")
+    var level = ys(0)
+    var trend = ys(1) - ys(0)
+    var sse = 0.0
+    var i = 1
+    while (i < ys.length) {
+      if (i >= cut) { val e = (level + trend) - ys(i); sse += e * e }
+      val prev = level
+      level = alpha * ys(i) + (1 - alpha) * (level + trend)
+      trend = beta * (level - prev) + (1 - beta) * trend
+      i += 1
+    }
+    (sse / (ys.length - cut), level, trend)
+  }
+
   /** 30-min-bucket means, then linear interpolation over empty buckets —
     * the in-group mirror of pandas `resample('30T').mean().interpolate()`. */
   def resampleInterpolate(points: Seq[(Long, Double)], bucketSec: Long = 1800L): IndexedSeq[Double] = {
@@ -60,27 +87,54 @@ object HoltForecast {
       .map { case (b, ps) => b -> ps.map(_._2).sum / ps.size })
   }
 
-  /** Dense linear interpolation over a sparse bucket→mean map. */
+  /** Dense linear interpolation over a sparse bucket→mean map. Each gap is
+    * filled with the DIRECT lerp `v0 + (v1 - v0) * ((i - i0) / (i1 - i0))`
+    * between its two known neighbors — the same IEEE operation sequence a
+    * SQL engine evaluates, so the output is bitwise-reproducible
+    * cross-engine (the cascaded fill it replaces drifted by ULPs). Ends
+    * are always known: lo and hi buckets contain data by construction. */
   def interpolateBuckets(byBucket: Map[Long, Double]): IndexedSeq[Double] = {
     if (byBucket.isEmpty) return IndexedSeq.empty
     val (lo, hi) = (byBucket.keys.min, byBucket.keys.max)
-    val buckets = (lo to hi).map(byBucket.get)
-    // linear interpolation between known neighbors (ends are always known:
-    // lo and hi buckets contain data by construction)
-    val out = Array.ofDim[Double](buckets.length)
-    var i = 0
-    while (i < buckets.length) {
-      buckets(i) match {
-        case Some(v) => out(i) = v
-        case None =>
-          val j = (i + 1 to buckets.length - 1).find(buckets(_).isDefined).get
-          val prev = out(i - 1)
-          val next = buckets(j).get
-          out(i) = prev + (next - prev) / (j - (i - 1))
+    val n = (hi - lo + 1).toInt
+    val out = Array.ofDim[Double](n)
+    val known = Array.ofDim[Boolean](n)
+    byBucket.foreach { case (b, v) =>
+      val i = (b - lo).toInt
+      out(i) = v; known(i) = true
+    }
+    var i0 = 0 // most recent known index; index 0 is known by construction
+    var i = 1
+    while (i < n) {
+      if (known(i)) {
+        if (i - i0 > 1) {
+          val v0 = out(i0); val span = (i - i0).toDouble
+          var k = i0 + 1
+          while (k < i) {
+            out(k) = v0 + (out(i) - v0) * ((k - i0).toDouble / span)
+            k += 1
+          }
+        }
+        i0 = i
       }
       i += 1
     }
     out.toIndexedSeq
+  }
+
+  /** Iterator form of `resampleInterpolate`: folds raw (epochSec, value)
+    * readings straight into per-bucket sums — O(buckets) per-group memory,
+    * never a copy of the raw series — and returns the dense interpolated
+    * series as a primitive array (the shape the Holt/AR kernels fold). */
+  def resampleArray(it: Iterator[(Long, Double)], bucketSec: Long = 1800L): Array[Double] = {
+    val sums = scala.collection.mutable.HashMap.empty[Long, (Double, Int)]
+    it.foreach { case (t, v) =>
+      val b = t / bucketSec
+      val (s0, n0) = sums.getOrElse(b, (0.0, 0))
+      sums(b) = (s0 + v, n0 + 1)
+    }
+    if (sums.isEmpty) Array.empty
+    else interpolateBuckets(sums.view.mapValues { case (s0, n0) => s0 / n0 }.toMap).toArray
   }
 
   /** Trim values outside the [pLo, pHi] empirical quantiles (the pandas
@@ -110,16 +164,10 @@ object HoltForecast {
   def forecastGroup(series: Long, readings: Iterator[Reading],
       alpha: Double, beta: Double, horizon: Int,
       bucketSec: Long = 1800L): Iterator[ForecastPoint] = {
-    val sums = scala.collection.mutable.HashMap.empty[Long, (Double, Int)]
-    readings.foreach { r =>
-      val b = r.epochSec / bucketSec
-      val (s0, n0) = sums.getOrElse(b, (0.0, 0))
-      sums(b) = (s0 + r.value, n0 + 1)
-    }
-    if (sums.isEmpty) Iterator.empty
+    val dense = resampleArray(readings.map(r => (r.epochSec, r.value)), bucketSec)
+    if (dense.isEmpty) Iterator.empty
     else {
-      val ys = quantileTrim(interpolateBuckets(
-        sums.view.mapValues { case (s0, n0) => s0 / n0 }.toMap))
+      val ys = quantileTrim(scala.collection.immutable.ArraySeq.unsafeWrapArray(dense))
       if (ys.isEmpty) Iterator.empty
       else {
         val (level, trend) = holtFit(ys, alpha, beta)
@@ -127,6 +175,35 @@ object HoltForecast {
           ForecastPoint(series, h, level + h * trend, level, trend, ys.length))
       }
     }
+  }
+
+  /** The forecast kernel's deterministic input path, exposed as an
+    * oracle-checkable query (VERDICT r2 item 7): per-series 30-min bucket
+    * means (order-independent DECIMAL mean, see `graft.operators` package
+    * doc) fed through the SAME `interpolateBuckets` kernel the forecasts
+    * consume, emitted as one dense row per (series, bucket). Both the
+    * bucket means and the direct-lerp fill are bitwise-reproducible in
+    * SQL, so a DuckDB oracle hash-matches the kernel's input end-to-end. */
+  def prep(s: SparkSession, d: String, bucketSec: Long = 1800L): DataFrame = {
+    import s.implicits._
+    import graft.operators.exactAvg
+    Tables.events(s, d)
+      .groupBy(col("user_id").as("series"),
+        expr(s"unix_timestamp(ts) div $bucketSec").as("b"))
+      .agg(exactAvg(col("value")).as("y"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val byBucket = it.map(r => r._2 -> r._3).toMap
+        if (byBucket.isEmpty) Iterator.empty
+        else {
+          val lo = byBucket.keys.min
+          interpolateBuckets(byBucket).iterator.zipWithIndex.map {
+            case (v, i) => (k, (lo + i) * bucketSec, v)
+          }
+        }
+      }
+      .toDF("series", "bucket", "y")
   }
 
   /** Whole-table entry: events → per-user Holt forecast, horizon steps of

@@ -39,11 +39,25 @@ class ArForecastSpec extends SparkTestBase {
     })
   }
 
-  test("distributed AR forecast on sf0.001: finite, one horizon per series") {
+  test("distributed AR forecast on sf0.001: finite, one horizon track per diff order") {
     val rows = ArForecast.forecast(spark, sf, p = 4, horizon = 3).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => java.lang.Double.isFinite(r.getAs[Double]("forecast"))))
-    rows.groupBy(_.getAs[Long]("series")).values.foreach(g => assert(g.length == 3))
+    rows.groupBy(r => (r.getAs[Long]("series"), r.getAs[Int]("d")))
+      .values.foreach(g => assert(g.length == 3))
+    assert(rows.map(_.getAs[Int]("d")).toSet == Set(0, 1))
+  }
+
+  test("d=1 ARIMA continues a linear trend exactly (residuals stationary)") {
+    check(Prop.forAll(Gen.choose(-5.0, 5.0), Gen.choose(0.0, 20.0)) { (slope, b0) =>
+      val ys = (0 until 80).map(t => b0 + slope * t)
+      // differencing a linear trend yields a constant series; AR on a
+      // constant forecasts the constant, so integration restores the line
+      val fc = ArForecast.arimaForecast(ys, p = 4, d = 1, h = 5)
+      fc.zipWithIndex.forall { case (v, i) =>
+        math.abs(v - (b0 + slope * (80 + i))) < 1e-6 * (1 + math.abs(v))
+      }
+    })
   }
 
   test("grid search picks the parameter pair with minimal validation MSE") {

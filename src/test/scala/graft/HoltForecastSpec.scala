@@ -33,6 +33,23 @@ class HoltForecastSpec extends SparkTestBase {
     })
   }
 
+  test("holtWalkForward == per-prefix refit loop, bitwise (MSE and final state)") {
+    val series = Gen.listOfN(40, Gen.choose(-50.0, 50.0))
+    check(Prop.forAll(series, alphas, Gen.choose(0.05, 0.95)) { (ysL, a, b) =>
+      val ys = ysL.toArray
+      val cut = (ys.length * 0.8).toInt
+      val (mse, level, trend) = HoltForecast.holtWalkForward(ys, cut, a, b)
+      // the O(N·V) round-2 formulation this replaced
+      val sqErrs = (cut until ys.length).map { i =>
+        val (l, t) = HoltForecast.holtFit(ys.take(i).toVector, a, b)
+        val e = (l + t) - ys(i)
+        e * e
+      }
+      val (lRef, tRef) = HoltForecast.holtFit(ys.toVector, a, b)
+      mse == sqErrs.sum / sqErrs.length && level == lRef && trend == tRef
+    })
+  }
+
   test("SES of constant series is the constant") {
     check(Prop.forAll(level, alphas) { (c, a) =>
       math.abs(HoltForecast.sesFit(Vector.fill(10)(c), a) - c) < 1e-9
