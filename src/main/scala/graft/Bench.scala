@@ -5,11 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line. A failed query reports an
   * "err" entry (NOT a timed value — a broken query must never look like a
-  * fast one, VERDICT.md round-1 item 7). */
+  * fast one, VERDICT.md round-1 item 7). Each query runs
+  * SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-query
+  * MEDIAN — wall times on this box vary up to ~5× between runs, so a
+  * single sample can't distinguish a regression from a noisy neighbor
+  * (VERDICT.md round-2 item 8). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,18 +24,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          name -> Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
-        } finally {
-          // isolate queries: drop caches left by operators (minhash vecs,
-          // shingle indexes, ML feature tables) so later iterative fits
-          // don't pay GC pressure for earlier queries' storage
-          spark.catalog.clearCache()
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case _: Throwable => None
+          } finally {
+            // isolate queries/reps: drop caches left by operators (minhash
+            // vecs, shingle indexes, ML feature tables) so later iterative
+            // fits don't pay GC pressure for earlier queries' storage
+            spark.catalog.clearCache()
+          }
+        }
+        if (times.nonEmpty) name -> Right(times.sorted.apply(times.length / 2))
+        else {
+          // re-run once outside the sampling loop to capture the error
+          val err = try { fn(spark, sfDir).count(); "flaky: passed on retry" }
+            catch { case e: Throwable =>
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(120) }
+          name -> Left(err)
         }
       }
     import JsonUtil.jstr

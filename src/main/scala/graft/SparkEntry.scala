@@ -57,7 +57,7 @@ object SparkEntry {
     "q_resample_30m"   -> (TimeWindows.resample30m _),
     "q_ffill"          -> (TimeWindows.ffill _),
     "q_interpolate"    -> (TimeWindows.interpolate _),
-    "q_seasonal_decompose" -> (TimeWindows.seasonalDecompose _),
+    "q_seasonal_decompose" -> ((s: SparkSession, d: String) => TimeWindows.seasonalDecompose(s, d)),
     // the ETL spine, deterministic variant (flagship = entry())
     "q_etl_wide"       -> (SensorEtl.wide _),
     // LLM-pipeline: text analysis

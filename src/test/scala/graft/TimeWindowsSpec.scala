@@ -76,6 +76,19 @@ class TimeWindowsSpec extends SparkTestBase {
       abs(col("day_avg") - (col("trend") + col("seasonal") + col("resid"))) > 1e-9)
     assert(bad.count() == 0)
   }
+
+  test("seasonal decompose parameterized (period != 7): identity holds, keys in [0, period)") {
+    // the reference's freq-365 shape, scaled to the 30-day testdata window
+    val out = TimeWindows.seasonalDecompose(spark, sf, halfWindow = 5, period = 10)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val k = r.getAs[Int]("dow"); k >= 0 && k < 10
+    })
+    val bad = out.where(
+      abs(col("day_avg") - (col("trend") + col("seasonal") + col("resid"))) > 1e-9)
+    assert(bad.count() == 0)
+  }
 }
 
 object TimeWindowsSpecHelper {
