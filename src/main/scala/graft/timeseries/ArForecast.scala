@@ -11,6 +11,11 @@ case class ArPoint(series: Long, step: Int, forecast: Double, p: Int, d: Int, n_
 case class HoltFit(series: Long, alpha: Double, beta: Double, valMse: Double,
     step: Int, forecast: Double)
 
+/** ARIMA grid-search result for one series: winning (p, d, q) order,
+  * its walk-forward validation MSE, and the h-step forecast track. */
+case class ArimaFit(series: Long, p: Int, d: Int, q: Int, valMse: Double,
+    step: Int, forecast: Double)
+
 /** Autoregressive forecasting + per-series parameter grid search — the
   * engine's replacement for the reference's statsmodels ARIMA walk-forward
   * grid search (`/root/reference/pandas_timeseries_forecast.py:22-55,75-91`,
@@ -75,13 +80,179 @@ object ArForecast {
     out.result()
   }
 
-  /** ARIMA(p, d, 0): difference `d` times, fit AR(p) by Yule-Walker on the
-    * differenced series, forecast h steps, then integrate back — each
-    * integration level is a cumulative sum anchored at that level's last
-    * observed value. Covers the "I" the reference's grid searched over
-    * (`pandas_timeseries_forecast.py:43-55`); the MA component remains
-    * out of scope (documented, SURVEY §2.11). */
-  def arimaForecast(ys: IndexedSeq[Double], p: Int, d: Int, h: Int): Vector[Double] = {
+  /** ARIMA(p, d, 0) — the AR-only convenience overload. */
+  def arimaForecast(ys: IndexedSeq[Double], p: Int, d: Int, h: Int): Vector[Double] =
+    arimaForecast(ys, p, d, 0, h)
+
+  /** Solve the symmetric linear system A·x = b (normal equations) by
+    * Gaussian elimination with partial pivoting, ridge-stabilized: a tiny
+    * diagonal bump proportional to trace(A) makes the all-zero design
+    * (constant series) yield the all-zero solution instead of NaNs, and
+    * keeps near-collinear lag columns from exploding. Deterministic. */
+  private[timeseries] def solveRidge(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    var trace = 0.0
+    var i = 0
+    while (i < n) { trace += a(i)(i); i += 1 }
+    if (trace == 0.0) return Array.fill(n)(0.0)
+    val lambda = 1e-10 * trace / n
+    val m = Array.tabulate(n, n)((r, c) => a(r)(c) + (if (r == c) lambda else 0.0))
+    val x = b.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(m(r)(col)) > math.abs(m(piv)(col))) piv = r; r += 1 }
+      if (piv != col) {
+        val tm = m(piv); m(piv) = m(col); m(col) = tm
+        val tb = x(piv); x(piv) = x(col); x(col) = tb
+      }
+      val d = m(col)(col)
+      if (d != 0.0) {
+        r = col + 1
+        while (r < n) {
+          val f = m(r)(col) / d
+          if (f != 0.0) {
+            var c = col
+            while (c < n) { m(r)(c) -= f * m(col)(c); c += 1 }
+            x(r) -= f * x(col)
+          }
+          r += 1
+        }
+      }
+      col += 1
+    }
+    i = n - 1
+    while (i >= 0) {
+      var acc = x(i)
+      var c = i + 1
+      while (c < n) { acc -= m(i)(c) * x(c); c += 1 }
+      x(i) = if (m(i)(i) == 0.0) 0.0 else acc / m(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** ARMA(p, q) coefficients by two-stage Hannan-Rissanen estimation on
+    * the mean-centered series: (1) fit a long AR(m) by Yule-Walker and
+    * take its residuals as proxies for the innovations; (2) OLS-regress
+    * x_t on [x_{t-1..t-p}, ê_{t-1..t-q}]. Published textbook method
+    * (Brockwell & Davis §8.3); no optimizer, one pass to build the
+    * (p+q)² normal equations — the shape that runs inside flatMapGroups
+    * at any series count. Returns (mean, φ[p], θ[q]). q = 0 falls back
+    * to plain Yule-Walker (identical to the AR path). */
+  def hannanRissanen(ys: IndexedSeq[Double], p: Int, q: Int): (Double, Array[Double], Array[Double]) = {
+    val n = ys.length
+    val mean = ys.sum / n
+    if (q == 0) return (mean, yuleWalker(ys, p), Array.empty)
+    val m = math.min(math.max(2 * (p + q), 10), (n - 1) / 4)
+    require(m >= p && n - m - q > p + q,
+      s"need a longer series for ARMA($p,$q) via AR($m): n=$n")
+    val x = Array.tabulate(n)(ys(_) - mean)
+    val phiLong = yuleWalker(ys, m)
+    // innovations proxy: AR(m) one-step residuals (defined from t = m)
+    val e = Array.ofDim[Double](n)
+    var t = m
+    while (t < n) {
+      var pred = 0.0
+      var j = 0
+      while (j < m) { pred += phiLong(j) * x(t - 1 - j); j += 1 }
+      e(t) = x(t) - pred
+      t += 1
+    }
+    // normal equations over rows t = m+q .. n-1, regressors
+    // [x_{t-1..t-p}, e_{t-1..t-q}]
+    val k = p + q
+    val a = Array.ofDim[Double](k, k)
+    val b = Array.ofDim[Double](k)
+    val row = Array.ofDim[Double](k)
+    t = m + q
+    while (t < n) {
+      var j = 0
+      while (j < p) { row(j) = x(t - 1 - j); j += 1 }
+      while (j < k) { row(j) = e(t - 1 - (j - p)); j += 1 }
+      var r = 0
+      while (r < k) {
+        val rv = row(r)
+        if (rv != 0.0) {
+          var c = r
+          while (c < k) { a(r)(c) += rv * row(c); c += 1 }
+          b(r) += rv * x(t)
+        }
+        r += 1
+      }
+      t += 1
+    }
+    var r = 1
+    while (r < k) { var c = 0; while (c < r) { a(r)(c) = a(c)(r); c += 1 }; r += 1 }
+    val coef = solveRidge(a, b)
+    (mean, coef.take(p), coef.drop(p))
+  }
+
+  /** Conditional one-step residuals of a fixed ARMA(φ, θ) over the whole
+    * series (pre-sample lags treated as zero — the standard conditional
+    * sum-of-squares convention), optionally scoring squared errors from
+    * `cut` on. Returns (validation MSE, residual array). The same single
+    * O(N·(p+q)) pass serves walk-forward scoring and forecast-state
+    * construction — the incremental-fold lesson from holtWalkForward. */
+  def armaWalkForward(x: Array[Double], cut: Int,
+      phi: Array[Double], theta: Array[Double]): (Double, Array[Double]) = {
+    val n = x.length
+    val p = phi.length
+    val q = theta.length
+    val e = Array.ofDim[Double](n)
+    var sse = 0.0
+    var nVal = 0
+    var t = 0
+    while (t < n) {
+      var pred = 0.0
+      var j = 0
+      while (j < p) { if (t - 1 - j >= 0) pred += phi(j) * x(t - 1 - j); j += 1 }
+      j = 0
+      while (j < q) { if (t - 1 - j >= 0) pred += theta(j) * e(t - 1 - j); j += 1 }
+      e(t) = x(t) - pred
+      if (t >= cut) { sse += e(t) * e(t); nVal += 1 }
+      t += 1
+    }
+    (if (nVal == 0) Double.NaN else sse / nVal, e)
+  }
+
+  /** h-step ARMA forecast recursion: predicted values feed back into the
+    * lag window, future innovations are zero (their conditional mean). */
+  def armaForecast(x: Array[Double], e: Array[Double],
+      phi: Array[Double], theta: Array[Double], h: Int): Vector[Double] = {
+    val n = x.length
+    val p = phi.length
+    val q = theta.length
+    val ext = Array.ofDim[Double](n + h) // values, then predictions
+    Array.copy(x, 0, ext, 0, n)
+    val out = Vector.newBuilder[Double]
+    var i = 0
+    while (i < h) {
+      val t = n + i
+      var pred = 0.0
+      var j = 0
+      while (j < p) { if (t - 1 - j >= 0) pred += phi(j) * ext(t - 1 - j); j += 1 }
+      j = 0
+      while (j < q) {
+        val idx = t - 1 - j
+        if (idx >= 0 && idx < n) pred += theta(j) * e(idx) // future e = 0
+        j += 1
+      }
+      ext(t) = pred
+      out += pred
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Full ARIMA(p, d, q) point forecast: difference d times, fit ARMA by
+    * Hannan-Rissanen, forecast h steps with zero future innovations,
+    * integrate back (cumulative sums anchored at each level's last
+    * observed value). q = 0 reduces to the Yule-Walker AR path; this is
+    * the reference's live model shape (`pandas_timeseries_forecast.py:83`
+    * fits ARIMA(1,1,1)). */
+  def arimaForecast(ys: IndexedSeq[Double], p: Int, d: Int, q: Int, h: Int): Vector[Double] = {
     require(d >= 0, s"differencing order must be >= 0, got $d")
     var cur = ys
     val lasts = Array.ofDim[Double](d)
@@ -92,7 +263,14 @@ object ArForecast {
       cur = (1 until prev.length).map(i => prev(i) - prev(i - 1))
       k += 1
     }
-    var fc = arForecast(cur, yuleWalker(cur, p), h)
+    var fc =
+      if (q == 0) arForecast(cur, yuleWalker(cur, p), h)
+      else {
+        val (mean, phi, theta) = hannanRissanen(cur, p, q)
+        val x = Array.tabulate(cur.length)(cur(_) - mean)
+        val (_, e) = armaWalkForward(x, cur.length, phi, theta)
+        armaForecast(x, e, phi, theta, h).map(_ + mean)
+      }
     k = d - 1
     while (k >= 0) {
       var acc = lasts(k)
