@@ -68,7 +68,10 @@ object SparkEntry {
     // LLM-pipeline: dedup
     "q_dedup_exact"    -> (Dedup.exact _),
     "q_ngram_jaccard"  -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
-    "q_minhash_lsh"    -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    // native banded minhash (Dedup.minhashBanded); the spark.ml
+    // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
+    // variant but was 60-120 s at sf0.1 vs seconds for the banded form
+    "q_minhash_lsh"    -> (Dedup.minhashBanded _),
     "q_simhash"        -> (Dedup.simhash _),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     // LLM-pipeline: similarity search
@@ -90,6 +93,7 @@ object SparkEntry {
     "q_ml_classification" -> (Pipelines.classification _),
     "q_ml_regression"  -> (Pipelines.regression _),
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
+    "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
   )
 
   /** DuckDB oracles; keys absent here (ML fits, LSH, simhash, Holt, IVF)

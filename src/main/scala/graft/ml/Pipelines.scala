@@ -116,6 +116,35 @@ object Pipelines {
       .toDF("metric", "value")
   }
 
+  /** M11 — PCA over the wide features. The reference imports PCA
+    * (`sensor_data_regression.py:5`) but its one use is commented out
+    * (`:64`); here it is live. Output is the k×features loading matrix plus
+    * explained variance, one row per component — sign-normalized (each
+    * component's largest-|loading| entry made positive) because
+    * eigenvectors are sign-ambiguous across solvers. The fit is one
+    * covariance/Gramian aggregation over the corpus (a single reduce —
+    * fine at 100 TB); the eigendecomposition happens on the driver on a
+    * features×features matrix, which is tiny. */
+  def pca(s: SparkSession, d: String, k: Int = 2): DataFrame = {
+    import s.implicits._
+    val data = SensorEtl.wide(s, d).select(featureCols.map(col).toSeq: _*)
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols).setOutputCol("features")
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pc").setK(k)
+      .fit(assembler.transform(data))
+    val pcm = model.pc                       // features × k, column-major
+    val ev = model.explainedVariance.toArray
+    (0 until k).map { j =>
+      val loadings = Array.tabulate(featureCols.length)(i => pcm(i, j))
+      val maxIdx = loadings.indices.maxBy(i => math.abs(loadings(i)))
+      val sgn = if (loadings(maxIdx) < 0) -1.0 else 1.0
+      val l = loadings.map(_ * sgn)
+      (j, ev(j), l(0), l(1), l(2), l(3))
+    }.toDF("component", "explained_variance",
+      "load_click", "load_error", "load_purchase", "load_view")
+  }
+
   /** M4 — SQLTransformer as a pipeline stage (cf. `sensor_data_train
     * .py:48-51`, whose SQL never ran due to a missing space; fixed here):
     * derives a ratio feature inside the pipeline. */

@@ -99,6 +99,116 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
   }
 
+  /** splitmix64 finalizer (public-domain constants) — the hash family for
+    * the banded minhash: h_i(x) = mix64(x ^ seed_i). */
+  private[operators] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over a shingle string (JVM-side; the signature is a
+    * hash artifact either way, so it needs no cross-engine twin). */
+  private[operators] def fnv64(str: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < str.length) { h ^= str.charAt(i).toLong; h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** k-wide minhash signature per document, computed in ONE narrow pass:
+    * tokenize, hash each distinct 3-token shingle once, fold min over k
+    * mixed variants. No shuffle, no explode — the per-doc loop is a tight
+    * JVM kernel (k × #shingles mixes), so the whole signature stage is a
+    * map-only scan of `documents`. Tokenization mirrors
+    * [[graft.functions.TextAnalytics.tokens]] (trim → lower → \s+ split). */
+  def minhashSignatures(docs: DataFrame, k: Int = 128): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val seeds = Array.tabulate(k)(i => mix64(0xC0FFEE1234567891L + i.toLong * 0x9E3779B97F4A7C15L))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          if (toks.length < 3) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[Long]()
+            val sig = Array.fill(k)(Long.MaxValue)
+            var i = 0
+            while (i + 2 < toks.length) {
+              val sh = fnv64(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+              if (seen.add(sh)) {
+                var j = 0
+                while (j < k) {
+                  val v = mix64(sh ^ seeds(j))
+                  if (v < sig(j)) sig(j) = v
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            Iterator.single((id, sig))
+          }
+        }
+      }.toDF("doc_id", "sig")
+  }
+
+  /** Near-dup via native banded minhash — the scale path that replaced the
+    * spark.ml `approxSimilarityJoin` form (64-120 s at sf0.1; this is
+    * seconds). b bands × r rows (k = b·r): docs colliding on any band's
+    * r-minhash key become candidates (P[collide] = 1-(1-s^r)^b — with
+    * 32×4 the S-curve centers at s ≈ (1/32)^(1/4) ≈ 0.42), then the pair's
+    * FULL signatures estimate Jaccard as matching-fraction and the τ
+    * filter keeps real near-dups. Candidate generation is a bucketed
+    * equi-join on (band_idx, band_key) — never all-pairs; the signature
+    * join-back is two hash joins on doc_id. A corpus-scale caveat: a
+    * cluster of m mutual near-identical docs makes an m²-pair bucket —
+    * run [[exact]] dedup FIRST so identical docs never reach this stage,
+    * and cap pathological buckets the same way ngramJaccard caps df. */
+  def minhashBandedDocs(docs: DataFrame, k: Int = 128, bands: Int = 32,
+      minJaccard: Double = 0.6): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val s = docs.sparkSession
+    import s.implicits._
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k).cache()
+    val bandRows = sigs.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, sig) =>
+          (0 until bands).iterator.map { b =>
+            var h = mix64(0xBADC0DEL + b.toLong)
+            var j = b * r
+            while (j < (b + 1) * r) { h = mix64(h ^ sig(j)); j += 1 }
+            (id, b, h)
+          }
+        }
+      }.toDF("doc_id", "band_idx", "band_key")
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) =>
+        var m = 0
+        var j = 0
+        while (j < sa.length) { if (sa(j) == sb(j)) m += 1; j += 1 }
+        (a, b, m.toDouble / sa.length)
+      }
+      .toDF("a_id", "b_id", "est_jaccard")
+      .where(col("est_jaccard") >= minJaccard)
+  }
+
+  /** [[minhashBandedDocs]] over the driver `documents` table. */
+  def minhashBanded(s: SparkSession, d: String): DataFrame =
+    minhashBandedDocs(Tables.documents(s, d))
+
   /** Embedding-cosine near-dup: candidate pairs come from shared IVF
     * centroid buckets (never all-pairs), verified by exact cosine ≥ τ.
     * Same-bucket blocking trades recall for linearity exactly like the
@@ -174,15 +284,18 @@ object Dedup {
     // bit_count is a single codegen'd popcount — never an interpreted
     // 64-step HOF fold
     val hamming = expr("bit_count(a_sim ^ b_sim)")
+    // hamming-filter BEFORE distinct: the popcount is one codegen'd op per
+    // joined row, so filtering first shrinks the distinct's shuffle input
+    // from every band collision (~4× pairs) to only passing pairs
     byBand.as("a")
       .join(byBand.as("b"),
         col("a.band") === col("b.band") && col("a.band_idx") === col("b.band_idx")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.simhash").as("a_sim"), col("b.simhash").as("b_sim"))
-      .distinct()
       .withColumn("hamming", hamming)
       .where(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+      .distinct()
   }
 }

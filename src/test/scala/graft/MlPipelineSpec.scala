@@ -18,6 +18,19 @@ class MlPipelineSpec extends SparkTestBase {
     assert((0 until counts.length).forall(i => counts.getLong(i) == 0L))
   }
 
+  test("PCA: descending explained variance, unit-norm sign-normalized loadings") {
+    val out = Pipelines.pca(spark, sf).collect().sortBy(_.getAs[Int]("component"))
+    assert(out.length == 2)
+    val ev = out.map(_.getAs[Double]("explained_variance"))
+    assert(ev(0) >= ev(1) && ev.forall(v => v >= 0.0 && v <= 1.0) && ev.sum <= 1.0 + 1e-9)
+    out.foreach { r =>
+      val l = Array("load_click", "load_error", "load_purchase", "load_view")
+        .map(r.getAs[Double])
+      assert(math.abs(math.sqrt(l.map(x => x * x).sum) - 1.0) < 1e-6)
+      assert(l(l.indices.maxBy(i => math.abs(l(i)))) > 0.0) // sign-normalized
+    }
+  }
+
   test("classification pipeline (MLP + save/load) yields a finite f1") {
     val out = Pipelines.classification(spark, sf).collect()
     assert(out.nonEmpty)

