@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.SensorEtl
 import graft.functions.TextAnalytics
 import graft.ml.Pipelines
-import graft.operators.{Dedup, Relational, Similarity, TimeWindows}
+import graft.operators.{Dedup, Relational, Similarity, TemporalJoins, TimeWindows}
 import graft.timeseries.HoltForecast
 
 /** Driver contract (see /root/repo/SURVEY.md §7 and VERDICT.md).
@@ -94,6 +94,9 @@ object SparkEntry {
     "q_ml_regression"  -> (Pipelines.regression _),
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
     "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
+    // temporal joins (composition operators; oracled vs DuckDB ASOF JOIN)
+    "q_asof_join"      -> (TemporalJoins.asofJoin _),
+    "q_range_join"     -> ((s: SparkSession, d: String) => TemporalJoins.rangeJoin(s, d)),
   )
 
   /** DuckDB oracles; keys absent here (ML fits, LSH, simhash, Holt, IVF)
@@ -233,6 +236,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
         |  count(*) AS n, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the window-composition as-of join must match DuckDB's NATIVE ASOF
+    // JOIN — the oracle is the canonical operator itself, not a SQL
+    // re-derivation of the same composition
+    "q_asof_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ts,
+        |    max(value) AS setting
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.value, d.setting AS asof_max
+        |FROM events e ASOF JOIN dim d
+        |  ON e.user_id = d.user_id AND e.ts >= d.ts""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s_ts, max(ts) AS e_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT iv.user_id, iv.day, iv.s_ts, iv.e_ts, count(c.ts) AS n_clicks
+        |FROM iv LEFT JOIN c
+        |  ON c.user_id = iv.user_id AND c.ts BETWEEN iv.s_ts AND iv.e_ts
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q_ffill" ->
       """WITH f AS (SELECT * FROM events WHERE user_id < 50),

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series join operators a training-data/sensor pipeline needs but
+  * vanilla Spark SQL lacks as first-class operators: as-of join (attach
+  * the most recent dimension state ≤ each event's timestamp) and range
+  * join (events within an interval). Both are built by COMPOSITION of
+  * Spark operators (brief preference (a)) in shapes that survive 100 TB:
+  *
+  *  - as-of: union + per-series ordered window with `last(ignoreNulls)`.
+  *    ONE shuffle on the series key, per-partition sort bounded by series
+  *    length — the same cost as any series window, and strictly cheaper
+  *    than the naive inequality join (which Catalyst can only run as a
+  *    broadcast-nested-loop or a per-key sort-merge with range filter).
+  *  - range: bin the time axis, explode each interval to the bins it
+  *    covers (bounded fan-out = interval length / bin width), equi-join
+  *    events to interval-bins on (key, bin), then exact-filter the
+  *    containment. The inequality never reaches the join condition, so
+  *    the plan is a plain shuffled hash/sort-merge join — the standard
+  *    binned-range-join trick used by warehouse engines.
+  *
+  * Both queries oracle against DuckDB: the as-of result is checked
+  * against DuckDB's native `ASOF JOIN`, proving the window composition
+  * implements the canonical semantics.
+  */
+object TemporalJoins {
+
+  /** As-of join of every event to its user's most recent day-state:
+    * dim = per-(user, day) max(value) stamped at the day's midnight;
+    * each event picks the latest dim row with dim.ts <= event.ts
+    * (same-instant dim rows win, matching ASOF's `>=`). Implemented as
+    * union + `last(setting, ignoreNulls)` over (user ORDER BY ts, kind
+    * DESC ROWS UNBOUNDED PRECEDING..CURRENT): dim rows sort before event
+    * rows at equal ts, so the carried value is exactly the as-of match. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dim = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max("value").as("setting"))
+      .select(col("user_id"), col("day").cast("timestamp").as("ts"),
+        col("setting"))
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"),
+      col("value"), lit(null).cast("double").as("setting"), lit(0).as("kind"))
+    val right = dim.select(lit(null).cast("long").as("event_id"),
+      col("user_id"), col("ts"), lit(null).cast("double").as("value"),
+      col("setting"), lit(1).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("kind").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionAll(right)
+      .withColumn("asof_max", last(col("setting"), ignoreNulls = true).over(w))
+      .where(col("kind") === 0)
+      .select("event_id", "user_id", "ts", "value", "asof_max")
+  }
+
+  /** Binned range join: count each user-day's click events falling inside
+    * that user-day's purchase window [min purchase ts, max purchase ts].
+    * Intervals explode to the hour bins they cover (sequence over
+    * floor(epoch/3600) — fan-out bounded by interval length), clicks carry
+    * their single hour bin, and the join is a pure equi-join on
+    * (user_id, bin) followed by the exact BETWEEN filter. Intervals with
+    * zero matching clicks are restored by a left join (bounded dim side). */
+  def rangeJoin(s: SparkSession, d: String, binSeconds: Long = 3600L): DataFrame = {
+    val ev = Tables.events(s, d)
+    val iv = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min("ts").as("s_ts"), max("ts").as("e_ts"))
+    val ivBins = iv.withColumn("bin",
+      explode(sequence(
+        (unix_timestamp(col("s_ts")) / binSeconds).cast("long"),
+        (unix_timestamp(col("e_ts")) / binSeconds).cast("long"))))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        (unix_timestamp(col("ts")) / binSeconds).cast("long").as("bin"))
+    // each click has exactly ONE bin, so a (click, interval) pair can
+    // match at most once — no post-join dedup needed
+    val matched = ivBins.join(clicks, Seq("user_id", "bin"))
+      .where(col("c_ts") >= col("s_ts") && col("c_ts") <= col("e_ts"))
+      .groupBy("user_id", "day", "s_ts", "e_ts")
+      .agg(count(lit(1)).as("n_clicks"))
+    iv.join(matched, Seq("user_id", "day", "s_ts", "e_ts"), "left")
+      .select(col("user_id"), col("day"), col("s_ts"), col("e_ts"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+  }
+}

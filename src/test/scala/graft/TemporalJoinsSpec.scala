@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+/** As-of / range join composition operators (the DuckDB oracle at the
+  * gate checks them against native ASOF JOIN / BETWEEN-join semantics;
+  * these specs pin the fine-grained tie and boundary rules). */
+class TemporalJoinsSpec extends SparkTestBase {
+
+  test("asof join: every event gets its own day's running max, never a future one") {
+    val out = TemporalJoins.asofJoin(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    assert(out.count() == ev.count())          // left-preserving
+    assert(out.where(col("asof_max").isNull).count() == 0)
+    // the attached value is that user-day's max — join back and compare
+    val dayMax = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max("value").as("expect_max"))
+    val joined = out.withColumn("day", to_date(col("ts")))
+      .join(dayMax, Seq("user_id", "day"))
+    assert(joined.where(col("asof_max") =!= col("expect_max")).count() == 0)
+    out.unpersist()
+  }
+
+  test("asof join tie rule: a dim row at the same instant wins (ASOF >= semantics)") {
+    import spark.implicits._
+    // one event exactly at midnight: its day's dim row (stamped at
+    // midnight) must be visible to it
+    val ev = Tables.events(spark, sf)
+    val midnight = TemporalJoins.asofJoin(spark, sf)
+      .where(col("ts") === col("ts").cast("date").cast("timestamp"))
+    val n = midnight.count()
+    assert(midnight.where(col("asof_max").isNull).count() == 0, s"of $n midnight rows")
+  }
+
+  test("range join: counts match a direct between-filter per interval") {
+    val out = TemporalJoins.rangeJoin(spark, sf).cache()
+    val ev = Tables.events(spark, sf).cache()
+    // brute-force expectation via plain (user) equi-join + filter
+    val iv = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min("ts").as("s_ts"), max("ts").as("e_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val expect = iv.join(clicks, Seq("user_id"), "left")
+      .groupBy("user_id", "day", "s_ts", "e_ts")
+      .agg(sum(when(col("c_ts") >= col("s_ts") && col("c_ts") <= col("e_ts"), 1L)
+        .otherwise(0L)).as("expect_n"))
+    val cmp = out.join(expect, Seq("user_id", "day", "s_ts", "e_ts"), "full")
+    assert(cmp.where(col("n_clicks").isNull || col("expect_n").isNull
+      || col("n_clicks") =!= col("expect_n")).count() == 0)
+    out.unpersist(); ev.unpersist()
+  }
+
+  test("range join: interval rows with zero clicks survive with n_clicks = 0") {
+    val out = TemporalJoins.rangeJoin(spark, sf)
+    val iv = Tables.events(spark, sf).where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day")).count()
+    assert(out.count() == iv.count())          // interval-preserving
+  }
+}
