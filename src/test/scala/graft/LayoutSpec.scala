@@ -60,6 +60,33 @@ class LayoutSpec extends SparkTestBase {
     assert(pruned.count() == expected)
   }
 
+  test("Lloyd-refined centroids are deterministic and recall does not regress") {
+    import graft.operators.Similarity
+    val e = Similarity.withNorm(spark, sf).cache()
+    val n = e.count()
+    val nc = Similarity.centroidCount(n)
+    val r1 = Similarity.refineCentroids(e, nc, 2)
+    val r2 = Similarity.refineCentroids(e, nc, 2)
+    assert(r1.map(_._1).toSeq == r2.map(_._1).toSeq)
+    assert(r1.zip(r2).forall { case (a, b) => a._2.toSeq == b._2.toSeq })
+
+    // recall@k vs brute-force for seed vs refined probing
+    val truth = Similarity.cosineTopK(spark, sf, nQueries = 5, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(refine: Int): Double = {
+      val got = Similarity.annIvf(spark, sf, nQueries = 5, k = 5, refineIters = refine)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    val seedR = recall(0)
+    val refinedR = recall(2)
+    assert(refinedR >= seedR - 1e-9, s"refined recall $refinedR < seed recall $seedR")
+    e.unpersist()
+  }
+
   test("embedding near-dup finds planted duplicate vectors via shared buckets") {
     // plant: vec 100 == vec 0 (duplicate), others random-ish -> only the
     // planted pair should exceed tau=0.99
