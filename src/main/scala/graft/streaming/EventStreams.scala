@@ -54,6 +54,18 @@ object EventStreams {
     * writeStream to parquet/kafka with the identical plan.) */
   def streamResample(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stateful shuffle partitions = state-store instances; each store pays
+    // init+commit per micro-batch, a pure fixed cost at this volume. 8 is
+    // plenty for the windowed agg here; the BATCH queries keep the session
+    // default. (At real scale this would be sized to state volume, and is
+    // pinned at the first start of a stream by its checkpoint anyway.)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamResampleInner(s, d)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamResampleInner(s: SparkSession, d: String): DataFrame = {
     val rawSchema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
@@ -73,6 +85,18 @@ object EventStreams {
     q.stop()
     s.table(name)
   }
+
+  /** Streaming exact dedup — the streaming form of `Dedup.exact`: drop
+    * rows whose dedup key was already seen, with state EVICTED once the
+    * watermark passes (dropDuplicatesWithinWatermark), so state is
+    * O(keys per watermark horizon), never O(stream). An LLM-ingest
+    * pipeline puts this in front of the expensive stages: content hash as
+    * the key kills exact re-crawls before near-dup / featurization pay
+    * for them. */
+  def dedupStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -29,6 +29,22 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(streamed.except(batch).count() == 0)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val dir = Files.createTempDirectory("graft_sdedup_").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 7L, "click", 1.0), // dup id
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "view", 2.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(EventStreams.eventSchema).parquet(dir)
+    val q = EventStreams.dedupStream(stream).writeStream
+      .format("memory").queryName("graft_sdedup_test").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("graft_sdedup_test").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L), s"got $ids")
+  }
+
   test("sessionize state machine counts per-user events") {
     val dir = Files.createTempDirectory("graft_sess_").toString
     Tables.events(spark, sf)
