@@ -94,6 +94,7 @@ object SparkEntry {
     "q_ml_regression"  -> (Pipelines.regression _),
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
     "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
+    "q_tfidf"          -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
     // temporal joins (composition operators; oracled vs DuckDB ASOF JOIN)
     "q_asof_join"      -> (TemporalJoins.asofJoin _),
     "q_range_join"     -> ((s: SparkSession, d: String) => TemporalJoins.rangeJoin(s, d)),
@@ -236,6 +237,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
         |  count(*) AS n, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, tf, df, score FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
 
     // the window-composition as-of join must match DuckDB's NATIVE ASOF
     // JOIN — the oracle is the canonical operator itself, not a SQL

@@ -71,6 +71,34 @@ object TextAnalytics {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
         .as("n_bpe_tokens"))
 
+  /** TF-IDF top terms per document: term frequencies from one
+    * (doc, term) aggregation, document frequencies from a second partial
+    * aggregation over the tf rows (distinct (doc, term) by construction —
+    * no count-distinct pass), smoothed idf = ln((N+1)/(df+1)) + 1, and
+    * top-k terms per doc by a window over the doc (partition bounded by
+    * per-doc VOCABULARY, not corpus). N is a driver-side count — one
+    * columnar count(*) action, same pattern as the IVF centroid sizing.
+    * Rank key rounds the score to 6 dp with a term tiebreak so the
+    * ordering is reproducible cross-engine (see the package determinism
+    * recipe). */
+  def tfidfTopTerms(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score",
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
   /** Document fingerprints: (a) md5 over the sorted distinct token set —
     * an order-insensitive bag-of-words identity; (b) a polynomial rolling
     * hash over the token sequence (order-sensitive), char-fold 131 /

@@ -69,6 +69,23 @@ class TextDedupSpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getAs[Long]("b_id") == 3L && r.getAs[Double]("jaccard") > 0.2))
   }
 
+  test("tfidf top terms: rare term outranks common term within a doc") {
+    val out = TextAnalytics.tfidfTopTerms(spark, sf, topK = 3).cache()
+    assert(out.count() > 0)
+    // rank is 1..k per doc, and score is non-increasing in rank
+    val bad = out.as("a").join(out.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.rank") < col("b.rank")
+          && col("a.score") < col("b.score"))
+    assert(bad.count() == 0)
+    // a doc's #1 term never has the corpus-max df unless tf compensates:
+    // weak sanity — the top-1 df is below the max df over all terms
+    val maxDf = out.agg(max("df")).collect().head.getLong(0)
+    val top1AtMaxDf = out.where(col("rank") === 1 && col("df") === maxDf
+      && col("tf") === 1).count()
+    assert(top1AtMaxDf == 0, s"tf=1 term with corpus-max df ranked #1 ($top1AtMaxDf docs)")
+    out.unpersist()
+  }
+
   test("banded minhash finds a planted near-duplicate, skips unrelated docs") {
     val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
     val near = base.replaceFirst("lazy", "sleepy")
