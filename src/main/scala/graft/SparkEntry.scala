@@ -98,6 +98,8 @@ object SparkEntry {
     // temporal joins (composition operators; oracled vs DuckDB ASOF JOIN)
     "q_asof_join"      -> (TemporalJoins.asofJoin _),
     "q_range_join"     -> ((s: SparkSession, d: String) => TemporalJoins.rangeJoin(s, d)),
+    "q_sessionize"     -> ((s: SparkSession, d: String) => TemporalJoins.sessionize(s, d)),
+    "q_rolling_stats"  -> ((s: SparkSession, d: String) => TemporalJoins.rollingStats(s, d)),
   )
 
   /** DuckDB oracles; keys absent here (ML fits, LSH, simhash, Holt, IVF)
@@ -265,6 +267,36 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, e.value, d.setting AS asof_max
         |FROM events e ASOF JOIN dim d
         |  ON e.user_id = d.user_id AND e.ts >= d.ts""".stripMargin,
+
+    // whole-second gap math on both sides: Spark unix_timestamp truncates
+    // to seconds; DuckDB floor(epoch(ts)) reproduces it
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_sess FROM o),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+        |SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_rolling_stats" ->
+      """SELECT event_id, user_id, ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS roll_avg,
+        |  min(value) OVER w AS roll_min,
+        |  max(value) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_range_join" ->
       """WITH iv AS (

@@ -57,6 +57,47 @@ object TemporalJoins {
       .select("event_id", "user_id", "ts", "value", "asof_max")
   }
 
+  /** Batch sessionization: split each user's event stream into sessions
+    * at idle gaps > gapMinutes (the batch twin of the streaming
+    * `EventStreams.sessionize` state machine). Classic two-window
+    * composition: lag finds the gap, a running sum of the gap flags
+    * numbers the sessions, then one aggregation per (user, session).
+    * ONE shuffle on the series key; both windows and the agg reuse the
+    * same partitioning, so Catalyst plans a single Exchange. Gap math
+    * uses whole epoch seconds (unix_timestamp) so the DuckDB oracle's
+    * floor(epoch(ts)) reproduces it exactly. */
+  def sessionize(s: SparkSession, d: String, gapMinutes: Int = 30): DataFrame = {
+    val ev = Tables.events(s, d)
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+             > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"),
+        count(lit(1)).as("n_events"), exactSum(col("value")).as("value_sum"))
+  }
+
+  /** Rolling row-window statistics per series: mean/min/max of the last
+    * nRows values (inclusive), ordered by (ts, event_id) for a unique
+    * tiebreak. The mean uses the DECIMAL-exact sum over the frame so the
+    * result is bit-reproducible cross-engine. Same single-shuffle series
+    * window shape as every other per-series operator here. */
+  def rollingStats(s: SparkSession, d: String, nRows: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-nRows, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts"), col("value"),
+      (sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double")
+        / count(lit(1)).over(w)).as("roll_avg"),
+      min("value").over(w).as("roll_min"),
+      max("value").over(w).as("roll_max"))
+  }
+
   /** Binned range join: count each user-day's click events falling inside
     * that user-day's purchase window [min purchase ts, max purchase ts].
     * Intervals explode to the hour bins they cover (sequence over

@@ -52,6 +52,38 @@ class TemporalJoinsSpec extends SparkTestBase {
     out.unpersist(); ev.unpersist()
   }
 
+  test("sessionize: session count = 1 + number of over-gap jumps per user") {
+    val out = TemporalJoins.sessionize(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    // every event lands in exactly one session
+    assert(out.agg(sum("n_events")).collect().head.getLong(0) == ev.count())
+    // sessions of one user never overlap: next session starts after prev ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_id")
+    val overlap = out.withColumn("prev_end", lag("s_end", 1).over(w))
+      .where(col("prev_end").isNotNull && col("s_start") <= col("prev_end"))
+    assert(overlap.count() == 0)
+    // gap property: consecutive sessions are separated by > 30 min
+    val tight = out.withColumn("prev_end", lag("s_end", 1).over(w))
+      .where(col("prev_end").isNotNull
+        && unix_timestamp(col("s_start")) - unix_timestamp(col("prev_end")) <= 1800)
+    assert(tight.count() == 0)
+    out.unpersist()
+  }
+
+  test("rolling stats: frame bounds respected and min <= avg <= max") {
+    val out = TemporalJoins.rollingStats(spark, sf).cache()
+    assert(out.where(col("roll_min") > col("roll_avg") + 1e-9
+      || col("roll_avg") > col("roll_max") + 1e-9).count() == 0)
+    // first row of each user: frame is just itself
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val firsts = out.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    assert(firsts.where(col("roll_avg") =!= col("value")
+      || col("roll_min") =!= col("value") || col("roll_max") =!= col("value")).count() == 0)
+    out.unpersist()
+  }
+
   test("range join: interval rows with zero clicks survive with n_clicks = 0") {
     val out = TemporalJoins.rangeJoin(spark, sf)
     val iv = Tables.events(spark, sf).where(col("event_type") === "purchase")
