@@ -62,8 +62,9 @@ object TemporalJoins {
     * `EventStreams.sessionize` state machine). Classic two-window
     * composition: lag finds the gap, a running sum of the gap flags
     * numbers the sessions, then one aggregation per (user, session).
-    * ONE shuffle on the series key; both windows and the agg reuse the
-    * same partitioning, so Catalyst plans a single Exchange. Gap math
+    * Both windows share one shuffle on the series key; the final agg adds
+    * a partial-aggregated exchange on (user, session) — bounded by
+    * session count, far below event count. Gap math
     * uses whole epoch seconds (unix_timestamp) so the DuckDB oracle's
     * floor(epoch(ts)) reproduces it exactly. */
   def sessionize(s: SparkSession, d: String, gapMinutes: Int = 30): DataFrame = {
