@@ -106,6 +106,36 @@ class TextDedupSpec extends SparkTestBase {
     assert(pairs.length == 1 && pairs.head.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("banded minhash estimate tracks exact Jaccard within sketch error") {
+    // deterministic corpus: 10 base docs of 60 tokens, each paired with a
+    // variant sharing a known prefix fraction. Exact shingle Jaccard is
+    // computed in-test; the 128-hash estimate must land within ±0.15
+    // (k=128 => stddev ~ sqrt(j(1-j)/128) <= 0.045, so 0.15 is >3 sigma)
+    val words = (0 until 200).map(i => s"w$i")
+    val docs = (0 until 10).flatMap { i =>
+      val base = (0 until 60).map(j => words((i * 60 + j) % 200))
+      val keep = 20 + i * 4 // 20..56 shared prefix tokens
+      val variant = base.take(keep) ++ (0 until (60 - keep)).map(j => s"v${i}_$j")
+      Seq((i * 2L, base.mkString(" ")), (i * 2L + 1, variant.mkString(" ")))
+    }.toDF("doc_id", "text")
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val est = Dedup.minhashBandedDocs(docs, minJaccard = 0.05).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    (0 until 10).foreach { i =>
+      val (a, b) = (i * 2L, i * 2L + 1)
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      est.get((a, b)).foreach { e =>
+        assert(math.abs(e - exact) < 0.15, s"pair $i: est $e vs exact $exact")
+      }
+      // high-overlap pairs must be FOUND (banding recall at j >= 0.5)
+      if (exact >= 0.5) assert(est.contains((a, b)), s"pair $i (j=$exact) missed")
+    }
+  }
+
   test("spark.ml MinHashLSH variant finds the planted near-duplicate too") {
     val out = Dedup.minhashLsh(spark, sf)
     assert(out.columns.toSeq == Seq("a_id", "b_id", "jaccard_dist"))
