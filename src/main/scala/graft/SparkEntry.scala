@@ -89,6 +89,7 @@ object SparkEntry {
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
     "q_ar_forecast"    -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecast(s, d)),
     "q_holt_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.holtGridSearch(s, d)),
+    "q_arima_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaGridSearch(s, d)),
     // ML pipelines (M1-M10)
     "q_ml_classification" -> (Pipelines.classification _),
     "q_ml_regression"  -> (Pipelines.regression _),

@@ -31,15 +31,25 @@ case class ArimaFit(series: Long, p: Int, d: Int, q: Int, valMse: Double,
   */
 object ArForecast {
 
-  /** Yule-Walker AR(p) coefficients via Levinson-Durbin recursion on
-    * biased sample autocovariances of the mean-centered series. */
-  def yuleWalker(ys: IndexedSeq[Double], p: Int): Array[Double] = {
-    val n = ys.length
-    require(n > p + 1, s"need > ${p + 1} points for AR($p)")
-    val mean = ys.sum / n
-    val x = ys.map(_ - mean)
-    val r = Array.tabulate(p + 1)(k =>
-      (0 until n - k).foldLeft(0.0)((acc, t) => acc + x(t) * x(t + k)) / n)
+  /** Biased sample autocovariances r(0..maxLag) of an (already centered)
+    * primitive series — shared across every grid combo so the O(N·lag)
+    * pass runs once per differencing order, not once per (p, q). */
+  private[timeseries] def autocovariances(x: Array[Double], maxLag: Int): Array[Double] = {
+    val n = x.length
+    val r = Array.ofDim[Double](maxLag + 1)
+    var k = 0
+    while (k <= maxLag) {
+      var acc = 0.0
+      var t = 0
+      while (t < n - k) { acc += x(t) * x(t + k); t += 1 }
+      r(k) = acc / n
+      k += 1
+    }
+    r
+  }
+
+  /** Levinson-Durbin recursion on precomputed autocovariances. */
+  private[timeseries] def levinson(r: Array[Double], p: Int): Array[Double] = {
     if (r(0) == 0.0) return Array.fill(p)(0.0) // constant series
     val phi = Array.ofDim[Double](p)
     var err = r(0)
@@ -58,6 +68,16 @@ object ArForecast {
       k += 1
     }
     phi
+  }
+
+  /** Yule-Walker AR(p) coefficients via Levinson-Durbin recursion on
+    * biased sample autocovariances of the mean-centered series. */
+  def yuleWalker(ys: IndexedSeq[Double], p: Int): Array[Double] = {
+    val n = ys.length
+    require(n > p + 1, s"need > ${p + 1} points for AR($p)")
+    val mean = ys.sum / n
+    val x = Array.tabulate(n)(ys(_) - mean)
+    levinson(autocovariances(x, p), p)
   }
 
   /** Recursive h-step forecast from the fitted AR(p): predicted values
@@ -145,12 +165,25 @@ object ArForecast {
     val n = ys.length
     val mean = ys.sum / n
     if (q == 0) return (mean, yuleWalker(ys, p), Array.empty)
-    val m = math.min(math.max(2 * (p + q), 10), (n - 1) / 4)
+    val m = hrLongOrder(p, q, n)
     require(m >= p && n - m - q > p + q,
       s"need a longer series for ARMA($p,$q) via AR($m): n=$n")
     val x = Array.tabulate(n)(ys(_) - mean)
-    val phiLong = yuleWalker(ys, m)
-    // innovations proxy: AR(m) one-step residuals (defined from t = m)
+    val e = longArResiduals(x, levinson(autocovariances(x, m), m))
+    val coef = armaOls(x, e, p, q, m)
+    (mean, coef.take(p), coef.drop(p))
+  }
+
+  /** Stage-1 long-AR order for Hannan-Rissanen. */
+  private[timeseries] def hrLongOrder(p: Int, q: Int, n: Int): Int =
+    math.min(math.max(2 * (p + q), 10), (n - 1) / 4)
+
+  /** Innovations proxy: AR(m) one-step residuals of the centered series
+    * (defined from t = m; zero before). Shared per (d, m) by the grid
+    * search — it does not depend on (p, q). */
+  private[timeseries] def longArResiduals(x: Array[Double], phiLong: Array[Double]): Array[Double] = {
+    val n = x.length
+    val m = phiLong.length
     val e = Array.ofDim[Double](n)
     var t = m
     while (t < n) {
@@ -160,13 +193,19 @@ object ArForecast {
       e(t) = x(t) - pred
       t += 1
     }
-    // normal equations over rows t = m+q .. n-1, regressors
-    // [x_{t-1..t-p}, e_{t-1..t-q}]
+    e
+  }
+
+  /** Stage-2 OLS: normal equations over rows t = m+q .. n-1, regressors
+    * [x_{t-1..t-p}, e_{t-1..t-q}]; returns the combined (φ, θ) vector. */
+  private[timeseries] def armaOls(x: Array[Double], e: Array[Double],
+      p: Int, q: Int, m: Int): Array[Double] = {
+    val n = x.length
     val k = p + q
     val a = Array.ofDim[Double](k, k)
     val b = Array.ofDim[Double](k)
     val row = Array.ofDim[Double](k)
-    t = m + q
+    var t = m + q
     while (t < n) {
       var j = 0
       while (j < p) { row(j) = x(t - 1 - j); j += 1 }
@@ -185,8 +224,7 @@ object ArForecast {
     }
     var r = 1
     while (r < k) { var c = 0; while (c < r) { a(r)(c) = a(c)(r); c += 1 }; r += 1 }
-    val coef = solveRidge(a, b)
-    (mean, coef.take(p), coef.drop(p))
+    solveRidge(a, b)
   }
 
   /** Conditional one-step residuals of a fixed ARMA(φ, θ) over the whole
@@ -302,6 +340,96 @@ object ArForecast {
               case (f, i) => ArPoint(k, i + 1, f, p, dd, ys.length)
             }
           }
+      }
+      .toDF()
+  }
+
+  /** The reference's full ARIMA(p, d, q) grid search, distributed per
+    * series — the exact grid from `pandas_timeseries_forecast.py:75-78`
+    * (p ∈ {4,6,8,10}, d ∈ 1-2, q ∈ 0-2). Per combo: difference d times,
+    * fit ARMA(p, q) by Hannan-Rissanen on the TRAIN PREFIX only, score
+    * one-step-ahead MSE over the validation suffix with fixed
+    * coefficients in one O(N·(p+q)) pass. On the differenced scale the
+    * one-step error equals the original-scale error (the d known lags
+    * cancel), and the validation count is identical across d, so MSEs
+    * are comparable across the whole grid. The winner forecasts
+    * `horizon` steps, integrated back to the original scale. Same
+    * single-shuffle flatMapGroups shape as the Holt search; grid work is
+    * a tight JVM loop per series. */
+  def arimaGridSearch(s: SparkSession, d: String,
+      pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
+      qGrid: Seq[Int] = Seq(0, 1, 2), horizon: Int = 3): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id").as("series"),
+        unix_timestamp(col("ts")).as("epochSec"), col("value"))
+      .as[Reading]
+      .groupByKey(_.series)
+      .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
+        val raw = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
+        val cut0 = (raw.length * 0.8).toInt
+        val need = pGrid.max + dGrid.max + qGrid.max + 2
+        if (cut0 < need || raw.length - cut0 < 1) Iterator.empty
+        else {
+          var bestP = -1; var bestD = 0; var bestQ = 0
+          var bestMse = Double.PositiveInfinity
+          // everything (p, q)-independent is hoisted per differencing
+          // order: the differenced series, its train mean, ONE
+          // autocovariance pass to the deepest lag any combo needs, and
+          // the stage-1 long-AR residuals per distinct m — without this
+          // the 24-combo grid redid the O(N·m) work 24× (18 s → ~2 s at
+          // sf0.1)
+          for (dd <- dGrid.sorted) {
+            var cur = raw
+            var i = 0
+            while (i < dd) {
+              val prev = cur
+              cur = Array.tabulate(prev.length - 1)(j => prev(j + 1) - prev(j))
+              i += 1
+            }
+            val cut = cut0 - dd // same validation count for every d
+            if (cut > pGrid.min + qGrid.min + 1) {
+              var mean = 0.0
+              var t = 0
+              while (t < cut) { mean += cur(t); t += 1 }
+              mean /= cut
+              val x = Array.tabulate(cur.length)(cur(_) - mean)
+              val xtr = java.util.Arrays.copyOfRange(x, 0, cut)
+              val maxLag = math.max(pGrid.max, hrLongOrder(pGrid.max, qGrid.max, cut))
+              val r = autocovariances(xtr, maxLag)
+              val eByM = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+              for (p <- pGrid; q <- qGrid) {
+                if (cut > p + q + 1) {
+                  val m = hrLongOrder(p, q, cut)
+                  val valid = q == 0 || (m >= p && cut - m - q > p + q)
+                  if (valid) {
+                    val (phi, theta) =
+                      if (q == 0) (levinson(r, p), Array.empty[Double])
+                      else {
+                        val e = eByM.getOrElseUpdate(m,
+                          longArResiduals(xtr, levinson(r, m)))
+                        val coef = armaOls(xtr, e, p, q, m)
+                        (coef.take(p), coef.drop(p))
+                      }
+                    val (mse, _) = armaWalkForward(x, cut, phi, theta)
+                    // strict < keeps the first argmin in grid order
+                    // (matches the reference's sequential best update);
+                    // dGrid.sorted keeps that order stable
+                    if (!mse.isNaN && mse < bestMse) {
+                      bestMse = mse; bestP = p; bestD = dd; bestQ = q
+                    }
+                  }
+                }
+              }
+            }
+          }
+          if (bestP < 0) Iterator.empty
+          else arimaForecast(scala.collection.immutable.ArraySeq.unsafeWrapArray(raw),
+            bestP, bestD, bestQ, horizon)
+            .iterator.zipWithIndex.map { case (f, i) =>
+              ArimaFit(k, bestP, bestD, bestQ, bestMse, i + 1, f)
+            }
+        }
       }
       .toDF()
   }

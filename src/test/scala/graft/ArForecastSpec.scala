@@ -70,4 +70,43 @@ class ArForecastSpec extends SparkTestBase {
       assert(Seq(0.2, 0.5, 0.8).contains(a) && Seq(0.1, 0.3, 0.6).contains(b))
     }
   }
+
+  test("ARIMA grid search: winners come from the grid, MSE finite, forecasts finite") {
+    val out = ArForecast.arimaGridSearch(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(Seq(4, 6, 8, 10).contains(r.getAs[Int]("p")))
+      assert(Seq(1, 2).contains(r.getAs[Int]("d")))
+      assert(Seq(0, 1, 2).contains(r.getAs[Int]("q")))
+      val mse = r.getAs[Double]("valMse")
+      assert(java.lang.Double.isFinite(mse) && mse >= 0.0)
+      assert(java.lang.Double.isFinite(r.getAs[Double]("forecast")))
+    }
+    // deterministic across invocations
+    val again = ArForecast.arimaGridSearch(spark, sf).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("ARMA(1,1) fit beats pure AR(1) on a planted MA-heavy series") {
+    // x_t = 0.3 x_{t-1} + e_t + 0.8 e_{t-1}, seeded LCG noise — the MA
+    // term is strong, so including q must not hurt the conditional fit
+    var seed = 42L
+    def rnd(): Double = { // deterministic LCG in (-0.5, 0.5)
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val n = 400
+    val e = Array.fill(n)(rnd())
+    val x = Array.ofDim[Double](n)
+    x(0) = e(0)
+    (1 until n).foreach(t => x(t) = 0.3 * x(t - 1) + e(t) + 0.8 * e(t - 1))
+    val cut = 320
+    def mseFor(p: Int, q: Int): Double = {
+      val (mean, phi, theta) = ArForecast.hannanRissanen(x.toIndexedSeq.take(cut), p, q)
+      val centered = Array.tabulate(n)(x(_) - mean)
+      ArForecast.armaWalkForward(centered, cut, phi, theta)._1
+    }
+    assert(mseFor(1, 1) <= mseFor(1, 0) * 1.05,
+      s"ARMA(1,1) ${mseFor(1, 1)} vs AR(1) ${mseFor(1, 0)}")
+  }
 }
