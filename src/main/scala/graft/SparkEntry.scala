@@ -96,6 +96,11 @@ object SparkEntry {
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
     "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
     "q_tfidf"          -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
+    "q_count_distinct" -> (Relational.countDistinctUsers _),
+    // hash-based sampling is deterministic by KEY (not partitioning), so
+    // the rows-only gate check is stable; the hash itself is JVM-side →
+    // no cross-engine oracle
+    "q_hash_sample"    -> ((s: SparkSession, d: String) => Relational.hashSample(s, d)),
     // temporal joins (composition operators; oracled vs DuckDB ASOF JOIN)
     "q_asof_join"      -> (TemporalJoins.asofJoin _),
     "q_range_join"     -> ((s: SparkSession, d: String) => TemporalJoins.rangeJoin(s, d)),
@@ -240,6 +245,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
         |  count(*) AS n, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

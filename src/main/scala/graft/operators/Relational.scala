@@ -156,6 +156,40 @@ object Relational {
       .limit(100)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
+  /** A-family extension — per-type distinct-user counts. `count_distinct`
+    * is exact: Catalyst expands it to a two-stage aggregate (partial
+    * distinct on (type, user), then count) — one extra shuffle, exact
+    * answer. The HLL sketch form (`approx_count_distinct`) is a single
+    * partial-agg pass and is the 100 TB default; it lives in
+    * `approxDistinctUsers` below and is accuracy-tested rather than
+    * oracle'd (sketches don't hash-match across engines). */
+  def countDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** HLL++ sketch variant of [[countDistinctUsers]] (rsd 5%). */
+  def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("n_users_approx"))
+
+  /** Deterministic hash-based stratified sampling — the reproducible
+    * train/test-split pattern for a training-data pipeline: a row is
+    * sampled iff xxhash64(key, salt) mod 10000 < fraction·10000. Unlike
+    * `sampleBy`/`randomSplit` (per-partition RNG), the decision depends
+    * only on the KEY, so the same rows are chosen regardless of
+    * partitioning, cluster size, or run — and the complement split
+    * (salt', 1-f) is disjoint by construction when using the same salt.
+    * Per-row, shuffle-free, codegen'd. */
+  def hashSample(s: SparkSession, d: String, fraction: Double = 0.1,
+      salt: Long = 42L): DataFrame =
+    Tables.events(s, d)
+      .where(pmod(xxhash64(col("user_id"), lit(salt)), lit(10000L))
+        < (fraction * 10000).toLong)
+      .select("event_id", "user_id", "event_type", "value")
+
   /** S2+S5 — CSV sink + scan with an EXPLICIT schema, no header, mirroring
     * the reference's declared 14-field StructType CSV source
     * (`sensor_data_etl.py:35-51`). Round-trips a projection of events

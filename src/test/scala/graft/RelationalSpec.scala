@@ -104,4 +104,37 @@ class RelationalSpec extends SparkTestBase {
       assert(math.abs(n - total / 2.0) <= 1.0, s"$t: trimmed $n of $total")
     }
   }
+
+  test("approx distinct count is within HLL error of the exact count") {
+    val exact = Relational.countDistinctUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val approx = Relational.approxDistinctUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users_approx")).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.15, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("hash sampling is deterministic, partitioning-independent, and splits disjointly") {
+    val s1 = Relational.hashSample(spark, sf, 0.2).collect().map(_.getLong(0)).toSet
+    val s2 = Relational.hashSample(spark, sf, 0.2).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // repartitioned input yields the SAME sample (the point vs sampleBy)
+    val ids3 = Tables.events(spark, sf).repartition(13)
+      .where(pmod(xxhash64(col("user_id"), lit(42L)), lit(10000L)) < 2000L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids3 == s1)
+    // complement bucket range is disjoint and the union covers everything
+    val rest = Tables.events(spark, sf)
+      .where(pmod(xxhash64(col("user_id"), lit(42L)), lit(10000L)) >= 2000L)
+    assert(rest.count() + s1.size == Tables.events(spark, sf).count())
+    // fraction lands near 20% of USERS (sampling is by user key)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val sampledUsers = Relational.hashSample(spark, sf, 0.2)
+      .select("user_id").distinct().count()
+    assert(math.abs(sampledUsers.toDouble / users - 0.2) < 0.1,
+      s"$sampledUsers of $users users")
+  }
 }
