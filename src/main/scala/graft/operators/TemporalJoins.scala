@@ -29,32 +29,53 @@ import graft.Tables
   */
 object TemporalJoins {
 
-  /** As-of join of every event to its user's most recent day-state:
-    * dim = per-(user, day) max(value) stamped at the day's midnight;
-    * each event picks the latest dim row with dim.ts <= event.ts
-    * (same-instant dim rows win, matching ASOF's `>=`). Implemented as
-    * union + `last(setting, ignoreNulls)` over (user ORDER BY ts, kind
-    * DESC ROWS UNBOUNDED PRECEDING..CURRENT): dim rows sort before event
-    * rows at equal ts, so the carried value is exactly the as-of match. */
+  /** Generic as-of join: attach to every left row the `attach` columns of
+    * the latest right row with right.ts <= left.ts within the same `by`
+    * key (same-instant right rows win, matching ASOF's `>=`).
+    * Implemented as union + `last(ignoreNulls)` over (by ORDER BY ts,
+    * kind DESC ROWS UNBOUNDED PRECEDING..CURRENT): right rows sort before
+    * left rows at equal ts, so the carried value is exactly the as-of
+    * match. ONE shuffle on the key — never an inequality join. Left rows
+    * whose key has no prior right row keep nulls (ASOF's unmatched-drop
+    * can be recovered by filtering them). */
+  def asofJoin(left: DataFrame, right: DataFrame, by: String, ts: String,
+      attach: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(attach.forall(!leftCols.contains(_)),
+      s"attach columns $attach must not already exist on the left side")
+    // canonical ASOF precondition: right must be unique per (by, ts) —
+    // ties among right rows at the same instant would be order-undefined
+    val kind = "__asof_kind"
+    val l = attach.foldLeft(left.withColumn(kind, lit(0))) { (df, a) =>
+      df.withColumn(a, lit(null).cast(right.schema(a).dataType))
+    }
+    val extra = leftCols.filterNot(c => c == by || c == ts)
+    val r = extra.foldLeft(right.select((Seq(by, ts) ++ attach).map(col): _*)
+      .withColumn(kind, lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols ++ attach :+ kind).map(col): _*)
+    val w = Window.partitionBy(by)
+      .orderBy(col(ts).asc, col(kind).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    attach.foldLeft(l.select((leftCols ++ attach :+ kind).map(col): _*).unionAll(r)) {
+      (df, a) => df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
+    }
+      .where(col(kind) === 0)
+      .select((leftCols ++ attach).map(col): _*)
+  }
+
+  /** The gate query: as-of join of every event to its user's most recent
+    * day-state (per-(user, day) max(value) stamped at the day's
+    * midnight), checked against DuckDB's native ASOF JOIN. */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val dim = ev
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(max("value").as("setting"))
+      .agg(max("value").as("asof_max"))
       .select(col("user_id"), col("day").cast("timestamp").as("ts"),
-        col("setting"))
-    val left = ev.select(col("event_id"), col("user_id"), col("ts"),
-      col("value"), lit(null).cast("double").as("setting"), lit(0).as("kind"))
-    val right = dim.select(lit(null).cast("long").as("event_id"),
-      col("user_id"), col("ts"), lit(null).cast("double").as("value"),
-      col("setting"), lit(1).as("kind"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").asc, col("kind").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    left.unionAll(right)
-      .withColumn("asof_max", last(col("setting"), ignoreNulls = true).over(w))
-      .where(col("kind") === 0)
-      .select("event_id", "user_id", "ts", "value", "asof_max")
+        col("asof_max"))
+    asofJoin(ev.select("event_id", "user_id", "ts", "value"), dim,
+      by = "user_id", ts = "ts", attach = Seq("asof_max"))
   }
 
   /** Batch sessionization: split each user's event stream into sessions

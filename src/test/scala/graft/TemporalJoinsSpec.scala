@@ -52,6 +52,36 @@ class TemporalJoinsSpec extends SparkTestBase {
     out.unpersist(); ev.unpersist()
   }
 
+  test("generic asof join matches per-row brute force on random fixtures") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val leftRows = (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        rnd.nextDouble())
+    }
+    // right: unique per (key, ts) by construction (distinct ts grid)
+    val rightRows = (0 until 60).map { j =>
+      (rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(1700000000000L + j * 1700 * 1000L),
+        rnd.nextInt(1000))
+    }.distinct
+    val left = leftRows.toDF("id", "k", "ts", "v")
+    val right = rightRows.toDF("k", "ts", "state")
+    val got = TemporalJoins.asofJoin(left, right, by = "k", ts = "ts",
+        attach = Seq("state")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("state")).map(_.asInstanceOf[Int])).toMap
+    val byKey = rightRows.groupBy(_._1)
+    leftRows.foreach { case (id, k, ts, _) =>
+      val expect = byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(ts))
+        .sortBy(_._2.getTime)
+        .lastOption.map(_._3)
+      assert(got(id) == expect, s"row $id key $k ts $ts: got ${got(id)}, want $expect")
+    }
+  }
+
   test("sessionize: session count = 1 + number of over-gap jumps per user") {
     val out = TemporalJoins.sessionize(spark, sf).cache()
     val ev = Tables.events(spark, sf)
