@@ -97,6 +97,7 @@ object SparkEntry {
     "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
     "q_tfidf"          -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
     "q_count_distinct" -> (Relational.countDistinctUsers _),
+    "q_json_extract"   -> (Relational.jsonExtract _),
     // hash-based sampling is deterministic by KEY (not partitioning), so
     // the rows-only gate check is stable; the hash itself is JVM-side →
     // no cross-engine oracle
@@ -249,6 +250,13 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+        |  sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |    THEN 1 ELSE 0 END) AS n_high
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_tfidf" ->

@@ -190,6 +190,22 @@ object Relational {
         < (fraction * 10000).toLong)
       .select("event_id", "user_id", "event_type", "value")
 
+  /** Semi-structured extension — typed JSON extraction from the `props`
+    * column. ONE `from_json` with an explicit schema (a single codegen'd
+    * JsonToStructs parse per row); repeated `get_json_object` calls on
+    * the same column would re-parse the document once per path, which at
+    * 100 TB is the difference between one scan-speed pass and several.
+    * Integer sums need no DECIMAL recipe (exact in BIGINT). */
+  def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"), schema))
+      .select(col("event_type"), col("p.k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+  }
+
   /** S2+S5 — CSV sink + scan with an EXPLICIT schema, no header, mirroring
     * the reference's declared 14-field StructType CSV source
     * (`sensor_data_etl.py:35-51`). Round-trips a projection of events

@@ -105,6 +105,23 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("json extraction: malformed documents yield nulls, aggregates skip them") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val df = Seq(("""{"k": 10}""", "a"), ("""{"k": 60}""", "a"), ("not json", "a"))
+      .toDF("props", "event_type")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val out = df.withColumn("p", from_json(col("props"), schema))
+      .select(col("event_type"), col("p.k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      .collect().head
+    assert(out.getAs[Long]("n") == 3)       // count(*) counts the bad row
+    assert(out.getAs[Long]("k_sum") == 70)  // sum skips its null
+    assert(out.getAs[Long]("n_high") == 1)
+  }
+
   test("approx distinct count is within HLL error of the exact count") {
     val exact = Relational.countDistinctUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
