@@ -64,6 +64,65 @@ object TemporalJoins {
       .select((leftCols ++ attach).map(col): _*)
   }
 
+  /** Broadcast as-of join — the plan to pick when the RIGHT side is
+    * dim-sized: the window form above must shuffle the ENTIRE left side
+    * on the key, but with the right side collected (sorted per key) and
+    * broadcast, the as-of lookup is a per-row binary search in a narrow
+    * map-only pass — zero shuffle of the fact table. The exact analog of
+    * choosing BroadcastHashJoin over SortMergeJoin, hand-built because
+    * Catalyst has no broadcast strategy for as-of semantics. Same
+    * contract as [[asofJoin]]: latest right row with ts' <= ts per key,
+    * right unique per (key, ts), unmatched rows keep nulls. Timestamps
+    * compare at micros precision on both sides. */
+  def asofJoinBroadcast(left: DataFrame, right: DataFrame, by: String,
+      ts: String, attach: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(attach.forall(!leftCols.contains(_)),
+      s"attach columns $attach must not already exist on the left side")
+    val spark = left.sparkSession
+    val rightRows = right
+      .select(col(by) +: unix_micros(col(ts)).as("__us") +: attach.map(col): _*)
+      .collect()
+    val byKey: Map[Any, (Array[Long], Array[Array[Any]])] = rightRows
+      .groupBy(_.get(0))
+      .view.mapValues { rows =>
+        val sorted = rows.sortBy(_.getLong(1))
+        (sorted.map(_.getLong(1)),
+          sorted.map(r => Array.tabulate[Any](attach.length)(i => r.get(2 + i))))
+      }.toMap
+    val bc = spark.sparkContext.broadcast(byKey)
+    // attached fields must be nullable regardless of the right schema:
+    // unmatched left rows carry nulls
+    val outSchema = org.apache.spark.sql.types.StructType(
+      left.schema.fields ++ attach.map(a => right.schema(a).copy(nullable = true)))
+    val byIdx = leftCols.indexOf(by)
+    val n = leftCols.length
+    val withUs = left.withColumn("__us", unix_micros(col(ts)))
+    val result = withUs.mapPartitions { it =>
+      it.map { row =>
+        val key = row.get(byIdx)
+        val us = row.getLong(n)
+        val attached: Array[Any] = bc.value.get(key) match {
+          case None => Array.fill[Any](attach.length)(null)
+          case Some((tss, vals)) =>
+            // greatest index with tss(i) <= us (binary search)
+            var lo = 0
+            var hi = tss.length - 1
+            var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (tss(mid) <= us) { found = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (found < 0) Array.fill[Any](attach.length)(null) else vals(found)
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          (0 until n).map(row.get) ++ attached)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    result.toDF()
+  }
+
   /** The gate query: as-of join of every event to its user's most recent
     * day-state (per-(user, day) max(value) stamped at the day's
     * midnight), checked against DuckDB's native ASOF JOIN. */

@@ -82,6 +82,29 @@ class TemporalJoinsSpec extends SparkTestBase {
     }
   }
 
+  test("broadcast asof equals the window asof and plans with zero Exchange") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(7).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(90000) * 1000L),
+        rnd.nextDouble())
+    }.toDF("id", "k", "ts", "v")
+    val right = (0 until 50).map { j =>
+      (rnd.nextInt(7).toLong,
+        new java.sql.Timestamp(1700000000000L + j * 1900 * 1000L),
+        rnd.nextInt(1000))
+    }.distinct.toDF("k", "ts", "state")
+    val viaWindow = TemporalJoins.asofJoin(left, right, "k", "ts", Seq("state"))
+      .orderBy("id").collect().toSeq
+    val viaBroadcast = TemporalJoins.asofJoinBroadcast(left, right, "k", "ts", Seq("state"))
+      .orderBy("id").collect().toSeq
+    assert(viaWindow == viaBroadcast)
+    val plan = TemporalJoins.asofJoinBroadcast(left, right, "k", "ts", Seq("state"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free broadcast asof:\n$plan")
+  }
+
   test("sessionize: session count = 1 + number of over-gap jumps per user") {
     val out = TemporalJoins.sessionize(spark, sf).cache()
     val ev = Tables.events(spark, sf)
