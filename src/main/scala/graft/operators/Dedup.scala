@@ -99,59 +99,19 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
   }
 
-  /** splitmix64 finalizer (public-domain constants) — the hash family for
-    * the banded minhash: h_i(x) = mix64(x ^ seed_i). */
-  private[operators] def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  /** FNV-1a 64-bit over a shingle string (JVM-side; the signature is a
-    * hash artifact either way, so it needs no cross-engine twin). */
-  private[operators] def fnv64(str: String): Long = {
-    var h = 0xCBF29CE484222325L
-    var i = 0
-    while (i < str.length) { h ^= str.charAt(i).toLong; h *= 0x100000001B3L; i += 1 }
-    h
-  }
-
   /** k-wide minhash signature per document, computed in ONE narrow pass:
     * tokenize, hash each distinct 3-token shingle once, fold min over k
-    * mixed variants. No shuffle, no explode — the per-doc loop is a tight
-    * JVM kernel (k × #shingles mixes), so the whole signature stage is a
-    * map-only scan of `documents`. Tokenization mirrors
-    * [[graft.functions.TextAnalytics.tokens]] (trim → lower → \s+ split). */
+    * mixed variants. The per-doc loop is the native `minhash_sig`
+    * Catalyst expression (`MinHashKernel`, StaticInvoke-style codegen) —
+    * no shuffle, no explode, and no Dataset ser/de boundary: the whole
+    * signature stage is a map-only Tungsten scan of `documents`.
+    * Tokenization mirrors [[graft.functions.TextAnalytics.tokens]]
+    * (trim → lower → \s+ split); docs with < 3 tokens yield an empty
+    * signature and are filtered, matching the earlier typed-map skip. */
   def minhashSignatures(docs: DataFrame, k: Int = 128): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val seeds = Array.tabulate(k)(i => mix64(0xC0FFEE1234567891L + i.toLong * 0x9E3779B97F4A7C15L))
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-          if (toks.length < 3) Iterator.empty
-          else {
-            val seen = new java.util.HashSet[Long]()
-            val sig = Array.fill(k)(Long.MaxValue)
-            var i = 0
-            while (i + 2 < toks.length) {
-              val sh = fnv64(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-              if (seen.add(sh)) {
-                var j = 0
-                while (j < k) {
-                  val v = mix64(sh ^ seeds(j))
-                  if (v < sig(j)) sig(j) = v
-                  j += 1
-                }
-              }
-              i += 1
-            }
-            Iterator.single((id, sig))
-          }
-        }
-      }.toDF("doc_id", "sig")
+    import org.apache.spark.sql.graft.MinHashExpressions.minhashSig
+    docs.select(col("doc_id"), minhashSig(col("text"), k).as("sig"))
+      .where(size(col("sig")) > 0)
   }
 
   /** Near-dup via native banded minhash — the scale path that replaced the
@@ -177,9 +137,11 @@ object Dedup {
       .mapPartitions { it =>
         it.flatMap { case (id, sig) =>
           (0 until bands).iterator.map { b =>
-            var h = mix64(0xBADC0DEL + b.toLong)
+            var h = org.apache.spark.sql.graft.MinHashKernel.mix64(0xBADC0DEL + b.toLong)
             var j = b * r
-            while (j < (b + 1) * r) { h = mix64(h ^ sig(j)); j += 1 }
+            while (j < (b + 1) * r) {
+              h = org.apache.spark.sql.graft.MinHashKernel.mix64(h ^ sig(j)); j += 1
+            }
             (id, b, h)
           }
         }

@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDotDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
   }
 }
 
@@ -33,11 +34,18 @@ object GraftExtensions {
     }
   )
 
+  val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    MinHashExpressions.fromSql _
+  )
+
   /** Register on an already-built session (builder extensions only apply
     * to new sessions; tests and notebooks usually have one already). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = floatDotDescriptor
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(floatDotDescriptor, minhashSigDescriptor).foreach { case (id, info, builder) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{GraftExtensions, VectorExpressions}
+import org.apache.spark.sql.graft.{GraftExtensions, MinHashKernel, VectorExpressions}
 
 /** Native FloatDotProduct expression: correctness vs the HOF fold it
   * replaced, null handling, and SQL registration via GraftExtensions. */
@@ -44,5 +44,23 @@ class VectorExpressionSpec extends SparkTestBase {
     val out = spark.sql(
       "SELECT id, float_dot(v, v) AS sq FROM vex_test ORDER BY id").collect()
     assert(out.map(_.getDouble(1)).toSeq == Seq(14.0, 8.75, 0.0))
+  }
+
+  test("minhash_sig: SQL form matches the kernel; short docs yield empty") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "alpha beta gamma delta"), (2L, "just two"))
+      .toDF("doc_id", "text").createOrReplaceTempView("mh_test")
+    val out = spark.sql(
+      "SELECT doc_id, minhash_sig(text, 16) AS sig FROM mh_test ORDER BY doc_id")
+      .collect()
+    val sig1 = out(0).getSeq[Long](1)
+    assert(sig1.length == 16)
+    assert(sig1 == MinHashKernel.signature("alpha beta gamma delta", 16).toSeq)
+    assert(out(1).getSeq[Long](1).isEmpty) // < 3 tokens
+    // identical text -> identical signature through the whole SQL path
+    val again = spark.sql(
+      "SELECT minhash_sig('alpha beta gamma delta', 16)").head().getSeq[Long](0)
+    assert(again == sig1)
   }
 }
