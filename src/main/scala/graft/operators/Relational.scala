@@ -180,9 +180,10 @@ object Relational {
     * sampled iff xxhash64(key, salt) mod 10000 < fraction·10000. Unlike
     * `sampleBy`/`randomSplit` (per-partition RNG), the decision depends
     * only on the KEY, so the same rows are chosen regardless of
-    * partitioning, cluster size, or run — and the complement split
-    * (salt', 1-f) is disjoint by construction when using the same salt.
-    * Per-row, shuffle-free, codegen'd. */
+    * partitioning, cluster size, or run. For a disjoint complement
+    * (train/test), keep the SAME salt and take the complementary bucket
+    * range (`>= fraction·10000`) — a different salt gives an independent
+    * hash and overlapping splits. Per-row, shuffle-free, codegen'd. */
   def hashSample(s: SparkSession, d: String, fraction: Double = 0.1,
       salt: Long = 42L): DataFrame =
     Tables.events(s, d)

@@ -65,6 +65,19 @@ object Similarity {
   def refineCentroids(e: DataFrame, nCentroids: Int, iters: Int): Array[Cent] = {
     val s = e.sparkSession
     import s.implicits._
+    // every round re-reads e (assignment pass + mean shuffle); cache for
+    // the duration and release before returning — safe to own the
+    // lifecycle here because all results are driver-side arrays, so
+    // nothing lazy escapes that still depends on the cached plan
+    val cached = e.cache()
+    try {
+      refineLoop(cached, nCentroids, iters)
+    } finally cached.unpersist()
+  }
+
+  private def refineLoop(e: DataFrame, nCentroids: Int, iters: Int): Array[Cent] = {
+    val s = e.sparkSession
+    import s.implicits._
     var cents = seedCents(e, nCentroids)
     for (_ <- 1 to iters) {
       val means = assignWith(e, cents)

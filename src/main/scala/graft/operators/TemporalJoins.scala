@@ -46,6 +46,7 @@ object TemporalJoins {
     // canonical ASOF precondition: right must be unique per (by, ts) —
     // ties among right rows at the same instant would be order-undefined
     val kind = "__asof_kind"
+    val state = "__asof_state"
     val l = attach.foldLeft(left.withColumn(kind, lit(0))) { (df, a) =>
       df.withColumn(a, lit(null).cast(right.schema(a).dataType))
     }
@@ -57,11 +58,16 @@ object TemporalJoins {
     val w = Window.partitionBy(by)
       .orderBy(col(ts).asc, col(kind).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    attach.foldLeft(l.select((leftCols ++ attach :+ kind).map(col): _*).unionAll(r)) {
-      (df, a) => df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
-    }
+    // carry the matched right ROW as one struct, not per-column
+    // last(ignoreNulls): a right row whose attach value is legitimately
+    // NULL must be attached as NULL, not skipped in favor of an older
+    // non-null value (the struct is non-null for every right row, so
+    // ignoreNulls only skips the left rows' placeholder)
+    l.select((leftCols ++ attach :+ kind).map(col): _*).unionAll(r)
+      .withColumn(state, when(col(kind) === 1, struct(attach.map(col): _*)))
+      .withColumn(state, last(col(state), ignoreNulls = true).over(w))
       .where(col(kind) === 0)
-      .select((leftCols ++ attach).map(col): _*)
+      .select(leftCols.map(col) ++ attach.map(a => col(s"$state.$a").as(a)): _*)
   }
 
   /** Broadcast as-of join — the plan to pick when the RIGHT side is
@@ -80,7 +86,10 @@ object TemporalJoins {
     require(attach.forall(!leftCols.contains(_)),
       s"attach columns $attach must not already exist on the left side")
     val spark = left.sparkSession
+    // a right row with NULL ts can never be an as-of match — drop before
+    // collecting (sortBy would NPE on it); left NULL ts handled per row
     val rightRows = right
+      .where(col(ts).isNotNull)
       .select(col(by) +: unix_micros(col(ts)).as("__us") +: attach.map(col): _*)
       .collect()
     val byKey: Map[Any, (Array[Long], Array[Array[Any]])] = rightRows
@@ -97,15 +106,20 @@ object TemporalJoins {
       left.schema.fields ++ attach.map(a => right.schema(a).copy(nullable = true)))
     val byIdx = leftCols.indexOf(by)
     val n = leftCols.length
-    val withUs = left.withColumn("__us", unix_micros(col(ts)))
+    // helper-column name must not collide with a left column
+    val usCol = Iterator.from(0).map(i => s"__asof_us$i")
+      .dropWhile(leftCols.contains).next()
+    val withUs = left.withColumn(usCol, unix_micros(col(ts)))
     val result = withUs.mapPartitions { it =>
       it.map { row =>
         val key = row.get(byIdx)
-        val us = row.getLong(n)
-        val attached: Array[Any] = bc.value.get(key) match {
+        val attached: Array[Any] = if (row.isNullAt(n)) {
+          Array.fill[Any](attach.length)(null) // NULL left ts: no match
+        } else bc.value.get(key) match {
           case None => Array.fill[Any](attach.length)(null)
           case Some((tss, vals)) =>
             // greatest index with tss(i) <= us (binary search)
+            val us = row.getLong(n)
             var lo = 0
             var hi = tss.length - 1
             var found = -1
@@ -162,11 +176,13 @@ object TemporalJoins {
         count(lit(1)).as("n_events"), exactSum(col("value")).as("value_sum"))
   }
 
-  /** Rolling row-window statistics per series: mean/min/max of the last
-    * nRows values (inclusive), ordered by (ts, event_id) for a unique
-    * tiebreak. The mean uses the DECIMAL-exact sum over the frame so the
-    * result is bit-reproducible cross-engine. Same single-shuffle series
-    * window shape as every other per-series operator here. */
+  /** Rolling row-window statistics per series: mean/min/max over the
+    * current row plus the nRows PRECEDING rows (frame size nRows + 1 —
+    * the SQL `n PRECEDING AND CURRENT ROW` convention), ordered by
+    * (ts, event_id) for a unique tiebreak. The mean uses the
+    * DECIMAL-exact sum over the frame so the result is bit-reproducible
+    * cross-engine. Same single-shuffle series window shape as every
+    * other per-series operator here. */
   def rollingStats(s: SparkSession, d: String, nRows: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

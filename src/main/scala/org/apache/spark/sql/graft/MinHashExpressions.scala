@@ -49,10 +49,24 @@ object MinHashKernel {
     }
   }
 
+  /** Spark-parity trim: `trim(col)` strips only ASCII spaces (0x20),
+    * unlike Java String.trim which strips every char <= 0x20 — tabs and
+    * newlines at the edges must survive so the tokenization matches
+    * TextAnalytics.tokens exactly. */
+  private def sparkTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
   /** k-wide signature; EMPTY array for documents with < 3 tokens (callers
-    * filter on size, matching the typed form's skip). */
+    * filter on size, matching the typed form's skip). Tokenization is
+    * bit-parity with `split(lower(trim(text)), "\\s+")`: space-only trim
+    * and limit -1 (Spark's split keeps trailing empty strings). */
   def signature(text: String, k: Int): Array[Long] = {
-    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = sparkTrim(text).toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     if (toks.length < 3) return Array.emptyLongArray
     val sd = seeds(k)
     val seen = new java.util.HashSet[Long]()

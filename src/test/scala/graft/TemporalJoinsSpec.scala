@@ -22,15 +22,30 @@ class TemporalJoinsSpec extends SparkTestBase {
     out.unpersist()
   }
 
-  test("asof join tie rule: a dim row at the same instant wins (ASOF >= semantics)") {
+  test("asof join tie rule: a right row at the same instant wins (ASOF >= semantics)") {
     import spark.implicits._
-    // one event exactly at midnight: its day's dim row (stamped at
-    // midnight) must be visible to it
-    val ev = Tables.events(spark, sf)
-    val midnight = TemporalJoins.asofJoin(spark, sf)
-      .where(col("ts") === col("ts").cast("date").cast("timestamp"))
-    val n = midnight.count()
-    assert(midnight.where(col("asof_max").isNull).count() == 0, s"of $n midnight rows")
+    // planted fixture: left row exactly at a right row's ts must see THAT
+    // row, not the earlier one (and a left row before any right row gets
+    // null). Fixture-based because the sf testdata may contain no
+    // exactly-aligned timestamps, which would make a data-driven check
+    // vacuous.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val tEarly = java.sql.Timestamp.valueOf("2023-12-31 23:00:00")
+    val left = Seq((1L, 5L, t1), (2L, 5L, tEarly)).toDF("id", "k", "ts")
+    val right = Seq((5L, t0, 100), (5L, t1, 200)).toDF("k", "ts", "state")
+    val got = TemporalJoins.asofJoin(left, right, "k", "ts", Seq("state"))
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("state"))).toMap
+    assert(got(1L).contains(200), s"same-instant right row must win: $got")
+    assert(got(2L).isEmpty, s"left row before any right row must be null: $got")
+    // a matched right row whose attach value is NULL must attach as NULL,
+    // not be skipped for an older non-null value
+    val rightWithNull = Seq((5L, t0, Some(100)), (5L, t1, None))
+      .toDF("k", "ts", "state")
+    val gotNull = TemporalJoins.asofJoin(left.where(col("id") === 1L),
+        rightWithNull, "k", "ts", Seq("state"))
+      .collect().map(r => Option(r.getAs[Any]("state"))).head
+    assert(gotNull.isEmpty, s"NULL attach of the matched row must survive: $gotNull")
   }
 
   test("range join: counts match a direct between-filter per interval") {

@@ -137,9 +137,16 @@ class TextDedupSpec extends SparkTestBase {
   }
 
   test("spark.ml MinHashLSH variant finds the planted near-duplicate too") {
-    val out = Dedup.minhashLsh(spark, sf)
-    assert(out.columns.toSeq == Seq("a_id", "b_id", "jaccard_dist"))
-    assert(out.count() >= 0) // executes the approxSimilarityJoin path
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val near = base.replaceFirst("lazy", "sleepy")
+    val far  = "completely different words appear in this unrelated document " +
+      "nothing here overlaps with the animal sentence at all in any way"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshDocs(docs).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 2L),
+      s"planted dup not found: ${pairs.mkString(",")}")
+    assert(!pairs.exists(r => r.getAs[Long]("a_id") == 3L || r.getAs[Long]("b_id") == 3L))
   }
 
   test("simhash: identical docs share signature; near docs are close in Hamming") {
