@@ -245,6 +245,84 @@ object Dedup {
         shiftrightunsigned(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)).as("band3"))
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every node starts labeled with itself; each
+    * round, every node takes the minimum label among itself and its
+    * neighbors; at the fixpoint each component carries its minimum node id.
+    *
+    * This is the step near-dup PAIRS need to become DEDUP: transitive
+    * closure groups a,b and b,c into one cluster so one canonical doc
+    * survives per group.
+    *
+    * Scale shape: each round is one shuffled equi-join (edges ⋈ labels on
+    * the node key) plus one partial-aggregated groupBy(min) — both linear
+    * in |E|; rounds needed = component diameter, and near-dup components
+    * are near-cliques (diameter 2-3). `localCheckpoint` after every round
+    * truncates the lineage so the plan doesn't grow with iterations, and
+    * convergence is detected by the label-sum fixpoint (min-propagation
+    * only ever lowers labels, so the exact DECIMAL sum strictly decreases
+    * until converged) — one cheap agg instead of a self-join diff. For
+    * graphs with continent-sized components (not dedup), switch to the
+    * log-round large-star/small-star variant; same API.
+    *
+    * @param edges first two columns = endpoints of an undirected edge
+    * @param nodes single-column universe of node ids (isolated nodes keep
+    *              their own label); every edge endpoint must appear in it
+    * @return (id, comp) — comp = min node id of the component
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ec = edges.columns
+    val sym = edges.select(col(ec(0)).as("__src"), col(ec(1)).as("__dst"))
+      .unionAll(edges.select(col(ec(1)).as("__src"), col(ec(0)).as("__dst")))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var labels = nodes.select(col(nodes.columns.head).as("id"))
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var cur = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, sym("__src") === labels("id"))
+        .select(col("__dst").as("id"), col("comp"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(cur) == 0
+      cur = nextSum
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Gate query: near-dup clusters = connected components over the
+    * [[ngramJaccard]] pair graph, every document labeled with its cluster
+    * id (min doc_id of its component) and whether it is the canonical
+    * (kept) representative. Oracled against a DuckDB recursive CTE
+    * computing the same transitive closure. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select("a_id", "b_id")
+    connectedComponents(pairs, Tables.documents(s, d).select("doc_id"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        (col("id") === col("comp")).as("keep"))
+  }
+
+  /** Gate query: the CLEANED corpus — documents left-semi-joined to the
+    * canonical representatives of [[dedupClusters]]. The semi-join ships
+    * only the key column and never widens rows: the dedup-filter shape to
+    * use at 100 TB (the keep-set is doc-count-sized, the corpus is
+    * content-sized). */
+  def dedupClean(s: SparkSession, d: String): DataFrame = {
+    val canonical = dedupClusters(s, d).where(col("keep")).select("doc_id")
+    Tables.documents(s, d)
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** SimHash near-dup candidates: docs sharing any 16-bit band (standard
     * 4-band blocking for Hamming distance ≤ 3-ish), verified by exact
     * Hamming distance on the 64-bit signatures. Bucketed, not all-pairs. */
