@@ -252,11 +252,14 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
 
+    // sums cast to BIGINT: DuckDB's sum(integer) returns HUGEINT, which
+    // the driver's pandas conversion degrades to float64 ("69.0" vs "69"
+    // → hash mismatch, CORRECTNESS_r04); Spark's LongType sum is BIGINT
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
-        |  sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
-        |    THEN 1 ELSE 0 END) AS n_high
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_tfidf" ->
@@ -300,8 +303,8 @@ object SparkEntry {
         |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
         |    THEN 1 ELSE 0 END AS new_sess FROM o),
         |s AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum

@@ -50,6 +50,12 @@ def main(sf_dir, out_dir):
         try:
             ora_rel = con.sql(sql)
             ora_cols = sorted(ora_rel.columns)
+            # the driver converts via pandas, where HUGEINT degrades to
+            # float64 and hash-mismatches a BIGINT Spark column — flag it
+            huge = [c for c, t in zip(ora_rel.columns, ora_rel.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                entry["hugeint_cols"] = huge
             ora = con.sql(
                 "SELECT " + ", ".join(f'"{c}"' for c in ora_cols) + " FROM ora_rel").fetchall()
         except Exception as e:
@@ -75,7 +81,8 @@ def main(sf_dir, out_dir):
                                 break
                 if len(mismatches) >= 3:
                     break
-        entry["hash_match"] = entry["rows_match"] and entry["schema_match"] and exact
+        entry["hash_match"] = (entry["rows_match"] and entry["schema_match"]
+                               and exact and "hugeint_cols" not in entry)
         entry["approx_match"] = entry["rows_match"] and entry["schema_match"] and not mismatches
         if mismatches:
             entry["mismatches"] = mismatches
