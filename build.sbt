@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the bench/verify session is ONE JVM running 55 queries
+  // (ML fits, broadcasts, shingle indexes) back to back — at 8g the GC
+  // churn made unrelated queries 5-30x slower (BENCH_r04 tail); the box
+  // has 125g and local[32] needs headroom, so size the heap like an
+  // executor fleet, not a laptop driver.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -34,8 +34,11 @@ object Bench {
           } finally {
             // isolate queries/reps: drop caches left by operators (minhash
             // vecs, shingle indexes, ML feature tables) so later iterative
-            // fits don't pay GC pressure for earlier queries' storage
+            // fits don't pay GC pressure for earlier queries' storage.
+            // getPersistentRDDs also catches localCheckpoint blocks (the
+            // connected-components loop) that clearCache does not see.
             spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           }
         }
         if (times.nonEmpty) name -> Right(times.sorted.apply(times.length / 2))

@@ -68,6 +68,10 @@ object SparkEntry {
     // LLM-pipeline: dedup
     "q_dedup_exact"    -> (Dedup.exact _),
     "q_ngram_jaccard"  -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    // transitive closure of the near-dup pair graph (connected
+    // components) and the cleaned corpus it induces
+    "q_dedup_clusters" -> (Dedup.dedupClusters _),
+    "q_dedup_clean"    -> (Dedup.dedupClean _),
     // native banded minhash (Dedup.minhashBanded); the spark.ml
     // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
     // variant but was 60-120 s at sf0.1 vs seconds for the banded form
@@ -108,6 +112,41 @@ object SparkEntry {
     "q_sessionize"     -> ((s: SparkSession, d: String) => TemporalJoins.sessionize(s, d)),
     "q_rolling_stats"  -> ((s: SparkSession, d: String) => TemporalJoins.rollingStats(s, d)),
   )
+
+  /** Shared CTE block: the n-gram Jaccard candidate-pair graph over
+    * `documents` (3-token shingles, df-capped inverted index) — the
+    * common prefix of the `q_ngram_jaccard` / `q_dedup_clusters` /
+    * `q_dedup_clean` oracles, so the three stay in lockstep. */
+  private val NgramPairCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+      |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh) WHERE df.df <= 100),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Symmetric edge list + recursive reachability over the thresholded
+    * pair graph (τ = 0.12, same filter as `q_ngram_jaccard`'s output). */
+  private val NgramReachCtes: String =
+    """jpairs AS (
+      |  SELECT p.a_id, p.b_id FROM pairs p
+      |  JOIN sizes sa ON p.a_id = sa.doc_id
+      |  JOIN sizes sb ON p.b_id = sb.doc_id
+      |  WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM jpairs
+      |  UNION ALL SELECT b_id, a_id FROM jpairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id)""".stripMargin
 
   /** DuckDB oracles; keys absent here (ML fits, LSH, simhash, Holt, IVF)
     * get the driver's weaker rows-only check — they are either seeded
@@ -496,25 +535,29 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
-        |  FROM toks WHERE len(t) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
-        |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh) WHERE df.df <= 100),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $NgramPairCtes
         |SELECT p.a_id, p.b_id, p.shared, sa.n_sh AS a_n, sb.n_sh AS b_n,
         |  CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) AS jaccard
         |FROM pairs p
         |JOIN sizes sa ON p.a_id = sa.doc_id
         |JOIN sizes sb ON p.b_id = sb.doc_id
         |WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12""".stripMargin,
+
+    // transitive closure of the same pair graph: reach(id, r) enumerates
+    // every node r reachable from id (components are near-dup clusters —
+    // tiny — so full reachability is cheap); cluster = min reachable id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+        |$NgramReachCtes
+        |SELECT id AS doc_id, min(r) AS cluster, (min(r) = id) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
+
+    "q_dedup_clean" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+        |$NgramReachCtes,
+        |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN keepers k ON d.doc_id = k.id""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (

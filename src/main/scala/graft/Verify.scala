@@ -19,7 +19,12 @@ object Verify {
       try writeOrdered(fn(spark, sfDir), s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // isolate queries (see Bench)
+      } finally {
+        // isolate queries (see Bench); persistent RDDs cover the
+        // connected-components localCheckpoint blocks
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     }
     writeOracleJson(outDir)
     spark.stop()

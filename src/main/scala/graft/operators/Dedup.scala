@@ -47,32 +47,61 @@ object Dedup {
     * Candidate generation cost is sum over shingles of df², bounded by
     * maxDf² per shingle — linear-ish in corpus size, not quadratic. */
   def ngramJaccard(s: SparkSession, d: String,
+      threshold: Double = 0.12, maxDf: Long = 100L): DataFrame =
+    ngramJaccardDocs(Tables.documents(s, d), threshold, maxDf)
+
+  /** [[ngramJaccard]] over an arbitrary documents DataFrame. The internal
+    * posting-list cache is registered with [[Tables.events]]'s session and
+    * released by the harness's clearCache(); callers composing multi-pass
+    * pipelines (e.g. [[dedupClusters]]) should use [[rarePostings]] and
+    * own the persistence lifecycle instead. */
+  def ngramJaccardDocs(docs: DataFrame,
       threshold: Double = 0.12, maxDf: Long = 100L): DataFrame = {
-    // Per-doc size via a window over doc_id (partition bounded by doc
-    // length). Per-shingle df must NOT be a window over sh: a hot shingle
-    // would pile its whole posting list into one sorted partition. Instead
-    // compute df with a partial-aggregating groupBy (skew-free), keep only
-    // the HOT shingles (few by definition), and drop them with a broadcast
-    // anti-join — the skew never reaches a sort or a join build side.
-    // Shingles join as xxhash64 INT64 keys, not ~30-char strings: the
-    // self-join shuffle carries 8 bytes per key and compares longs
-    // (VERDICT r2 item 4). Jaccard math stays exact modulo 64-bit hash
-    // collisions (~N²/2⁶⁵ — negligible at any realistic shingle count).
-    val withSizes = shingles(Tables.documents(s, d))
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val hot = withSizes.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sh = rarePostings(docs, maxDf).cache()
+    ngramJaccardFromPostings(sh, docSizes(docs), threshold)
+  }
+
+  /** Narrow (doc_id, sh) posting list with hot shingles removed. Per-
+    * shingle df must NOT be a window over sh: a hot shingle would pile
+    * its whole posting list into one sorted partition. Instead compute df
+    * with a partial-aggregating groupBy (skew-free), keep only the HOT
+    * shingles (few by definition), and drop them with a broadcast
+    * anti-join — the skew never reaches a sort or a join build side.
+    * Shingles join as xxhash64 INT64 keys, not ~30-char strings: the
+    * self-join shuffle carries 8 bytes per key and compares longs
+    * (VERDICT r2 item 4). Jaccard math stays exact modulo 64-bit hash
+    * collisions (~N²/2⁶⁵ — negligible at any realistic shingle count). */
+  def rarePostings(docs: DataFrame, maxDf: Long): DataFrame = {
+    val posting = shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val hot = posting.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sh")
-    val sh = withSizes
-      .join(broadcast(hot), Seq("sh"), "left_anti")
-      .select("doc_id", "sh", "n_sh")
-      .cache()
-    sh.as("a")
+    posting.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
+  /** Per-doc distinct-shingle counts (the Jaccard denominators) — counted
+    * BEFORE the hot-shingle drop, matching the exact-Jaccard definition. */
+  def docSizes(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+  /** The pair stage: self-join the NARROW posting list (16 bytes/row — the
+    * shuffle ships two longs, and the denominators never ride along), count
+    * shared shingles per pair, then attach per-doc sizes to the PAIRS
+    * (bounded by candidate count, orders of magnitude below postings).
+    * The earlier shape carried n_sh on every posting row via a full-data
+    * window and let AQE broadcast the whole widened index into the
+    * self-join build side — a driver-sized hash table of the corpus'
+    * shingles, which is exactly the 100 TB anti-pattern this operator
+    * exists to avoid. */
+  def ngramJaccardFromPostings(sh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"),
-        first(col("a.n_sh")).as("a_n"), first(col("b.n_sh")).as("b_n"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("a_n") + col("b_n") - col("shared")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -258,29 +287,30 @@ object Dedup {
     * the node key) plus one partial-aggregated groupBy(min) — both linear
     * in |E|; rounds needed = component diameter, and near-dup components
     * are near-cliques (diameter 2-3). `localCheckpoint` after every round
-    * truncates the lineage so the plan doesn't grow with iterations, and
-    * convergence is detected by the label-sum fixpoint (min-propagation
-    * only ever lowers labels, so the exact DECIMAL sum strictly decreases
-    * until converged) — one cheap agg instead of a self-join diff. For
-    * graphs with continent-sized components (not dedup), switch to the
-    * log-round large-star/small-star variant; same API.
+    * truncates the lineage so the plan doesn't grow with iterations.
+    * Convergence = no label changed between rounds (an equi-join diff on
+    * the node-sized label table, `isEmpty` short-circuits on the first
+    * changed row) — type-generic, so node ids can be strings or any
+    * orderable type, unlike a numeric label-sum probe. The node universe
+    * is nodes ∪ edge endpoints, so a caller passing a partial node list
+    * cannot silently violate the propagation invariant. For graphs with
+    * continent-sized components (not dedup), switch to the log-round
+    * large-star/small-star variant; same API.
     *
     * @param edges first two columns = endpoints of an undirected edge
-    * @param nodes single-column universe of node ids (isolated nodes keep
-    *              their own label); every edge endpoint must appear in it
+    * @param nodes single-column node ids to label even when isolated
+    *              (edge endpoints are included automatically)
     * @return (id, comp) — comp = min node id of the component
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIter: Int = 64): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val ec = edges.columns
     val sym = edges.select(col(ec(0)).as("__src"), col(ec(1)).as("__dst"))
       .unionAll(edges.select(col(ec(1)).as("__src"), col(ec(0)).as("__dst")))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
     var labels = nodes.select(col(nodes.columns.head).as("id"))
+      .unionAll(sym.select(col("__src").as("id")))
+      .distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
-    var cur = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -289,9 +319,10 @@ object Dedup {
       val next = labels.unionAll(prop)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(cur) == 0
-      cur = nextSum
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .where(col("n.comp") =!= col("p.comp"))
+        .isEmpty
       labels = next
       iter += 1
     }
@@ -303,10 +334,21 @@ object Dedup {
     * [[ngramJaccard]] pair graph, every document labeled with its cluster
     * id (min doc_id of its component) and whether it is the canonical
     * (kept) representative. Oracled against a DuckDB recursive CTE
-    * computing the same transitive closure. */
+    * computing the same transitive closure (`q_dedup_clusters`).
+    *
+    * NOTE: unlike the lazy gate queries, this EXECUTES the pair graph and
+    * the label-propagation loop at call time (the iterative fixpoint
+    * cannot be expressed as one lazy plan). The shingle posting cache is
+    * owned here and released as soon as the pair edges are materialized —
+    * repeated calls in a shared session leave no cached blocks behind. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select("a_id", "b_id")
-    connectedComponents(pairs, Tables.documents(s, d).select("doc_id"))
+    val docs = Tables.documents(s, d)
+    val sh = rarePostings(docs, maxDf = 100L).cache()
+    val pairs =
+      try ngramJaccardFromPostings(sh, docSizes(docs), threshold = 0.12)
+        .select("a_id", "b_id").localCheckpoint(true)
+      finally sh.unpersist()
+    connectedComponents(pairs, docs.select("doc_id"))
       .select(col("id").as("doc_id"), col("comp").as("cluster"),
         (col("id") === col("comp")).as("keep"))
   }
@@ -315,7 +357,7 @@ object Dedup {
     * canonical representatives of [[dedupClusters]]. The semi-join ships
     * only the key column and never widens rows: the dedup-filter shape to
     * use at 100 TB (the keep-set is doc-count-sized, the corpus is
-    * content-sized). */
+    * content-sized). Executes eagerly (see [[dedupClusters]]). */
   def dedupClean(s: SparkSession, d: String): DataFrame = {
     val canonical = dedupClusters(s, d).where(col("keep")).select("doc_id")
     Tables.documents(s, d)

@@ -169,6 +169,50 @@ class TextDedupSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 8)
   }
 
+  test("connected components: path graph, isolated node, multi-component") {
+    // path 1-2-3 (diameter 2 — needs >1 propagation round), pair 10-11,
+    // isolated node 20
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val labels = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components: edge endpoints absent from nodes are still labeled") {
+    // the node list misses 3 and 11 entirely — the universe must be
+    // nodes ∪ endpoints, not bare nodes (ADVICE r4)
+    val edges = Seq((2L, 3L), (10L, 11L)).toDF("a", "b")
+    val nodes = Seq(2L, 10L).toDF("id")
+    val labels = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(labels == Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components works on string node ids") {
+    val edges = Seq(("b", "c"), ("c", "a")).toDF("x", "y")
+    val nodes = Seq("a", "b", "c", "z").toDF("id")
+    val labels = Dedup.connectedComponents(edges, nodes)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("comp")).toMap
+    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+
+  test("dedup clusters keep one canonical doc per planted near-dup group") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = a.replace("today", "tomorrow")          // near-dup of a
+    val c = a.replace("again and again", "time after time") // near-dup of a (and b transitively)
+    val far = "completely different words in this one nothing shared at all here"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, far)).toDF("doc_id", "text")
+    val sh = Dedup.rarePostings(docs, maxDf = 100L).cache()
+    val pairs = Dedup.ngramJaccardFromPostings(sh, Dedup.docSizes(docs), threshold = 0.12)
+      .select("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs, docs.select("doc_id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    sh.unpersist()
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(4L) == 4L)
+  }
+
   test("cosine top-k: nearest neighbor of a vector among orthogonal ones is the aligned one") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
