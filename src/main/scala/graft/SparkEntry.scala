@@ -72,6 +72,8 @@ object SparkEntry {
     // components) and the cleaned corpus it induces
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
     "q_dedup_clean"    -> (Dedup.dedupClean _),
+    // composed flagship: quality gate -> exact dedup -> near-dup dedup
+    "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
     // native banded minhash (Dedup.minhashBanded); the spark.ml
     // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
     // variant but was 60-120 s at sf0.1 vs seconds for the banded form
@@ -114,12 +116,13 @@ object SparkEntry {
   )
 
   /** Shared CTE block: the n-gram Jaccard candidate-pair graph over
-    * `documents` (3-token shingles, df-capped inverted index) — the
-    * common prefix of the `q_ngram_jaccard` / `q_dedup_clusters` /
-    * `q_dedup_clean` oracles, so the three stay in lockstep. */
-  private val NgramPairCtes: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+    * `base` (3-token shingles, df-capped inverted index) — the common
+    * prefix of the `q_ngram_jaccard` / `q_dedup_clusters` /
+    * `q_dedup_clean` / `q_corpus_clean` oracles, so they stay in
+    * lockstep. `base` must expose (doc_id, text). */
+  private def ngramPairCtes(base: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM $base),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
@@ -132,10 +135,13 @@ object SparkEntry {
       |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  private val NgramPairCtes: String = ngramPairCtes("documents")
+
   /** Symmetric edge list + recursive reachability over the thresholded
-    * pair graph (τ = 0.12, same filter as `q_ngram_jaccard`'s output). */
-  private val NgramReachCtes: String =
-    """jpairs AS (
+    * pair graph (τ = 0.12, same filter as `q_ngram_jaccard`'s output);
+    * nodes come from the same `base` as [[ngramPairCtes]]. */
+  private def ngramReachCtes(base: String): String =
+    s"""jpairs AS (
       |  SELECT p.a_id, p.b_id FROM pairs p
       |  JOIN sizes sa ON p.a_id = sa.doc_id
       |  JOIN sizes sb ON p.b_id = sb.doc_id
@@ -144,9 +150,11 @@ object SparkEntry {
       |  SELECT a_id AS src, b_id AS dst FROM jpairs
       |  UNION ALL SELECT b_id, a_id FROM jpairs),
       |reach AS (
-      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  SELECT doc_id AS id, doc_id AS r FROM $base
       |  UNION
       |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id)""".stripMargin
+
+  private val NgramReachCtes: String = ngramReachCtes("documents")
 
   /** DuckDB oracles; keys absent here (ML fits, LSH, simhash, Holt, IVF)
     * get the driver's weaker rows-only check — they are either seeded
@@ -558,6 +566,27 @@ object SparkEntry {
         |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d JOIN keepers k ON d.doc_id = k.id""".stripMargin,
+
+    // composed training-data recipe: quality gate -> exact dedup ->
+    // near-dup components, all over the SAME base the Spark pipeline uses
+    "q_corpus_clean" ->
+      s"""WITH RECURSIVE quality AS (
+        |  SELECT doc_id, text, lang, n_chars,
+        |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio
+        |  FROM documents),
+        |exdedup AS (
+        |  SELECT doc_id, text, lang, n_chars, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM quality WHERE n_tokens >= 5 AND alpha_ratio >= 0.5) t
+        |  WHERE rn = 1),
+        |base AS (SELECT doc_id, text FROM exdedup),
+        |${ngramPairCtes("base")},
+        |${ngramReachCtes("base")},
+        |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
+        |SELECT e.doc_id, e.lang, e.n_chars, e.n_tokens
+        |FROM exdedup e JOIN keepers k ON e.doc_id = k.id""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (

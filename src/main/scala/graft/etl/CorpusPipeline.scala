@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalytics
+import graft.operators.Dedup
+
+/** End-to-end training-data corpus preparation — the composed flagship of
+  * the LLM-pipeline operators (brief north-star), mirroring the standard
+  * pre-training data recipe: quality gate → exact dedup → near-dup dedup.
+  *
+  *  1. quality gate: token count ≥ 5 and alpha ratio ≥ 0.5 (the
+  *     language-agnostic subset of [[TextAnalytics.textStats]]'s filters —
+  *     stopword ratio is English-specific and the corpus is multilingual).
+  *     Per-row, shuffle-free.
+  *  2. exact dedup: sha256 + keep lowest doc_id per hash
+  *     ([[Dedup.exact]]'s shape), so byte-identical copies never reach the
+  *     quadratic-ish near-dup stage.
+  *  3. near-dup dedup: n-gram Jaccard pair graph (df-capped inverted
+  *     shingle index) → connected components → keep each cluster's
+  *     minimum doc_id.
+  *
+  * Each stage strictly shrinks the corpus, and the expensive stage sees
+  * only survivors of the cheap ones — the ordering that matters at
+  * 100 TB. Like [[Dedup.dedupClusters]], the component loop EXECUTES at
+  * call time (iterative fixpoint); the posting cache is released once the
+  * pair edges are checkpointed.
+  *
+  * Oracled end to end (`q_corpus_clean`): DuckDB recursive CTE over the
+  * same filtered+deduped base, hash-compared at the gate.
+  */
+object CorpusPipeline {
+
+  /** The cleaned corpus: documents surviving all three stages, with the
+    * columns downstream sampling/packing needs. */
+  def corpusClean(s: SparkSession, d: String): DataFrame =
+    corpusCleanDocs(Tables.documents(s, d))
+
+  /** [[corpusClean]] over an arbitrary (doc_id, text, lang, n_chars)
+    * DataFrame — the testable form. */
+  def corpusCleanDocs(docs: DataFrame): DataFrame = {
+    val toks = TextAnalytics.tokens(col("text"))
+    val quality = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text")))
+      .where(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5)
+    val wHash = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+    val exact = quality
+      .withColumn("rn", row_number().over(wHash))
+      .where(col("rn") === 1)
+      .select("doc_id", "text", "lang", "n_chars", "n_tokens")
+    val base = exact.select("doc_id", "text")
+    val sh = Dedup.rarePostings(base, maxDf = 100L).cache()
+    val pairs =
+      try Dedup.ngramJaccardFromPostings(sh, Dedup.docSizes(base), threshold = 0.12)
+        .select("a_id", "b_id").localCheckpoint(true)
+      finally sh.unpersist()
+    val keep = Dedup.connectedComponents(pairs, base.select("doc_id"))
+      .where(col("id") === col("comp"))
+      .select(col("id").as("doc_id"))
+    exact
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars", "n_tokens")
+  }
+}

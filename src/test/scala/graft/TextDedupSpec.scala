@@ -213,6 +213,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(labels(4L) == 4L)
   }
 
+  test("corpus clean: quality gate, exact dup, and near-dup each remove their doc") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, a, "en", a.length.toLong),                                   // keeper (cluster min)
+      (2L, a, "en", a.length.toLong),                                   // exact dup of 1 -> dropped
+      (3L, a.replace("today", "tomorrow"), "en", a.length.toLong),      // near-dup of 1 -> dropped
+      (4L, "@@@ ### $$$ %%% ^^^ &&&", "en", 23L),                       // alpha_ratio 0 -> dropped
+      (5L, "too few", "en", 7L),                                        // n_tokens < 5 -> dropped
+      (6L, "completely different words in this one nothing shared at all here", "en", 65L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val kept = graft.etl.CorpusPipeline.corpusCleanDocs(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+  }
+
   test("cosine top-k: nearest neighbor of a vector among orthogonal ones is the aligned one") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
