@@ -74,6 +74,8 @@ object SparkEntry {
     "q_dedup_clean"    -> (Dedup.dedupClean _),
     // composed flagship: quality gate -> exact dedup -> near-dup dedup
     "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
+    // train/eval n-gram containment (test-set-leakage guard)
+    "q_decontaminate"  -> (Dedup.decontaminate _),
     // native banded minhash (Dedup.minhashBanded); the spark.ml
     // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
     // variant but was 60-120 s at sf0.1 vs seconds for the banded form
@@ -587,6 +589,26 @@ object SparkEntry {
         |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
         |SELECT e.doc_id, e.lang, e.n_chars, e.n_tokens
         |FROM exdedup e JOIN keepers k ON e.doc_id = k.id""".stripMargin,
+
+    // containment is against the eval shingle SET (distinct), train docs
+    // with < 3 tokens have no shingles and no row — both sides agree
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |evalsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+        |trainsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_hit FROM trainsh t JOIN evalsh e USING (sh)
+        |  GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM trainsh GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_sh, COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh >= 0.5 AS contaminated
+        |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (

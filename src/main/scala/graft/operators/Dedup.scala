@@ -28,14 +28,14 @@ object Dedup {
       .select("doc_id", "text_hash", "lang", "n_chars")
   }
 
-  /** Distinct 3-token shingles per document: (doc_id, shingle) pairs. */
-  private def shingles(docs: DataFrame): DataFrame = {
+  /** Distinct n-token shingles per document: (doc_id, shingle) pairs. */
+  private def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextAnalytics.tokens(col("text"))
     docs
       .select(col("doc_id"), toks.as("toks"))
-      .where(size(col("toks")) >= 3)
+      .where(size(col("toks")) >= n)
       .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', slice(toks, i+1, 3)))")))
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))")))
         .as("sh"))
   }
 
@@ -106,6 +106,46 @@ object Dedup {
         col("shared").cast("double") / (col("a_n") + col("b_n") - col("shared")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "shared", "a_n", "b_n", "jaccard")
+  }
+
+  /** Train/eval decontamination: for every train document, the fraction
+    * of its distinct n-gram shingles that appear ANYWHERE in the eval
+    * (benchmark) corpus — the standard guard against test-set leakage in
+    * a training-data pipeline. Scale shape: the eval shingle SET is
+    * benchmark-sized (collapsed by distinct before the join, never the
+    * eval corpus itself), so the containment probe is a semi-join the
+    * optimizer can broadcast; the train side streams once, and the two
+    * aggregations are partial-agg groupBys on doc_id. Never all-pairs —
+    * containment is against the union set, not per-eval-doc.
+    *
+    * @param n   shingle width (decontamination convention is wider than
+    *            near-dup, e.g. 8-13 tokens; default 3 matches the testdata
+    *            doc length)
+    * @param tau containment ratio at/above which a doc is flagged
+    * @return one row per train doc with ≥ n tokens: n_sh, n_hit,
+    *         contamination ratio, contaminated flag (no filter — keep the
+    *         full report; the caller drops flagged docs)
+    */
+  def decontaminateDocs(train: DataFrame, eval: DataFrame,
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val evalSh = shingles(eval, n).select(xxhash64(col("sh")).as("sh")).distinct()
+    val trainSh = shingles(train, n).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val hits = trainSh.join(evalSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_sh"))
+      .withColumn("contaminated", col("contamination") >= tau)
+  }
+
+  /** Gate query: eval set = every 20th doc_id (a deterministic 5%
+    * "benchmark"), train = the rest; 3-token shingles, τ = 0.5. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminateDocs(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0))
   }
 
   /** Near-dup via MinHash-LSH banding (spark.ml): shingle sets → sparse

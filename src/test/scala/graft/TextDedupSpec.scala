@@ -213,6 +213,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(labels(4L) == 4L)
   }
 
+  test("decontamination flags the eval-copied doc, passes the clean doc") {
+    val leaked = "the quick brown fox jumps over the lazy dog again and again"
+    val train = Seq(
+      (1L, leaked),                                                        // verbatim eval copy
+      (2L, "completely different words in this one nothing shared at all"),
+      (3L, leaked + " with a short unique suffix appended here")           // partial overlap
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, leaked)).toDF("doc_id", "text")
+    val out = Dedup.decontaminateDocs(train, eval)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("contamination"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(1L)._1 == 1.0 && out(1L)._2)
+    assert(out(2L)._1 == 0.0 && !out(2L)._2)
+    assert(out(3L)._1 > 0.0 && out(3L)._1 < 1.0)
+  }
+
   test("corpus clean: quality gate, exact dup, and near-dup each remove their doc") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
