@@ -76,6 +76,10 @@ object SparkEntry {
     "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
     // train/eval n-gram containment (test-set-leakage guard)
     "q_decontaminate"  -> (Dedup.decontaminate _),
+    // sequence packing: token-budget shards (two-level distributed
+    // prefix sum) + greedy per-shard packing (bounded sequential kernel)
+    "q_pack_shards"    -> (graft.etl.Packing.shards _),
+    "q_pack_greedy"    -> (graft.etl.Packing.greedy _),
     // native banded minhash (Dedup.minhashBanded); the spark.ml
     // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
     // variant but was 60-120 s at sf0.1 vs seconds for the banded form
@@ -609,6 +613,58 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination,
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh >= 0.5 AS contaminated
         |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // running token total (HUGEINT in DuckDB) and its derived shard are
+    // cast to BIGINT to match Spark's long columns; `//`/div is integer
+    // division on both engines
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
+    // the greedy recurrence (new pack when the budget would overflow) as a
+    // recursive CTE advancing every (lang, shard) group in lockstep by
+    // per-group row_number; seed row = each group's first doc
+    "q_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |sd AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY lang, (cum - n_tokens) // 2048
+        |      ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM c),
+        |st AS (
+        |  SELECT doc_id, lang, shard, rn, n_tokens, n_tokens AS acc,
+        |    CAST(0 AS BIGINT) AS pack
+        |  FROM sd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT sd.doc_id, sd.lang, sd.shard, sd.rn, sd.n_tokens,
+        |    CASE WHEN st.acc + sd.n_tokens <= 2048 THEN st.acc + sd.n_tokens
+        |         ELSE sd.n_tokens END,
+        |    CASE WHEN st.acc + sd.n_tokens <= 2048 THEN st.pack
+        |         ELSE st.pack + 1 END
+        |  FROM st JOIN sd ON sd.lang = st.lang AND sd.shard = st.shard
+        |    AND sd.rn = st.rn + 1)
+        |SELECT doc_id, lang, shard, pack, n_tokens FROM st""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (

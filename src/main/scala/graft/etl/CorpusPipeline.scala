@@ -49,10 +49,18 @@ object CorpusPipeline {
           / length(col("text")))
       .where(col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5)
     val wHash = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+    // localCheckpoint: everything downstream — postings, sizes, the node
+    // list, and the final semi-join — consumes this base, and without
+    // materialization each consumer re-runs the scan + quality filter +
+    // sha256 window (~6 recomputations of the most expensive upstream
+    // stage). Blocks are released by the harness's getPersistentRDDs
+    // sweep; at 100 TB this would be a persist(DISK_ONLY) or an
+    // intermediate table write instead of memory blocks.
     val exact = quality
       .withColumn("rn", row_number().over(wHash))
       .where(col("rn") === 1)
       .select("doc_id", "text", "lang", "n_chars", "n_tokens")
+      .localCheckpoint(true)
     val base = exact.select("doc_id", "text")
     val sh = Dedup.rarePostings(base, maxDf = 100L).cache()
     val pairs =

@@ -1,0 +1,121 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sequence packing for training-data pipelines: assign documents to
+  * fixed-token-budget training shards, then greedily pack documents into
+  * model sequences within each shard — the step between a cleaned corpus
+  * (graft.etl.CorpusPipeline) and a tokenizer/loader.
+  *
+  * Two operators, deliberately layered for scale:
+  *
+  *  1. [[packShards]] — a deterministic token-budget SHARDING: documents
+  *     in (lang, doc_id) order are cut into shards of ~budget tokens by
+  *     the running token total. The running total is computed as a
+  *     two-level distributed prefix sum (within-chunk cumsum + cumulative
+  *     chunk totals joined back), NOT as one window over the whole
+  *     language: a per-language window is the reference's global-window
+  *     hazard all over again — one range partition per language would
+  *     sort corpus-sized data on a single task at 100 TB. Chunk size
+  *     bounds every window partition; the second-level scan runs over
+  *     corpus/chunkDocs rows (recurse the same trick if THAT ever gets
+  *     big — two levels with the default covers ~10^9 docs per language).
+  *  2. [[packGreedyDocs]] — exact greedy first-fit packing WITHIN a
+  *     shard (new sequence when the budget would overflow). Greedy
+  *     packing is inherently sequential, so it runs as a typed
+  *     flatMapGroups per (lang, shard) — and stays scale-safe precisely
+  *     because stage 1 bounded each shard to ~budget tokens plus one
+  *     straddling document. Never run a sequential packer per LANGUAGE;
+  *     always per bounded shard.
+  *
+  * Both stages are pure functions of (doc_id, lang, n_tokens), so the
+  * composition is oracle-checkable end to end (`q_pack_shards`,
+  * `q_pack_greedy` — the greedy recurrence maps to a DuckDB recursive
+  * CTE that advances all (lang, shard) groups in lockstep).
+  */
+object Packing {
+
+  /** BPE-ish token counts per document (same regex family as
+    * TextAnalytics.tokenCount: letter runs / digit runs / single
+    * punctuation) — the cheap deterministic proxy for tokenizer budget. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        .as("n_tokens"))
+
+  /** Token-budget sharding: shard = (running token total before this doc)
+    * div budget, over documents in (lang, doc_id) order. A document whose
+    * tokens straddle a boundary belongs to the shard where it STARTS, so
+    * shards hold ~budget tokens (never less than budget unless the
+    * language runs out, at most budget + its last doc's overhang).
+    *
+    * @param chunkDocs  doc_ids per first-level chunk; every window
+    *                   partition in the scan is ≤ this many rows
+    */
+  def packShards(docs: DataFrame, budget: Long = 2048L,
+      chunkDocs: Long = 1024L): DataFrame = {
+    val t = tokenCounts(docs).withColumn("chunk", expr(s"doc_id div $chunkDocs"))
+    // level 1: cumsum within (lang, chunk) — partition bounded by chunkDocs
+    val wChunk = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = t.withColumn("wcum", sum("n_tokens").over(wChunk))
+    // level 2: cumulative totals of PRIOR chunks — corpus/chunkDocs rows,
+    // broadcast back (chunk-count-sized, ~MBs even at petabyte corpora)
+    val wPrev = Window.partitionBy("lang").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkPrefix = t.groupBy("lang", "chunk")
+      .agg(sum("n_tokens").as("ctot"))
+      .withColumn("cpre", coalesce(sum("ctot").over(wPrev), lit(0L)))
+      .select("lang", "chunk", "cpre")
+    within
+      .join(broadcast(chunkPrefix), Seq("lang", "chunk"))
+      .withColumn("cum", col("cpre") + col("wcum"))
+      .withColumn("shard", expr(s"(cum - n_tokens) div $budget"))
+      .select("doc_id", "lang", "n_tokens", "shard")
+  }
+
+  /** Row shape of [[packShards]] output (public: encoder codegen needs
+    * constructor access). */
+  case class ShardDoc(doc_id: Long, lang: String, shard: Long, n_tokens: Long)
+
+  /** Greedy sequence packing within each (lang, shard): walk documents in
+    * doc_id order, open a new pack when adding the next document would
+    * exceed the budget (a single over-budget document still gets its own
+    * pack). Input must carry (doc_id, lang, shard, n_tokens) — normally
+    * [[packShards]] output, which also bounds each group to ~budget
+    * tokens so the per-group walk is O(budget/avg_doc). */
+  def packGreedyDocs(shards: DataFrame, budget: Long = 2048L): DataFrame = {
+    val s = shards.sparkSession
+    import s.implicits._
+    shards.select("doc_id", "lang", "shard", "n_tokens").as[ShardDoc]
+      .groupByKey(p => (p.lang, p.shard))
+      .flatMapGroups { (_: (String, Long), it: Iterator[ShardDoc]) =>
+        val docs = it.toArray.sortBy(_.doc_id)
+        val out = new Array[(Long, String, Long, Long, Long)](docs.length)
+        var acc = 0L
+        var pack = 0L
+        var i = 0
+        while (i < docs.length) {
+          val d = docs(i)
+          if (i > 0 && acc + d.n_tokens > budget) { pack += 1; acc = d.n_tokens }
+          else acc += d.n_tokens
+          out(i) = (d.doc_id, d.lang, d.shard, pack, d.n_tokens)
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_id", "lang", "shard", "pack", "n_tokens")
+  }
+
+  /** Gate query: token-budget shards over the documents table. */
+  def shards(s: SparkSession, d: String): DataFrame =
+    packShards(Tables.documents(s, d))
+
+  /** Gate query: greedy packs within the shards of [[shards]]. */
+  def greedy(s: SparkSession, d: String): DataFrame =
+    packGreedyDocs(packShards(Tables.documents(s, d)))
+}
