@@ -96,6 +96,9 @@ object SparkEntry {
     // streaming (extension): windowed means via Structured Streaming,
     // oracle-checked against the SAME SQL as the batch resample
     "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
+    // streaming exact dedup: events streamed twice (two unioned file
+    // sources), dropDuplicatesWithinWatermark must recover the table
+    "q_stream_dedup"   -> (graft.streaming.EventStreams.streamDedup _),
     // typed grouped forecasting kernel (U1/U2 replacement)
     "q_holt_prep"      -> ((s: SparkSession, d: String) => HoltForecast.prep(s, d)),
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
@@ -299,6 +302,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
         |  count(*) AS n, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the streaming dedup saw every row twice; dropping duplicates by
+    // event_id must recover exactly the base table
+    "q_stream_dedup" ->
+      "SELECT event_id, ts, user_id, event_type, value FROM events",
 
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

@@ -98,6 +98,41 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Batch-checkable streaming dedup gate query: stream the events
+    * parquet through TWO independent file sources unioned — so every row
+    * arrives (at least) twice — and drop duplicates by event_id within
+    * the watermark. The drained result must equal the plain events table
+    * row for row, which is exactly what the DuckDB oracle selects: the
+    * dedup STATE is what's being hash-checked. Append mode emits each
+    * key's first arrival immediately; state for a key is evicted once
+    * the watermark passes its event time (bounded by key cardinality per
+    * horizon, never by stream length). */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    try {
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      def src: DataFrame = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val name = "graft_stream_dedup"
+      val q = dedupStream(src.unionAll(src)).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)
