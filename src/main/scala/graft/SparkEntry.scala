@@ -80,6 +80,9 @@ object SparkEntry {
     // prefix sum) + greedy per-shard packing (bounded sequential kernel)
     "q_pack_shards"    -> (graft.etl.Packing.shards _),
     "q_pack_greedy"    -> (graft.etl.Packing.greedy _),
+    // multimodal: typed mapPartitions feature pass over opaque binary
+    // payloads (SQL-expressible projection; floats stay spec-tested)
+    "q_media_features" -> (graft.multimodal.Media.mediaFeatures _),
     // native banded minhash (Dedup.minhashBanded); the spark.ml
     // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
     // variant but was 60-120 s at sf0.1 vs seconds for the banded form
@@ -621,6 +624,14 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination,
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh >= 0.5 AS contaminated
         |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // kind/width/height are synthesized from doc_id; n_bytes is the
+    // UTF-8 payload length on both engines (Spark encode == DuckDB encode)
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     // running token total (HUGEINT in DuckDB) and its derived shard are
     // cast to BIGINT to match Spark's long columns; `//`/div is integer

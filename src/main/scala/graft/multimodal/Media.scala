@@ -68,6 +68,16 @@ object Media {
     }
   }
 
+  /** Gate query: the SQL-expressible projection of [[extractFeatures]]
+    * (media identity, kind, payload byte count) — hash-checks the
+    * mediaTable synthesis + the typed mapPartitions feature pass against
+    * DuckDB's octet_length over the same UTF-8 payload. The float
+    * feature vector and byte_mean stay spec-tested (cross-engine float
+    * folds aren't hash-stable). */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    extractFeatures(mediaTable(s, d))
+      .select(col("media_id"), col("kind"), col("n_bytes"))
+
   /** Frame-sampling analog for "video": slice the payload into fixed-size
     * frames and keep every `stride`-th — pure byte plumbing, shows the
     * explode-with-metadata shape real frame sampling needs. */
