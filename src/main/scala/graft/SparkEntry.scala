@@ -74,6 +74,8 @@ object SparkEntry {
     "q_dedup_clean"    -> (Dedup.dedupClean _),
     // composed flagship: quality gate -> exact dedup -> near-dup dedup
     "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
+    // quality-tiered epoch mixing (upsampling weights before packing)
+    "q_corpus_mix"     -> (graft.etl.CorpusPipeline.mix _),
     // train/eval n-gram containment (test-set-leakage guard)
     "q_decontaminate"  -> (Dedup.decontaminate _),
     // sequence packing: token-budget shards (two-level distributed
@@ -624,6 +626,28 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination,
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh >= 0.5 AS contaminated
         |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // epoch fan-out via generate_series; tier thresholds mirror the
+    // Spark-side CASE exactly (same token/alpha expressions as textStats)
+    "q_corpus_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio
+        |  FROM documents),
+        |tiers AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CASE WHEN alpha_ratio >= 0.7 AND n_tokens >= 20 THEN 'hi'
+        |         WHEN alpha_ratio >= 0.5 AND n_tokens >= 5 THEN 'mid'
+        |         ELSE 'low' END AS tier
+        |  FROM t),
+        |w AS (
+        |  SELECT *, CASE tier WHEN 'hi' THEN 2 WHEN 'mid' THEN 1 ELSE 0 END AS epochs
+        |  FROM tiers)
+        |SELECT doc_id, lang, tier, n_tokens,
+        |  CAST(unnest(generate_series(1, epochs)) AS INTEGER) AS epoch
+        |FROM w WHERE epochs >= 1""".stripMargin,
 
     // kind/width/height are synthesized from doc_id; n_bytes is the
     // UTF-8 payload length on both engines (Spark encode == DuckDB encode)

@@ -38,6 +38,40 @@ object CorpusPipeline {
   def corpusClean(s: SparkSession, d: String): DataFrame =
     corpusCleanDocs(Tables.documents(s, d))
 
+  /** Quality-tiered epoch mixing — the sampling-weights step of a
+    * training-data recipe: score each document into a tier, replicate it
+    * `epochs(tier)` times with an epoch index (upsampling high-quality
+    * data), drop tiers weighted 0. Pure per-row compute + a bounded
+    * explode (fan-out = max epochs, a small constant) — shuffle-free,
+    * so it scales like any projection. Deterministic: tiers come from
+    * content statistics, not randomness; downstream shuffling is the
+    * reader's job (`Relational.hashSample` family). */
+  def corpusMix(docs: DataFrame,
+      epochs: Map[String, Int] = Map("hi" -> 2, "mid" -> 1, "low" -> 0)): DataFrame = {
+    val toks = TextAnalytics.tokens(col("text"))
+    val tiered = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text")))
+      .withColumn("tier",
+        when(col("alpha_ratio") >= 0.7 && col("n_tokens") >= 20, "hi")
+          .when(col("alpha_ratio") >= 0.5 && col("n_tokens") >= 5, "mid")
+          .otherwise("low"))
+    val epochExpr = epochs.foldLeft(lit(0)) { case (acc, (t, n)) =>
+      when(col("tier") === t, lit(n)).otherwise(acc)
+    }
+    tiered
+      .withColumn("epochs", epochExpr)
+      .where(col("epochs") >= 1) // Spark's sequence(1, 0) steps BACKWARD
+      .select(col("doc_id"), col("lang"), col("tier"), col("n_tokens"),
+        explode(sequence(lit(1), col("epochs"))).as("epoch"))
+  }
+
+  /** Gate query form of [[corpusMix]] over the documents table. */
+  def mix(s: SparkSession, d: String): DataFrame =
+    corpusMix(Tables.documents(s, d))
+
   /** [[corpusClean]] over an arbitrary (doc_id, text, lang, n_chars)
     * DataFrame — the testable form. */
   def corpusCleanDocs(docs: DataFrame): DataFrame = {

@@ -88,6 +88,23 @@ object Packing {
     * pack). Input must carry (doc_id, lang, shard, n_tokens) — normally
     * [[packShards]] output, which also bounds each group to ~budget
     * tokens so the per-group walk is O(budget/avg_doc). */
+  /** The greedy recurrence as a pure fold (property-tested without a
+    * SparkSession): pack index per position given token counts in order.
+    * First item always opens pack 0, even when alone over budget. */
+  def greedyPacks(tokens: Array[Long], budget: Long): Array[Long] = {
+    val out = new Array[Long](tokens.length)
+    var acc = 0L
+    var pack = 0L
+    var i = 0
+    while (i < tokens.length) {
+      if (i > 0 && acc + tokens(i) > budget) { pack += 1; acc = tokens(i) }
+      else acc += tokens(i)
+      out(i) = pack
+      i += 1
+    }
+    out
+  }
+
   def packGreedyDocs(shards: DataFrame, budget: Long = 2048L): DataFrame = {
     val s = shards.sparkSession
     import s.implicits._
@@ -95,18 +112,10 @@ object Packing {
       .groupByKey(p => (p.lang, p.shard))
       .flatMapGroups { (_: (String, Long), it: Iterator[ShardDoc]) =>
         val docs = it.toArray.sortBy(_.doc_id)
-        val out = new Array[(Long, String, Long, Long, Long)](docs.length)
-        var acc = 0L
-        var pack = 0L
-        var i = 0
-        while (i < docs.length) {
-          val d = docs(i)
-          if (i > 0 && acc + d.n_tokens > budget) { pack += 1; acc = d.n_tokens }
-          else acc += d.n_tokens
-          out(i) = (d.doc_id, d.lang, d.shard, pack, d.n_tokens)
-          i += 1
+        val packs = greedyPacks(docs.map(_.n_tokens), budget)
+        docs.iterator.zip(packs.iterator).map { case (d, p) =>
+          (d.doc_id, d.lang, d.shard, p, d.n_tokens)
         }
-        out.iterator
       }
       .toDF("doc_id", "lang", "shard", "pack", "n_tokens")
   }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.etl.Packing
 
 /** Sequence packing: token-budget sharding (distributed prefix sum) and
@@ -55,6 +56,34 @@ class PackingSpec extends SparkTestBase {
     // every input doc is packed exactly once
     assert(packed.count() == d.count())
     assert(packed.select("doc_id").distinct().count() == d.count())
+  }
+
+  test("greedyPacks properties: capacity, monotonicity, maximality") {
+    val cases = for {
+      budget <- Gen.choose(1L, 200L)
+      toks   <- Gen.listOf(Gen.choose(0L, 60L))
+    } yield (budget, toks.toArray)
+    val prop = Prop.forAll(cases) { case (budget, toks) =>
+      val packs = Packing.greedyPacks(toks, budget)
+      val byPack = toks.indices.groupBy(packs(_))
+      val capacity = byPack.values.forall { idx =>
+        idx.map(toks(_)).sum <= budget || idx.size == 1
+      }
+      // pack ids start at 0 and never skip
+      val monotone = packs.isEmpty ||
+        (packs.head == 0L && packs.sliding(2).forall {
+          case Array(a, b) => b == a || b == a + 1; case _ => true
+        })
+      // greedy maximality: a new pack only opens when the previous one
+      // genuinely could not take the next item
+      val maximal = toks.indices.drop(1).forall { i =>
+        packs(i) == packs(i - 1) ||
+          byPack(packs(i - 1)).map(toks(_)).sum + toks(i) > budget
+      }
+      capacity && monotone && maximal
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("packGreedyDocs: pack ids are consecutive from 0 in doc order") {
