@@ -68,6 +68,42 @@ object Media {
     }
   }
 
+  /** Resize analog: deterministic payload subsampling to the target
+    * dimension ratio (every k-th byte for a k× area reduction) with the
+    * metadata updated in lockstep — the plumbing shape of a real
+    * image-resize stage (new dims + new payload + provenance), stub
+    * codec like [[decodeStub]]. Upscaling passes bytes through
+    * unchanged (a real codec would interpolate). */
+  def resizeStub(content: Array[Byte], scale: Double): Array[Byte] = {
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    if (scale >= 1.0 || content.isEmpty) content
+    else {
+      val step = math.max(1, math.round(1.0 / scale).toInt)
+      val out = new Array[Byte]((content.length + step - 1) / step)
+      var i = 0
+      var j = 0
+      while (i < content.length) { out(j) = content(i); i += step; j += 1 }
+      out
+    }
+  }
+
+  /** Resize a media table to bounded target dims: per-partition typed
+    * pass (codec init amortized, same shape as [[extractFeatures]]),
+    * emitting updated metadata + subsampled payload + the original dims
+    * for provenance. */
+  def resize(media: Dataset[MediaRow], maxW: Int, maxH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val scale = math.min(1.0, math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+        val w = math.max(1, math.round(r.width * scale).toInt)
+        val h = math.max(1, math.round(r.height * scale).toInt)
+        (r.media_id, r.kind, r.width, r.height, w, h,
+          resizeStub(r.content, scale * scale)) // area ratio drives bytes
+      }
+    }.toDF("media_id", "kind", "src_width", "src_height", "width", "height", "content")
+  }
+
   /** Gate query: the SQL-expressible projection of [[extractFeatures]]
     * (media identity, kind, payload byte count) — hash-checks the
     * mediaTable synthesis + the typed mapPartitions feature pass against

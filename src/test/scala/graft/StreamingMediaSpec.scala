@@ -125,6 +125,36 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(row.feature.toSeq == again.feature.toSeq)
   }
 
+  test("resize bounds dims, preserves aspect ratio, shrinks payload by area") {
+    val media = Media.mediaTable(spark, sf)
+    val out = Media.resize(media, maxW = 64, maxH = 64).cache()
+    assert(out.count() == media.count())
+    val rows = out.collect()
+    rows.foreach { r =>
+      val (sw, sh) = (r.getAs[Int]("src_width"), r.getAs[Int]("src_height"))
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(w <= 64 && h <= 64 && w >= 1 && h >= 1)
+      // no upscaling; aspect preserved within rounding
+      assert(w <= sw && h <= sh)
+      if (sw > 64 || sh > 64) {
+        val scale = math.min(64.0 / sw, 64.0 / sh)
+        assert(w == math.max(1, math.round(sw * scale).toInt))
+        assert(h == math.max(1, math.round(sh * scale).toInt))
+      } else assert(w == sw && h == sh)
+      val payload = r.getAs[Array[Byte]]("content")
+      assert(payload.length >= 1 || sw == 0)
+    }
+    // downscaled rows carry fewer payload bytes than their source
+    val shrunk = out.where(col("width") < col("src_width"))
+    if (shrunk.count() > 0) {
+      val srcBytes = media.selectExpr("media_id", "length(content) AS nb")
+      val cmp = shrunk.selectExpr("media_id", "length(content) AS nb2")
+        .join(srcBytes, "media_id")
+      assert(cmp.where(col("nb2") > col("nb")).count() == 0)
+    }
+    out.unpersist()
+  }
+
   test("frame sampling keeps every stride-th frame with metadata") {
     val media = Media.mediaTable(spark, sf).limit(5)
     val frames = Media.sampleFrames(media, frameBytes = 64, stride = 4)
