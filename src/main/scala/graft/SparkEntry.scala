@@ -76,6 +76,8 @@ object SparkEntry {
     "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
     // quality-tiered epoch mixing (upsampling weights before packing)
     "q_corpus_mix"     -> (graft.etl.CorpusPipeline.mix _),
+    // composed tail: clean -> pack (ragged doc_ids through the prefix sum)
+    "q_corpus_pack"    -> (graft.etl.CorpusPipeline.corpusPack _),
     // train/eval n-gram containment (test-set-leakage guard)
     "q_decontaminate"  -> (Dedup.decontaminate _),
     // sequence packing: token-budget shards (two-level distributed
@@ -169,6 +171,27 @@ object SparkEntry {
       |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id)""".stripMargin
 
   private val NgramReachCtes: String = ngramReachCtes("documents")
+
+  /** The full corpus-clean CTE chain (quality gate → exact dedup →
+    * near-dup reachability → keepers) over `documents` — shared by the
+    * `q_corpus_clean` / `q_corpus_pack` oracles so the composed recipe's
+    * stages can never drift apart. */
+  private val CorpusCleanCtes: String =
+    s"""quality AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS alpha_ratio
+      |  FROM documents),
+      |exdedup AS (
+      |  SELECT doc_id, text, lang, n_chars, n_tokens FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |    FROM quality WHERE n_tokens >= 5 AND alpha_ratio >= 0.5) t
+      |  WHERE rn = 1),
+      |base AS (SELECT doc_id, text FROM exdedup),
+      |${ngramPairCtes("base")},
+      |${ngramReachCtes("base")},
+      |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)""".stripMargin
 
   /** DuckDB oracles; keys absent here (ML fits, LSH, simhash, Holt, IVF)
     * get the driver's weaker rows-only check — they are either seeded
@@ -589,23 +612,27 @@ object SparkEntry {
     // composed training-data recipe: quality gate -> exact dedup ->
     // near-dup components, all over the SAME base the Spark pipeline uses
     "q_corpus_clean" ->
-      s"""WITH RECURSIVE quality AS (
-        |  SELECT doc_id, text, lang, n_chars,
-        |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |      / length(text) AS alpha_ratio
-        |  FROM documents),
-        |exdedup AS (
-        |  SELECT doc_id, text, lang, n_chars, n_tokens FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-        |    FROM quality WHERE n_tokens >= 5 AND alpha_ratio >= 0.5) t
-        |  WHERE rn = 1),
-        |base AS (SELECT doc_id, text FROM exdedup),
-        |${ngramPairCtes("base")},
-        |${ngramReachCtes("base")},
-        |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
+      s"""WITH RECURSIVE $CorpusCleanCtes
         |SELECT e.doc_id, e.lang, e.n_chars, e.n_tokens
         |FROM exdedup e JOIN keepers k ON e.doc_id = k.id""".stripMargin,
+
+    // the composed recipe's tail: token-budget shards over the cleaned
+    // corpus (non-dense surviving doc_ids drive the chunked prefix sum)
+    "q_corpus_pack" ->
+      s"""WITH RECURSIVE $CorpusCleanCtes,
+        |surv AS (
+        |  SELECT e.doc_id, e.lang,
+        |    CAST(len(regexp_extract_all(e.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM exdedup e JOIN keepers k ON e.doc_id = k.id),
+        |cc AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM surv)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
+        |FROM cc""".stripMargin,
 
     // containment is against the eval shingle SET (distinct), train docs
     // with < 3 tokens have no shingles and no row — both sides agree

@@ -72,6 +72,18 @@ object CorpusPipeline {
   def mix(s: SparkSession, d: String): DataFrame =
     corpusMix(Tables.documents(s, d))
 
+  /** Composed recipe tail: token-budget shards over the CLEANED corpus —
+    * clean → pack chained end to end. Besides being the real pipeline
+    * order (dedup before packing, so replicas never inflate shard
+    * budgets), the semi-join makes the surviving doc_ids NON-dense,
+    * which exercises the chunked prefix sum with ragged chunks. Executes
+    * eagerly (see [[corpusCleanDocs]]). */
+  def corpusPack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = corpusCleanDocs(docs).select("doc_id")
+    Packing.packShards(docs.join(keep, Seq("doc_id"), "left_semi"))
+  }
+
   /** [[corpusClean]] over an arbitrary (doc_id, text, lang, n_chars)
     * DataFrame — the testable form. */
   def corpusCleanDocs(docs: DataFrame): DataFrame = {
