@@ -106,6 +106,9 @@ object SparkEntry {
     // streaming exact dedup: events streamed twice (two unioned file
     // sources), dropDuplicatesWithinWatermark must recover the table
     "q_stream_dedup"   -> (graft.streaming.EventStreams.streamDedup _),
+    // streaming sessionization via native session_window (event-time gap
+    // sessions), oracled at full timestamp precision
+    "q_stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize _),
     // typed grouped forecasting kernel (U1/U2 replacement)
     "q_holt_prep"      -> ((s: SparkSession, d: String) => HoltForecast.prep(s, d)),
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
@@ -390,6 +393,28 @@ object SparkEntry {
         |  SELECT *, CASE WHEN prev_ts IS NULL
         |      OR CAST(floor(epoch(ts)) AS BIGINT)
         |         - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_sess FROM o),
+        |s AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // session_window semantics: new session when ts > prev + gap at FULL
+    // timestamp precision — an event landing exactly on the gap boundary
+    // still merges (verified by spec). The batch q_sessionize oracle
+    // instead floors epochs to whole seconds (reference-lineage
+    // semantics); both use the strict > split.
+    "q_stream_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL '30 minutes'
         |    THEN 1 ELSE 0 END AS new_sess FROM o),
         |s AS (
         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -133,6 +133,64 @@ object EventStreams {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Event-time sessionization via the NATIVE session_window function:
+    * per-user sessions that close after `gap` idle time, aggregated with
+    * the same DECIMAL-exact sum as the batch sessionizer. Works on batch
+    * and streaming frames alike (same plan, streaming adds state). Gap
+    * semantics are full event-time precision: a new session starts only
+    * when ts > previous ts + gap — an event exactly on the boundary still
+    * merges (session windows [t, t+gap] union on touch; spec-verified).
+    * The batch `TemporalJoins.sessionize` keeps the reference lineage's
+    * whole-second truncation instead — the two agree everywhere except
+    * sub-second straddles of the gap boundary, and each is oracle-checked
+    * against its own semantics. Scale: state is one
+    * (user, open-session) record per active key, merged by the session
+    * state store; the shuffle is the same user_id hash exchange as the
+    * batch window. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(max("ts").as("s_end"), count(lit(1)).as("n_events"),
+        graft.operators.exactSum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("s_end"), col("n_events"), col("value_sum"))
+
+  /** Gate query: stream the events parquet through [[sessionWindows]]
+    * into a memory sink (complete mode — the drain is the harness;
+    * production writes append past the watermark), then number each
+    * user's sessions by start time so the output matches the batch
+    * ordinal convention. Oracled against a DuckDB lag/gap cumulative-sum
+    * derivation at full timestamp precision (`q_stream_sessionize`). */
+  def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    try {
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val name = "graft_stream_sessionize"
+      val q = sessionWindows(stream).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Complete())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("s_start")
+      s.table(name)
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select("user_id", "session_id", "s_start", "s_end", "n_events", "value_sum")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)

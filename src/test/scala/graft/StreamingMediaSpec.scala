@@ -45,6 +45,34 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(ids.sorted == Seq(1L, 2L), s"got $ids")
   }
 
+  test("session_window sessionization merges at exactly the gap, splits just over") {
+    val dir = Files.createTempDirectory("graft_swin_").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: e2 is 1799.5 s after e1 (merge), e3 is EXACTLY 1800 s
+      // after e2 (still merges — boundary touch), e4 is 1800.5 s after e3
+      // (new session)
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:29:59.5"), 1L, "click", 2.0),
+      (3L, ts("2024-01-01 00:59:59.5"), 1L, "click", 4.0),
+      (4L, ts("2024-01-01 01:30:00"), 1L, "click", 16.0),
+      // user 2: one lone event
+      (5L, ts("2024-01-01 12:00:00"), 2L, "view", 8.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(EventStreams.eventSchema).parquet(dir)
+    val q = EventStreams.sessionWindows(stream).writeStream
+      .format("memory").queryName("swin_test").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("swin_test")
+      .orderBy("user_id", "s_start")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("value_sum")))
+      .toSeq
+    assert(out == Seq((1L, 3L, 7.0), (1L, 1L, 16.0), (2L, 1L, 8.0)), s"got $out")
+  }
+
   test("sessionize state machine counts per-user events") {
     val dir = Files.createTempDirectory("graft_sess_").toString
     Tables.events(spark, sf)
