@@ -65,6 +65,12 @@ object SparkEntry {
     "q_lang_id"        -> (TextAnalytics.langId _),
     "q_token_count"    -> (TextAnalytics.tokenCount _),
     "q_fingerprint"    -> (TextAnalytics.fingerprint _),
+    // Gopher-style repetition quality filters (top-bigram share +
+    // duplicate-trigram fraction)
+    "q_repetition"     -> ((s: SparkSession, d: String) => TextAnalytics.repetitionStats(s, d)),
+    // whitespace/case normalization + email/digit-run redaction over a
+    // deterministically synthesized noisy input
+    "q_normalize_redact" -> (TextAnalytics.normalizeRedact _),
     // LLM-pipeline: dedup
     "q_dedup_exact"    -> (Dedup.exact _),
     "q_ngram_jaccard"  -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -601,6 +607,53 @@ object SparkEntry {
         |          (a, b) -> (a * 131 + b) % 1000000007))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
         |FROM documents""".stripMargin,
+
+    // counts are BIGINT-cast (DuckDB HUGEINT sums degrade to float64 in
+    // the driver's pandas hash); ratio math is identical double division
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |bgc AS (SELECT doc_id, sh, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+        |    CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM bgc GROUP BY 1),
+        |tgc AS (SELECT doc_id, sh, count(*) AS c FROM tg GROUP BY 1, 2),
+        |tstat AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_trigrams,
+        |    CAST(sum(c) AS BIGINT) AS n_trigrams
+        |  FROM tgc GROUP BY 1)
+        |SELECT b.doc_id, top_bigram_n, n_bigrams,
+        |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_ratio,
+        |  1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams AS dup_trigram_ratio,
+        |  (CAST(top_bigram_n AS DOUBLE) / n_bigrams > 0.18
+        |    OR 1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams > 0.30) AS repetitive
+        |FROM bstat b JOIN tstat USING (doc_id)""".stripMargin,
+
+    // same synthesized noisy input on both sides; DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all default
+    "q_normalize_redact" ->
+      """WITH synth AS (
+        |  SELECT doc_id, concat(upper(text), '  Contact: user', CAST(doc_id AS VARCHAR),
+        |    '@example.com  call 555', CAST(doc_id AS VARCHAR), ' now') AS s0
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, CAST(length(s0) AS INTEGER) AS raw_len,
+        |    lower(trim(regexp_replace(s0, '\s+', ' ', 'g'))) AS n0
+        |  FROM synth)
+        |SELECT doc_id, raw_len,
+        |  regexp_replace(regexp_replace(n0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |    '[0-9]{3,}', '<num>', 'g') AS redacted
+        |FROM norm""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, text_hash, lang, n_chars FROM (

@@ -99,6 +99,74 @@ object TextAnalytics {
       .select("doc_id", "rank", "term", "tf", "df", "score")
   }
 
+  /** Word n-grams WITH multiplicity — repetition analysis needs counts,
+    * unlike the dedup shingles (which are distinct per doc). Domain is
+    * docs with ≥ 3 tokens so the bigram and trigram stats share it. */
+  private def grams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
+        .as("sh"))
+
+  /** Gopher-style repetition filters: per document, the share of its most
+    * frequent bigram among all bigrams and the duplicate-trigram fraction
+    * (1 − distinct/total), plus a `repetitive` flag at the standard-ish
+    * thresholds. Catches the looping/boilerplate docs length and stopword
+    * filters miss. Scale shape: one partial-aggregated shuffle on
+    * (doc_id, gram) per width, then a per-doc rollup — never a sort, never
+    * a join wider than doc-count rows. */
+  def repetitionStats(s: SparkSession, d: String,
+      topBigramTau: Double = 0.18, dupTrigramTau: Double = 0.30): DataFrame =
+    repetitionStatsDocs(Tables.documents(s, d), topBigramTau, dupTrigramTau)
+
+  /** [[repetitionStats]] over an arbitrary (doc_id, text) frame. */
+  def repetitionStatsDocs(docs: DataFrame,
+      topBigramTau: Double = 0.18, dupTrigramTau: Double = 0.30): DataFrame = {
+    val bg = grams(docs, 2).groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"), sum("c").as("n_bigrams"))
+    val tg = grams(docs, 3).groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_trigrams"), sum("c").as("n_trigrams"))
+    bg.join(tg, Seq("doc_id"))
+      .withColumn("top_bigram_ratio",
+        col("top_bigram_n").cast("double") / col("n_bigrams"))
+      .withColumn("dup_trigram_ratio",
+        lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
+      .withColumn("repetitive",
+        col("top_bigram_ratio") > topBigramTau || col("dup_trigram_ratio") > dupTrigramTau)
+      .select("doc_id", "top_bigram_n", "n_bigrams", "top_bigram_ratio",
+        "dup_trigram_ratio", "repetitive")
+  }
+
+  /** Whitespace-collapse + lowercase normalization followed by PII-style
+    * redaction (emails, then ≥3-digit runs → placeholders) — the cleanup
+    * pass a crawl corpus gets before tokenization. Pure per-row codegen'd
+    * regexp expressions; order matters (emails carry digits, so they are
+    * redacted first). */
+  def normalizeRedactText(text: Column): Column = {
+    val norm = lower(trim(regexp_replace(text, "\\s+", " ")))
+    regexp_replace(
+      regexp_replace(norm,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+      "[0-9]{3,}", "<num>")
+  }
+
+  /** Gate query: the testdata text is already clean ASCII, so the noisy,
+    * PII-bearing input is SYNTHESIZED deterministically from it (uppercase
+    * + doubled spaces + an email and a phone-ish digit run derived from
+    * doc_id) in both engines, then normalized and redacted — the oracle
+    * hash-checks the full output string. */
+  def normalizeRedact(s: SparkSession, d: String): DataFrame = {
+    val synth = concat(upper(col("text")),
+      lit("  Contact: user"), col("doc_id").cast("string"),
+      lit("@example.com  call 555"), col("doc_id").cast("string"), lit(" now"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(synth).as("raw_len"),
+      normalizeRedactText(synth).as("redacted"))
+  }
+
   /** Document fingerprints: (a) md5 over the sorted distinct token set —
     * an order-insensitive bag-of-words identity; (b) a polynomial rolling
     * hash over the token sequence (order-sensitive), char-fold 131 /

@@ -69,6 +69,38 @@ class TextDedupSpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getAs[Long]("b_id") == 3L && r.getAs[Double]("jaccard") > 0.2))
   }
 
+  test("repetition stats flag a looping doc, pass a diverse one") {
+    val df = Seq(
+      // 10× the same bigram-heavy loop: top bigram dominates, trigrams repeat
+      (1L, Seq.fill(10)("buy now").mkString(" ")),
+      // diverse text: all bigrams/trigrams unique
+      (2L, "the quick brown fox jumps over a lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.repetitionStatsDocs(df)
+      .orderBy("doc_id").collect()
+    val looping = out(0)
+    assert(looping.getAs[Boolean]("repetitive"))
+    assert(looping.getAs[Double]("dup_trigram_ratio") > 0.5)
+    // "now buy" appears 9x of 19 bigrams; "buy now" 10x
+    assert(looping.getAs[Long]("top_bigram_n") == 10L)
+    assert(looping.getAs[Long]("n_bigrams") == 19L)
+    val diverse = out(1)
+    assert(!diverse.getAs[Boolean]("repetitive"))
+    assert(diverse.getAs[Double]("dup_trigram_ratio") == 0.0)
+  }
+
+  test("normalize+redact collapses whitespace, lowercases, masks emails and digit runs") {
+    val df = Seq((1L, "Call  555-0199 \t or mail Bob.Smith+x@Example.COM  today"))
+      .toDF("doc_id", "text")
+    val out = df.select(
+      TextAnalytics.normalizeRedactText(col("text")).as("r")).head.getString(0)
+    assert(out == "call <num>-<num> or mail <email> today", s"got '$out'")
+    // idempotent: re-normalizing the redacted form changes nothing
+    val again = df.select(TextAnalytics.normalizeRedactText(
+      TextAnalytics.normalizeRedactText(col("text"))).as("r")).head.getString(0)
+    assert(again == out)
+  }
+
   test("tfidf top terms: rare term outranks common term within a doc") {
     val out = TextAnalytics.tfidfTopTerms(spark, sf, topK = 3).cache()
     assert(out.count() > 0)
