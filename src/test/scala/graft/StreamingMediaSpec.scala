@@ -94,6 +94,51 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("append-mode windowed agg drops events older than the watermark") {
+    val base = Files.createTempDirectory("graft_late_").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: events at 00:00:05 and 01:00:00 -> watermark becomes 00:50
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:00:05"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "click", 2.0))
+    // batch 2: advance the watermark to 01:50; during this batch the
+    // 00:00 window (end 00:30 < watermark 00:50) is emitted and evicted
+    val b2 = Seq(
+      (3L, ts("2024-01-01 02:00:00"), 1L, "click", 8.0))
+    // batch 3: a LATE event for the already-emitted 00:00 window — must
+    // be dropped (append mode can never revise an emitted row)
+    val b3 = Seq(
+      (4L, ts("2024-01-01 00:00:10"), 1L, "click", 4.0))
+    val staged = s"$base/staged"
+    new java.io.File(staged).mkdirs()
+    val now = System.currentTimeMillis()
+    for (((rows, i)) <- Seq(b1, b2, b3).zipWithIndex) {
+      val tmp = s"$base/f$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/part-$i.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(now - 60000L + i * 30000L) // mtime drives batch order
+    }
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = EventStreams.windowedMeans(stream).writeStream
+      .format("memory").queryName("late_test").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("late_test").orderBy("bucket").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("bucket").toString,
+        r.getAs[Long]("n"), r.getAs[Double]("avg_value")))
+      .toSeq
+    // the 00:00 window finalized WITHOUT the late value-4 event (exactly
+    // one emission, never revised); the 01:00 window finalized once the
+    // watermark passed it; the 02:00 window never finalized (watermark
+    // stopped at 01:50)
+    assert(out == Seq(
+      ("2024-01-01 00:00:00.0", 1L, 1.0),
+      ("2024-01-01 01:00:00.0", 1L, 2.0)), s"got $out")
+  }
+
   test("streaming Holt matches the batch fold across multiple micro-batches") {
     val base = Files.createTempDirectory("graft_sholt_").toString
     val ev = Tables.events(spark, sf)
