@@ -48,9 +48,21 @@ object CorpusPipeline {
     * reader's job (`Relational.hashSample` family). */
   def corpusMix(docs: DataFrame,
       epochs: Map[String, Int] = Map("hi" -> 2, "mid" -> 1, "low" -> 0)): DataFrame = {
-    val toks = TextAnalytics.tokens(col("text"))
-    val tiered = docs
-      .withColumn("n_tokens", size(toks).cast("long"))
+    val epochExpr = epochs.foldLeft(lit(0)) { case (acc, (t, n)) =>
+      when(col("tier") === t, lit(n)).otherwise(acc)
+    }
+    tiered(docs)
+      .withColumn("epochs", epochExpr)
+      .where(col("epochs") >= 1) // Spark's sequence(1, 0) steps BACKWARD
+      .select(col("doc_id"), col("lang"), col("tier"), col("n_tokens"),
+        explode(sequence(lit(1), col("epochs"))).as("epoch"))
+  }
+
+  /** Documents annotated with token count, alpha ratio, and quality tier
+    * — the shared scoring pass of [[corpusMix]] and [[corpusStats]]. */
+  private def tiered(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(TextAnalytics.tokens(col("text"))).cast("long"))
       .withColumn("alpha_ratio",
         length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
           / length(col("text")))
@@ -58,19 +70,26 @@ object CorpusPipeline {
         when(col("alpha_ratio") >= 0.7 && col("n_tokens") >= 20, "hi")
           .when(col("alpha_ratio") >= 0.5 && col("n_tokens") >= 5, "mid")
           .otherwise("low"))
-    val epochExpr = epochs.foldLeft(lit(0)) { case (acc, (t, n)) =>
-      when(col("tier") === t, lit(n)).otherwise(acc)
-    }
-    tiered
-      .withColumn("epochs", epochExpr)
-      .where(col("epochs") >= 1) // Spark's sequence(1, 0) steps BACKWARD
-      .select(col("doc_id"), col("lang"), col("tier"), col("n_tokens"),
-        explode(sequence(lit(1), col("epochs"))).as("epoch"))
-  }
 
   /** Gate query form of [[corpusMix]] over the documents table. */
   def mix(s: SparkSession, d: String): DataFrame =
     corpusMix(Tables.documents(s, d))
+
+  /** Corpus-composition report: per (lang, quality tier) document and
+    * token totals plus token-length spread — the rollup every
+    * training-data pipeline publishes alongside the corpus (what the mix
+    * weights act on). One partial-aggregated groupBy over per-row scores;
+    * output is |langs|×|tiers| rows. Integer sums and min/max are exact
+    * cross-engine; the mean is derived from them. */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    tiered(Tables.documents(s, d))
+      .groupBy("lang", "tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
 
   /** Composed recipe tail: token-budget shards over the CLEANED corpus —
     * clean → pack chained end to end. Besides being the real pipeline

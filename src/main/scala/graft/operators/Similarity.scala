@@ -195,6 +195,38 @@ object Similarity {
       .toDF("vec_id", "embedding", "nrm", "bucket", "sub")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * ANN storage trick (4× smaller vectors, SIMD-friendly int dot
+    * products): per-vector scale = max |x|, q_i = round(x_i/scale·127)
+    * ∈ [-127, 127]; dequantize as q_i·scale/127. Pure per-row array
+    * expressions (no shuffle); the gate output reports the scale, the
+    * quantized checksum, and the max reconstruction error instead of the
+    * int8 array itself so the oracle hash stays type-stable. Zero vectors
+    * quantize to all-zero with scale 0. At 100 TB the quantized corpus
+    * would be written alongside the IVF bucket assignment and probed with
+    * int arithmetic, re-ranking survivors against the float originals. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    quantizeInt8Vecs(Tables.embeddings(s, d))
+
+  /** [[quantizeInt8]] over an arbitrary (vec_id, embedding) frame. */
+  def quantizeInt8Vecs(e: DataFrame): DataFrame = {
+    val scale = expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    e.withColumn("scale", scale)
+      .withColumn("q", expr(
+        """CASE WHEN scale = 0.0 THEN transform(embedding, x -> CAST(0 AS BIGINT))
+          |ELSE transform(embedding,
+          |  x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS BIGINT)) END""".stripMargin))
+      .withColumn("max_abs_err", expr(
+        """CASE WHEN scale = 0.0 THEN CAST(0.0 AS DOUBLE)
+          |ELSE array_max(zip_with(embedding, q,
+          |  (x, qi) -> abs(CAST(x AS DOUBLE) - qi * scale / 127.0))) END""".stripMargin))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, b) -> a + b)").as("q_sum"),
+        expr("array_min(q)").cast("long").as("q_min"),
+        expr("array_max(q)").cast("long").as("q_max"),
+        round(col("max_abs_err"), 6).as("max_abs_err"))
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
     * corpus = all vectors. Ranking key is (round(cos,6) DESC, vec_id) so
     * the result is deterministic under floating-point ULP differences. */

@@ -276,6 +276,38 @@ class TextDedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 6L))
   }
 
+  test("corpus stats tiers partition the corpus and totals add up") {
+    val stats = graft.etl.CorpusPipeline.corpusStats(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    stats.foreach { r =>
+      assert(Set("hi", "mid", "low")(r.getAs[String]("tier")))
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+      val avg = r.getAs[Double]("avg_tokens")
+      assert(avg >= r.getAs[Long]("min_tokens") && avg <= r.getAs[Long]("max_tokens"))
+    }
+  }
+
+  test("int8 quantization bounds the range and the reconstruction error") {
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector edge case
+      (3L, Array(3.0f, -3.0f, 1.5f, 2.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8Vecs(e).orderBy("vec_id").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_min") >= -127L && r.getAs[Long]("q_max") <= 127L)
+      val scale = r.getAs[Double]("scale")
+      // half-step reconstruction bound: |x - q*scale/127| <= scale/254
+      assert(r.getAs[Double]("max_abs_err") <= scale / 254.0 + 1e-9)
+    }
+    val zero = out(1)
+    assert(zero.getAs[Double]("scale") == 0.0 && zero.getAs[Long]("q_sum") == 0L
+      && zero.getAs[Double]("max_abs_err") == 0.0)
+    // the max-|x| element always quantizes to ±127 exactly
+    assert(out(2).getAs[Long]("q_min") == -127L && out(2).getAs[Long]("q_max") == 127L)
+  }
+
   test("cosine top-k: nearest neighbor of a vector among orthogonal ones is the aligned one") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
