@@ -114,6 +114,26 @@ object Media {
     extractFeatures(mediaTable(s, d))
       .select(col("media_id"), col("kind"), col("n_bytes"))
 
+  /** Gate query: the SQL-expressible projection of [[resize]] — identity,
+    * source/target dims, and the subsampled payload length. The dim and
+    * byte-count arithmetic (bound scale, half-up rounding, every-k-th
+    * byte) is pure integer/double math DuckDB reproduces exactly, so the
+    * typed mapPartitions resize pass is hash-checked end to end; only the
+    * payload bytes themselves stay spec-tested. */
+  def mediaResize(s: SparkSession, d: String): DataFrame =
+    resize(mediaTable(s, d), maxW = 64, maxH = 64)
+      .select(col("media_id"), col("kind"), col("src_width"), col("src_height"),
+        col("width"), col("height"), length(col("content")).cast("long").as("n_bytes_out"))
+
+  /** Gate query: per-media frame-sampling summary (frame count + total
+    * sampled bytes) — the [[sampleFrames]] fan-out and slicing re-derived
+    * arithmetically by the oracle. */
+  def mediaFrames(s: SparkSession, d: String): DataFrame =
+    sampleFrames(mediaTable(s, d))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("frame_bytes").cast("long").as("total_frame_bytes"))
+
   /** Frame-sampling analog for "video": slice the payload into fixed-size
     * frames and keep every `stride`-th — pure byte plumbing, shows the
     * explode-with-metadata shape real frame sampling needs. */
