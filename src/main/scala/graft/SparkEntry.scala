@@ -64,6 +64,8 @@ object SparkEntry {
     "q_text_stats"     -> (TextAnalytics.textStats _),
     "q_lang_id"        -> (TextAnalytics.langId _),
     "q_token_count"    -> (TextAnalytics.tokenCount _),
+    // overlapping token-window chunking (doc -> training/embedding rows)
+    "q_chunk"          -> (TextAnalytics.chunk _),
     "q_fingerprint"    -> (TextAnalytics.fingerprint _),
     // Gopher-style repetition quality filters (top-bigram share +
     // duplicate-trigram fraction)
@@ -601,6 +603,24 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // chunk 64 / overlap 16 / stride 48; DuckDB list slices are
+    // inclusive-bounds and clamp at the list end like Spark's slice()
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |n AS (
+        |  SELECT doc_id, t, len(t) AS nt,
+        |    GREATEST(1, (len(t) - 16 + 47) // 48) AS n_chunks
+        |  FROM toks WHERE len(t) >= 1),
+        |c AS (
+        |  SELECT doc_id, t, nt,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(64, nt - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

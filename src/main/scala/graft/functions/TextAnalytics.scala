@@ -139,6 +139,35 @@ object TextAnalytics {
         "dup_trigram_ratio", "repetitive")
   }
 
+  /** Fixed-size token chunking with overlap — the document → training/
+    * embedding window fan-out (every long doc becomes overlapping
+    * chunk-token windows; the last window is ragged). Chunk c covers
+    * tokens [c·stride, c·stride + chunkTokens) with
+    * stride = chunkTokens − overlap; a chunk is emitted only if it adds
+    * at least one new token, so nChunks = max(1, ⌈(n − overlap)/stride⌉).
+    * Pure per-row expressions with a bounded explode (fan-out =
+    * tokens/stride) — shuffle-free, scales like a projection. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1)
+      .withColumn("n_chunks", // `div`, not `/`: Column./ on ints is double division
+        expr(s"CAST(greatest(1, (size(toks) - $overlap + ${stride - 1}) div $stride) AS BIGINT)"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkTokens.toLong),
+          size(col("toks")) - col("chunk_idx") * stride).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens))).as("chunk_text"))
+  }
+
+  /** Gate query form of [[chunkDocs]] over the documents table. */
+  def chunk(s: SparkSession, d: String): DataFrame =
+    chunkDocs(Tables.documents(s, d))
+
   /** Whitespace-collapse + lowercase normalization followed by PII-style
     * redaction (emails, then ≥3-digit runs → placeholders) — the cleanup
     * pass a crawl corpus gets before tokenization. Pure per-row codegen'd

@@ -276,6 +276,29 @@ class TextDedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 6L))
   }
 
+  test("chunking: overlap carries between windows, coverage is total, short docs stay whole") {
+    val words = (1 to 100).map(i => s"w$i")
+    val df = Seq(
+      (1L, words.mkString(" ")), // 100 tokens -> 2 chunks at 64/16
+      (2L, "just three tokens"))
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.chunkDocs(df, chunkTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.length == 2) // ceil((100-16)/48) = 2
+    val c0 = d1(0).getAs[String]("chunk_text").split(" ")
+    val c1 = d1(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.length == 64 && d1(0).getAs[Long]("n_chunk_tokens") == 64L)
+    assert(c1.length == 52 && d1(1).getAs[Long]("n_chunk_tokens") == 52L)
+    // stride 48: chunk 1 starts at token 49, overlapping the last 16 of chunk 0
+    assert(c0.drop(48).toSeq == c1.take(16).toSeq)
+    // union of chunks covers every token in order
+    assert((c0 ++ c1.drop(16)).toSeq == words.map(_.toLowerCase))
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && d2(0).getAs[Long]("n_chunk_tokens") == 3L
+      && d2(0).getAs[String]("chunk_text") == "just three tokens")
+  }
+
   test("corpus stats tiers partition the corpus and totals add up") {
     val stats = graft.etl.CorpusPipeline.corpusStats(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
