@@ -139,6 +139,45 @@ class StreamingMediaSpec extends SparkTestBase {
       ("2024-01-01 01:00:00.0", 1L, 2.0)), s"got $out")
   }
 
+  test("parquet file sink (production path) persists exactly the finalized windows") {
+    // same staged 3-batch scenario as the late-data test, but draining to
+    // the PRODUCTION sink: parquet files + checkpoint, append mode
+    val base = Files.createTempDirectory("graft_psink_").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batches = Seq(
+      Seq((1L, ts("2024-01-01 00:00:05"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 01:00:00"), 1L, "click", 2.0)),
+      Seq((3L, ts("2024-01-01 02:00:00"), 1L, "click", 8.0)),
+      Seq((4L, ts("2024-01-01 00:00:10"), 1L, "click", 4.0))) // late, dropped
+    val staged = s"$base/staged"
+    new java.io.File(staged).mkdirs()
+    val now = System.currentTimeMillis()
+    for ((rows, i) <- batches.zipWithIndex) {
+      val tmp = s"$base/f$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$staged/part-$i.parquet")
+      Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(now - 60000L + i * 30000L)
+    }
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = EventStreams.windowedMeans(stream).writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(s"$base/out").orderBy("bucket").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("bucket").toString,
+        r.getAs[Long]("n"), r.getAs[Double]("avg_value")))
+      .toSeq
+    assert(out == Seq(
+      ("2024-01-01 00:00:00.0", 1L, 1.0),
+      ("2024-01-01 01:00:00.0", 1L, 2.0)), s"got $out")
+  }
+
   test("streaming Holt matches the batch fold across multiple micro-batches") {
     val base = Files.createTempDirectory("graft_sholt_").toString
     val ev = Tables.events(spark, sf)
