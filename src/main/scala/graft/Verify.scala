@@ -20,10 +20,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
-        // isolate queries (see Bench); persistent RDDs cover the
-        // connected-components localCheckpoint blocks
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // isolate queries (see Bench); the memo-aware sweep drops stray
+        // caches and fixpoint-round checkpoints but keeps the memoized
+        // family intermediates (dedup clusters / cleaned corpus) alive
+        // across queries — the cross-query sharing Memo exists for
+        Memo.sweep(spark)
       }
     }
     writeOracleJson(outDir)
