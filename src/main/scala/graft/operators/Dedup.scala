@@ -163,14 +163,21 @@ object Dedup {
       .groupBy("doc_id").agg(collect_list("sh").as("sh_set"))
     val tf = new HashingTF().setInputCol("sh_set").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
+    // own + release (VERDICT r5 #3): the vector cache feeds both sides of
+    // the similarity self-join; the (small) pair result is materialized
+    // eagerly so the cache never escapes into a lazy plan without an
+    // unpersist handle
     val vecs = tf.transform(sets).select("doc_id", "features").cache()
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("bands")
-      .setNumHashTables(5).setSeed(42L)
-    val model = lsh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxJaccardDist, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
-        col("jaccard_dist"))
-      .where(col("a_id") < col("b_id"))
+    try {
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("bands")
+        .setNumHashTables(5).setSeed(42L)
+      val model = lsh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, maxJaccardDist, "jaccard_dist")
+        .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
+          col("jaccard_dist"))
+        .where(col("a_id") < col("b_id"))
+        .localCheckpoint(true)
+    } finally vecs.unpersist()
   }
 
   /** k-wide minhash signature per document, computed in ONE narrow pass:
@@ -257,27 +264,41 @@ object Dedup {
     * auto-scales to ≈√corpus (nCentroids = 0), so expected bucket size is
     * ≈√corpus and the within-bucket pair space grows LINEARLY with the
     * corpus; any bucket still exceeding maxBucket is re-split by nearest
-    * sub-centroid (`Similarity.splitOversized`), giving a hard per-bucket
-    * bound. At 100 TB the assigned corpus is written
-    * partitioned-by-(bucket, sub) so each pair task is bounded.
+    * sub-centroid (`Similarity.splitOversized`), bounding the expected
+    * per-(bucket, sub) pair-task size (split semantics + recall contract
+    * pinned by SimilaritySplitSpec). At 100 TB the assigned corpus is
+    * written partitioned-by-(bucket, sub) so each pair task is bounded.
     * Near-identical vectors land in the same bucket by construction
     * (their centroid similarities are near-identical). */
   def embeddingNearDup(s: SparkSession, d: String,
+      tau: Double = 0.95, nCentroids: Int = 0, maxBucket: Int = 100000): DataFrame =
+    embeddingNearDupVecs(Tables.embeddings(s, d), tau, nCentroids, maxBucket)
+
+  /** [[embeddingNearDup]] over an arbitrary (vec_id, embedding) frame —
+    * the testable form. The bucketed corpus is cached for the pair
+    * self-join's two scans and RELEASED before returning: the pair result
+    * is materialized eagerly (localCheckpoint, blocks reclaimed by the
+    * harness sweep / session stop), so no cache escapes into a lazy plan
+    * with no unpersist handle (VERDICT r5 #3 hazard class). */
+  def embeddingNearDupVecs(emb: DataFrame,
       tau: Double = 0.95, nCentroids: Int = 0, maxBucket: Int = 100000): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.floatDot
-    val e = Similarity.withNorm(s, d)
+    val e = emb.withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
     val nc = if (nCentroids > 0) nCentroids else Similarity.centroidCount(e.count())
     val assigned = Similarity.splitOversized(
       Similarity.assignToNearestCentroid(e, nc), maxBucket).cache()
-    assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub")
-          && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        floatDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
-      .where(col("cos") >= tau)
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.bucket").as("bucket"), round(col("cos"), 4).as("sim"))
+    try {
+      assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub")
+            && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          floatDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        .where(col("cos") >= tau)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.bucket").as("bucket"), round(col("cos"), 4).as("sim"))
+        .localCheckpoint(true)
+    } finally assigned.unpersist()
   }
 
   /** 64-bit SimHash per document from token hashes (sign-aggregated bit
@@ -416,25 +437,32 @@ object Dedup {
     * 4-band blocking for Hamming distance ≤ 3-ish), verified by exact
     * Hamming distance on the 64-bit signatures. Bucketed, not all-pairs. */
   def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
+    // own + release (VERDICT r5 #3): the signature cache feeds 8 scans
+    // (4 band branches × 2 join sides); the (small) pair result is
+    // materialized eagerly so the cache never escapes into a lazy plan
+    // without an unpersist handle
     val sh = simhash(s, d).cache()
-    val byBand = (0 to 3).map { b =>
-      sh.select(col("doc_id"), col("simhash"), col(s"band$b").as("band"), lit(b).as("band_idx"))
-    }.reduce(_.unionAll(_))
-    // bit_count is a single codegen'd popcount — never an interpreted
-    // 64-step HOF fold
-    val hamming = expr("bit_count(a_sim ^ b_sim)")
-    // hamming-filter BEFORE distinct: the popcount is one codegen'd op per
-    // joined row, so filtering first shrinks the distinct's shuffle input
-    // from every band collision (~4× pairs) to only passing pairs
-    byBand.as("a")
-      .join(byBand.as("b"),
-        col("a.band") === col("b.band") && col("a.band_idx") === col("b.band_idx")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("a_sim"), col("b.simhash").as("b_sim"))
-      .withColumn("hamming", hamming)
-      .where(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
-      .distinct()
+    try {
+      val byBand = (0 to 3).map { b =>
+        sh.select(col("doc_id"), col("simhash"), col(s"band$b").as("band"), lit(b).as("band_idx"))
+      }.reduce(_.unionAll(_))
+      // bit_count is a single codegen'd popcount — never an interpreted
+      // 64-step HOF fold
+      val hamming = expr("bit_count(a_sim ^ b_sim)")
+      // hamming-filter BEFORE distinct: the popcount is one codegen'd op per
+      // joined row, so filtering first shrinks the distinct's shuffle input
+      // from every band collision (~4× pairs) to only passing pairs
+      byBand.as("a")
+        .join(byBand.as("b"),
+          col("a.band") === col("b.band") && col("a.band_idx") === col("b.band_idx")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.simhash").as("a_sim"), col("b.simhash").as("b_sim"))
+        .withColumn("hamming", hamming)
+        .where(col("hamming") <= maxHamming)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 }

@@ -150,8 +150,19 @@ object Similarity {
     * inside the bucket), the same deterministic-seed scheme as the first
     * level. Emits a `sub` column (0 everywhere no split triggered), so
     * downstream pair generation joins on (bucket, sub). The trade is the
-    * usual blocking one — near-dups split across sub-buckets are missed —
-    * in exchange for a hard per-task size bound. */
+    * usual blocking one — near-dups split across sub-buckets are missed;
+    * near-IDENTICAL vectors keep landing together because their
+    * sub-centroid similarities are near-identical (the recall contract
+    * SimilaritySplitSpec pins). Nearest-centroid assignment bounds the
+    * per-(bucket, sub) size in EXPECTATION, not adversarially — a bucket
+    * whose vectors are all mutually near-identical cannot be split by any
+    * locality-preserving scheme; a residual oversized sub is the signal to
+    * raise nCentroids (more first-level buckets) instead.
+    *
+    * Driver footprint: only per-bucket COUNTS and the (few) sub-centroid
+    * seed vectors are collected — both bounded by the oversized-bucket
+    * count, never by corpus size; the seeds then ship in the task closure
+    * exactly like the first-level centroids in [[assignWith]]. */
   def splitOversized(assigned: DataFrame, maxBucket: Int): DataFrame = {
     val s = assigned.sparkSession
     import s.implicits._
@@ -160,11 +171,14 @@ object Similarity {
       .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("count")).toMap
     if (oversized.isEmpty) return assigned.withColumn("sub", lit(0))
     val wSeed = Window.partitionBy("bucket").orderBy("vec_id")
-    val nSubs = udf((b: Long) => math.ceil(oversized(b).toDouble / maxBucket).toInt)
+    // per-bucket sub-count as a literal-map lookup (codegen'd), not a udf
+    val nSubsByBucket = oversized.map { case (b, n) =>
+      b -> math.ceil(n.toDouble / maxBucket).toInt
+    }
     val subCents: Map[Long, Array[(Array[Float], Double)]] = assigned
       .where(col("bucket").isin(oversized.keys.toSeq: _*))
       .withColumn("rn", row_number().over(wSeed))
-      .where(col("rn") <= nSubs(col("bucket")))
+      .where(col("rn") <= element_at(typedlit(nSubsByBucket), col("bucket")))
       .select(col("bucket"), col("vec_id"), col("embedding"), col("nrm"))
       .as[(Long, Long, Array[Float], Double)].collect()
       .groupBy(_._1)

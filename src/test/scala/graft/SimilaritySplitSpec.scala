@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Forces `Similarity.splitOversized`'s split branch (dead on every gate
+  * path: the gate's maxBucket=100000 dwarfs sf0.1 buckets — VERDICT r5
+  * #2) and pins its contracts: deterministic sub-assignment, per-sub size
+  * bound in separable geometry, and the recall contract — near-identical
+  * vectors stay co-located, so a split that triggers loses nothing when
+  * sub-clusters are separated (split result == unsplit result). */
+class SimilaritySplitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Unit vector along `axis` of 4 dims with a small deterministic jitter
+    * in the last dim (keeps within-cluster cosine ≈ 1). */
+  private def vec(axis: Int, jitter: Float): Array[Float] = {
+    val v = new Array[Float](4)
+    v(axis) = 1.0f
+    v(3) = v(3) + jitter
+    v
+  }
+
+  private def mix(a: Int, b: Int, jitter: Float): Array[Float] = {
+    val v = new Array[Float](4)
+    v(a) = 0.7f; v(b) = 0.7f
+    v(3) = v(3) + jitter
+    v
+  }
+
+  private def nrm(v: Array[Float]): Double =
+    math.sqrt(v.map(x => x.toDouble * x).sum)
+
+  /** Corpus: sub-cluster A1 (axis 0) = vec 0 and 3..21; sub-cluster A2
+    * (axes 0+1 mixed, cos ≈ 0.7 to A1) = vec 2 and 22..40; cluster B
+    * (axis 2, orthogonal) = vec 1 and 41..44. First-level seeds are the
+    * two lowest vec_ids (0 → A-side, 1 → B), so bucket 0 = A1 ∪ A2 (40
+    * vectors) and bucket 1 = B (5). */
+  private def corpus(): DataFrame = {
+    val rows =
+      Seq(0L -> vec(0, 0f), 1L -> vec(2, 0f), 2L -> mix(0, 1, 0f)) ++
+        (3L to 21L).map(i => i -> vec(0, 0.001f * i)) ++
+        (22L to 40L).map(i => i -> mix(0, 1, 0.001f * i)) ++
+        (41L to 44L).map(i => i -> vec(2, 0.001f * i))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def assigned(maxBucket: Int): DataFrame = {
+    val e = corpus().withColumn("nrm",
+      sqrt(org.apache.spark.sql.graft.VectorExpressions.floatDot(
+        col("embedding"), col("embedding"))))
+    Similarity.splitOversized(Similarity.assignToNearestCentroid(e, 2), maxBucket)
+  }
+
+  test("splitOversized is a no-op below the threshold (early return, sub = 0)") {
+    val out = assigned(maxBucket = 1000)
+      .select("vec_id", "bucket", "sub")
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == 45)
+    assert(out.forall(_._3 == 0))
+    assert(out.count(_._2 == 0L) == 40 && out.count(_._2 == 1L) == 5)
+  }
+
+  test("splitOversized splits only the oversized bucket, by sub-cluster, within bound") {
+    val out = assigned(maxBucket = 25)
+      .select("vec_id", "bucket", "sub")
+      .as[(Long, Long, Int)].collect()
+    val b0 = out.filter(_._2 == 0L)
+    val b1 = out.filter(_._2 == 1L)
+    // non-oversized bucket untouched
+    assert(b1.forall(_._3 == 0))
+    // oversized bucket split into 2 non-empty subs, each within the bound
+    val subSizes = b0.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(subSizes.keySet == Set(0, 1), s"expected 2 subs, got $subSizes")
+    assert(subSizes.values.forall(n => n > 0 && n <= 25), s"bound violated: $subSizes")
+    // sub-assignment follows the sub-clusters: A1 members together, A2
+    // members together, in different subs (seeds are vec 0 ∈ A1, vec 2 ∈ A2)
+    val subOf = b0.map(r => r._1 -> r._3).toMap
+    val a1 = Seq(0L) ++ (3L to 21L)
+    val a2 = Seq(2L) ++ (22L to 40L)
+    assert(a1.map(subOf).toSet.size == 1, "A1 straddles subs")
+    assert(a2.map(subOf).toSet.size == 1, "A2 straddles subs")
+    assert(subOf(0L) != subOf(2L), "A1 and A2 share a sub")
+  }
+
+  test("splitOversized is deterministic across runs") {
+    val run1 = assigned(maxBucket = 25)
+      .select("vec_id", "bucket", "sub").as[(Long, Long, Int)].collect().sortBy(_._1)
+    val run2 = assigned(maxBucket = 25)
+      .select("vec_id", "bucket", "sub").as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(run1.toSeq == run2.toSeq)
+  }
+
+  test("embeddingNearDup through a forced split keeps separable-geometry recall") {
+    def pairs(maxBucket: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDupVecs(corpus(), tau = 0.95, nCentroids = 2,
+          maxBucket = maxBucket)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val split = pairs(maxBucket = 25)
+    val unsplit = pairs(maxBucket = 1000)
+    // the split actually triggered AND lost nothing: sub-clusters are
+    // separated (cos(A1, A2) ≈ 0.7 < τ), so every τ-pair is within one
+    // sub-cluster and survives the (bucket, sub) blocking
+    assert(split == unsplit)
+    // sanity: within-sub-cluster near-identical pairs are present
+    assert(split.contains((0L, 3L)), "A1 near-identical pair missing")
+    assert(split.contains((2L, 22L)), "A2 near-identical pair missing")
+    assert(split.contains((41L, 42L)), "B near-identical pair missing")
+    // and no cross-sub-cluster pair sneaks in (cos ≈ 0.7 < 0.95)
+    assert(!split.exists(p => Set(0L, 3L).contains(p._1) && Set(2L, 22L).contains(p._2)))
+  }
+}
