@@ -803,8 +803,11 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
         |FROM tiers GROUP BY 1, 2""".stripMargin,
 
-    // both engines compute q from the UNROUNDED double scale and round
-    // only the reported columns; round() is half-away-from-zero on both
+    // reported doubles are RAW (bit-exact cross-engine: float→double is
+    // exact, and both engines evaluate the same IEEE ops in the same
+    // order); round(x, 6) would reintroduce the engine-specific
+    // decimal-rounding hazard ADVICE r5 flagged. round() inside the
+    // quantizer itself is half-away-from-zero on both engines.
     "q_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
@@ -816,13 +819,13 @@ object SparkEntry {
         |      ELSE list_transform(embedding,
         |        x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS BIGINT)) END AS qv
         |  FROM s)
-        |SELECT vec_id, round(scale, 6) AS scale,
+        |SELECT vec_id, scale,
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
         |  CAST(list_max(qv) AS BIGINT) AS q_max,
         |  CASE WHEN scale = 0.0 THEN 0.0
-        |    ELSE round(list_max(list_transform(generate_series(1, len(embedding)),
-        |      i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale / 127.0))), 6)
+        |    ELSE list_max(list_transform(generate_series(1, len(embedding)),
+        |      i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale / 127.0)))
         |  END AS max_abs_err
         |FROM q""".stripMargin,
 

@@ -215,7 +215,13 @@ object Similarity {
     * ∈ [-127, 127]; dequantize as q_i·scale/127. Pure per-row array
     * expressions (no shuffle); the gate output reports the scale, the
     * quantized checksum, and the max reconstruction error instead of the
-    * int8 array itself so the oracle hash stays type-stable. Zero vectors
+    * int8 array itself so the oracle hash stays type-stable. The reported
+    * doubles are RAW, not rounded: scale is an exact float→double
+    * conversion and max_abs_err is built from IEEE ops evaluated in the
+    * same order on both engines, so they compare bit-exact — whereas a
+    * round(x, 6) decorates them with engine-specific decimal-rounding
+    * (BigDecimal HALF_UP vs FP-multiply), the one cross-engine hazard
+    * ADVICE r5 flagged here. Zero vectors
     * quantize to all-zero with scale 0. At 100 TB the quantized corpus
     * would be written alongside the IVF bucket assignment and probed with
     * int arithmetic, re-ranking survivors against the float originals. */
@@ -234,11 +240,11 @@ object Similarity {
         """CASE WHEN scale = 0.0 THEN CAST(0.0 AS DOUBLE)
           |ELSE array_max(zip_with(embedding, q,
           |  (x, qi) -> abs(CAST(x AS DOUBLE) - qi * scale / 127.0))) END""".stripMargin))
-      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+      .select(col("vec_id"), col("scale"),
         expr("aggregate(q, CAST(0 AS BIGINT), (a, b) -> a + b)").as("q_sum"),
         expr("array_min(q)").cast("long").as("q_min"),
         expr("array_max(q)").cast("long").as("q_max"),
-        round(col("max_abs_err"), 6).as("max_abs_err"))
+        col("max_abs_err"))
   }
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),

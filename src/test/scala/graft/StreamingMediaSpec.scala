@@ -119,7 +119,9 @@ class StreamingMediaSpec extends SparkTestBase {
       val src = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(s"$staged/part-$i.parquet")
       Files.copy(src.toPath, dst.toPath)
-      dst.setLastModified(now - 60000L + i * 30000L) // mtime drives batch order
+      // mtime drives batch order; assert so a filesystem that silently
+      // rejects the write fails setup loudly instead of going flaky
+      assert(dst.setLastModified(now - 60000L + i * 30000L))
     }
     val stream = spark.readStream.schema(EventStreams.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
@@ -159,7 +161,7 @@ class StreamingMediaSpec extends SparkTestBase {
       val src = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(s"$staged/part-$i.parquet")
       Files.copy(src.toPath, dst.toPath)
-      dst.setLastModified(now - 60000L + i * 30000L)
+      assert(dst.setLastModified(now - 60000L + i * 30000L))
     }
     val stream = spark.readStream.schema(EventStreams.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
@@ -200,8 +202,9 @@ class StreamingMediaSpec extends SparkTestBase {
          if p.getName.endsWith(".parquet")) {
       val dst = new java.io.File(s"$stagedDir/part-$i.parquet")
       Files.copy(p.toPath, dst.toPath)
-      // FileStreamSource orders batches by mtime — make it explicit
-      dst.setLastModified(now - 60000L + i * 30000L)
+      // FileStreamSource orders batches by mtime — make it explicit, and
+      // assert so a rejected mtime write fails setup loudly
+      assert(dst.setLastModified(now - 60000L + i * 30000L))
     }
 
     val stream = spark.readStream.schema(EventStreams.eventSchema)
