@@ -90,6 +90,20 @@ object SparkEntry {
     "q_corpus_pack"    -> (graft.etl.CorpusPipeline.corpusPack _),
     // train/eval n-gram containment (test-set-leakage guard)
     "q_decontaminate"  -> (Dedup.decontaminate _),
+    // Bloom-filter decontamination (bounded-broadcast scale path; no
+    // oracle — spark.util.sketch bit layout — BloomDecontaminateSpec
+    // pins the no-false-negative + fpp contracts)
+    "q_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
+    // duplicated w-token span report (exact-substring-dedup half of
+    // Lee et al. 2022; catches boilerplate whole-doc Jaccard misses)
+    "q_dup_spans"      -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    // corpus-wide top-k n-gram vocabulary report
+    "q_topk_ngrams"    -> ((s: SparkSession, d: String) => TextAnalytics.topkNgrams(s, d)),
+    // α=0.5 temperature-resampled language mixing weights + keep rates
+    "q_lang_sample"    -> (graft.etl.CorpusPipeline.langSample _),
+    // JSONL sink + explicit-schema scan roundtrip (content-md5 extrema
+    // prove lossless escaping, not just row counts)
+    "q_jsonl_roundtrip" -> (Relational.jsonlRoundtrip _),
     // sequence packing: token-budget shards (two-level distributed
     // prefix sum) + greedy per-shard packing (bounded sequential kernel)
     "q_pack_shards"    -> (graft.etl.Packing.shards _),
@@ -759,6 +773,72 @@ object SparkEntry {
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination,
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh >= 0.5 AS contaminated
         |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // 8-token sliding windows WITH positions (multiplicity counts);
+    // DuckDB list slices are inclusive-bounds like q_chunk's
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 7), i -> array_to_string(t[i:i+7], ' '))) AS win
+        |  FROM toks WHERE len(t) >= 8),
+        |wc AS (SELECT win, count(*) AS c FROM win GROUP BY 1)
+        |SELECT w.doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN wc.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN wc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio,
+        |  CAST(sum(CASE WHEN wc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5 AS flagged
+        |FROM win w JOIN wc USING (win)
+        |GROUP BY 1""".stripMargin,
+
+    // bigrams over the same >= 3-token domain as q_repetition; rank ties
+    // break on the gram string so the top-k is total-ordered
+    "q_topk_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 3),
+        |c AS (SELECT gram, count(*) AS n FROM bg GROUP BY 1)
+        |SELECT rank, gram, n FROM (
+        |  SELECT gram, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, gram) AS INTEGER) AS rank
+        |  FROM c) ranked
+        |WHERE rank <= 20""".stripMargin,
+
+    // share is one exact division of exact integer sums; weight is IEEE
+    // sqrt (correctly rounded on both engines) — both raw. target_share
+    // and keep_rate divide by sum(weight), a |langs|-double sum with
+    // engine-unspecified order, so they carry round(·, 6) keys — same
+    // accepted risk class as the round(cos, 6) rank keys
+    "q_lang_sample" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        |sh AS (
+        |  SELECT per.lang, per.n_docs, per.n_tokens,
+        |    CAST(per.n_tokens AS DOUBLE) / tot.tot_tokens AS share,
+        |    sqrt(CAST(per.n_tokens AS DOUBLE) / tot.tot_tokens) AS weight
+        |  FROM per CROSS JOIN tot),
+        |sw AS (SELECT sum(weight) AS sum_w FROM sh)
+        |SELECT lang, n_docs, n_tokens, share, weight,
+        |  round(weight / sum_w, 6) AS target_share,
+        |  round(LEAST(1.0, (weight / sum_w) / share), 6) AS keep_rate
+        |FROM sh CROSS JOIN sw""".stripMargin,
+
+    // the oracle aggregates the parquet table directly: if Spark's JSONL
+    // write/read corrupted any value, the md5 extrema would diverge
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  min(md5(text)) AS min_text_md5, max(md5(text)) AS max_text_md5
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // epoch fan-out via generate_series; tier thresholds mirror the
     // Spark-side CASE exactly (same token/alpha expressions as textStats)

@@ -109,6 +109,57 @@ object CorpusPipeline {
     Packing.packShards(docs.join(keep, Seq("doc_id"), "left_semi"))
   }
 
+  /** Temperature-resampled multilingual mixing weights, α = 0.5 (the
+    * XLM/mBERT exponent-smoothing recipe: w_l = share_l^α, target_l =
+    * w_l / Σw — upsamples low-resource languages, downsamples the head):
+    * per language, document/token totals, raw token share, smoothed
+    * weight, target share, and the per-doc KEEP RATE a downsampling pass
+    * would apply (min(1, target/share) — languages below their target
+    * keep everything; replication for upsampling is [[corpusMix]]'s job).
+    *
+    * α = 0.5 makes the smoothing an IEEE sqrt (correctly rounded on every
+    * engine) rather than pow (libm-dependent). share is a single exact
+    * division of exact integer sums; target/rate divide by Σw, a sum of
+    * |langs| doubles whose order no engine pins — so those two columns
+    * are round(·, 6)-keyed, the same accepted cross-engine risk class as
+    * the round(cos, 6) rank keys (documented, ADVICE r5).
+    *
+    * Scale shape: one partial-agg groupBy to |langs| rows, then two
+    * broadcast-sized cross joins with 1-row totals — nothing here grows
+    * with the corpus. */
+  def langSample(s: SparkSession, d: String): DataFrame = {
+    val perLang = tiered(Tables.documents(s, d))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val tot = perLang.agg(sum("n_tokens").as("tot_tokens"))
+    val shared = perLang.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("tot_tokens"))
+      .withColumn("weight", sqrt(col("share")))
+    val sumW = shared.agg(sum("weight").as("sum_w"))
+    shared.crossJoin(broadcast(sumW))
+      .withColumn("target_share", round(col("weight") / col("sum_w"), 6))
+      .withColumn("keep_rate",
+        round(least(lit(1.0), (col("weight") / col("sum_w")) / col("share")), 6))
+      .select("lang", "n_docs", "n_tokens", "share", "weight",
+        "target_share", "keep_rate")
+  }
+
+  /** Deterministic doc-level downsampling pass applying [[langSample]]'s
+    * keep rates: a doc survives iff xxhash64(doc_id) mod 1e6 <
+    * floor(rate·1e6). Hashing first makes the kept set UNIFORM over any
+    * id distribution (raw dense ids would keep a contiguous prefix) while
+    * staying reproducible across runs with no RNG state — the per-row
+    * shuffle-free shape of `Relational.hashSample`. Spec-tested
+    * (LangSampleSpec); the rates themselves are the oracled surface. */
+  def langSampleDocs(s: SparkSession, d: String): DataFrame = {
+    val rates = langSample(s, d).select(col("lang"),
+      floor(col("keep_rate") * 1000000L).cast("long").as("keep_micro"))
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("lang"))
+      .where(pmod(xxhash64(col("doc_id")), lit(1000000L)) < col("keep_micro"))
+      .select("doc_id", "lang", "n_chars")
+  }
+
   /** [[corpusClean]] over an arbitrary (doc_id, text, lang, n_chars)
     * DataFrame — the testable form. */
   def corpusCleanDocs(docs: DataFrame): DataFrame = {

@@ -213,4 +213,30 @@ object TextAnalytics {
           |    split(t, ''), CAST(7 AS BIGINT),
           |    (h, c) -> (h * 131 + ascii(c)) % 1000000007)) % 1000000007)""".stripMargin)
         .as("fp_roll"))
+
+  /** Corpus-wide top-k most frequent word n-grams — the vocabulary /
+    * collocation report a training-data pipeline publishes next to the
+    * corpus stats (and the raw input for stop-n-gram lists). Rank ties
+    * break on the gram string so the result is total-ordered.
+    *
+    * Scale shape: one partial-aggregated groupBy on the gram (map-side
+    * combine absorbs the per-doc repetition), then TakeOrderedAndProject
+    * for the global top-k — the rank window runs AFTER the limit, over k
+    * rows on one partition, never over the corpus. */
+  def topkNgrams(s: SparkSession, d: String, n: Int = 2, k: Int = 20): DataFrame =
+    topkNgramsDocs(Tables.documents(s, d), n, k)
+
+  /** [[topkNgrams]] over an arbitrary (doc_id, text) frame — the testable
+    * form. */
+  def topkNgramsDocs(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("gram"))
+    grams(docs, n)
+      .groupBy(col("sh").as("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "gram", "n")
+  }
 }

@@ -148,6 +148,91 @@ object Dedup {
       docs.where(col("doc_id") % 20 === 0))
   }
 
+  /** Bloom-filter decontamination — the 100 TB shape of
+    * [[decontaminateDocs]]: instead of broadcasting the exact distinct
+    * eval-shingle set (fine while the benchmark suite is small, unbounded
+    * if it is not), fold the eval shingles into a fixed-size Bloom filter
+    * and probe it per train shingle. The filter size is set by
+    * (items, fpp), NOT by shingle bytes, so the broadcast stays bounded no
+    * matter how the eval corpus grows; the probe is a per-partition loop
+    * over the broadcast bits (mapPartitions — per-partition init is the
+    * point, same as the media decoders). One-sided error: a Bloom filter
+    * has NO false negatives, so every truly contaminated doc is flagged
+    * (the safety direction for decontamination); false positives inflate
+    * the hit count by ≤ fpp in expectation — BloomDecontaminateSpec pins
+    * both directions. No oracle: the filter's bit layout is
+    * spark.util.sketch-specific (seeded 128-bit murmur), so no other
+    * engine reproduces the FP side. */
+  def bloomDecontaminateDocs(train: DataFrame, eval: DataFrame,
+      n: Int = 3, tau: Double = 0.5, fpp: Double = 0.01): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val evalSh = shingles(eval, n).select(xxhash64(col("sh")).as("sh")).distinct()
+    // benchmark-sized count, needed to size the filter; one small job
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("sh", nEval, fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    shingles(train, n).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (id, h) => (id, if (b.mightContainLong(h)) 1L else 0L) }
+      }
+      .toDF("doc_id", "hit")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), sum("hit").as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_sh"))
+      .withColumn("contaminated", col("contamination") >= tau)
+  }
+
+  /** Gate query form of [[bloomDecontaminateDocs]], same eval/train split
+    * as [[decontaminate]]. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    bloomDecontaminateDocs(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0))
+  }
+
+  /** Duplicated-span detection (the reporting half of exact substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): slide a w-token window over every document WITH
+    * positions (multiplicity matters — a span repeated inside one doc is
+    * boilerplate too), count each window string's corpus-wide occurrences,
+    * and report per doc how many of its window positions carry a span
+    * seen more than once anywhere. A high dup_ratio marks template/
+    * boilerplate documents that whole-doc near-dup misses because their
+    * UNIQUE remainder keeps Jaccard below threshold.
+    *
+    * Scale shape: windows join as xxhash64 INT64 keys (8-byte shuffle
+    * rows, same trick as [[rarePostings]]); the occurrence count is one
+    * partial-aggregated groupBy; attaching counts back is one equi-join on
+    * the hash; the per-doc rollup is another partial agg. Linear in total
+    * token count, never all-pairs, no window function over unbounded
+    * partitions. */
+  def dupSpansDocs(docs: DataFrame, w: Int = 8, tau: Double = 0.5): DataFrame = {
+    val toks = TextAnalytics.tokens(col("text"))
+    val windows = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks)-$w), i -> concat_ws(' ', slice(toks, i+1, $w)))"))
+        .as("win"))
+      .select(col("doc_id"), xxhash64(col("win")).as("win"))
+    val counts = windows.groupBy("win").agg(count(lit(1)).as("c"))
+    windows
+      .join(counts, Seq("win"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") > 1L, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_windows"))
+      .withColumn("flagged", col("dup_ratio") >= tau)
+  }
+
+  /** Gate query form of [[dupSpansDocs]] over the documents table. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpansDocs(Tables.documents(s, d))
+
   /** Near-dup via MinHash-LSH banding (spark.ml): shingle sets → sparse
     * binary vectors (HashingTF) → MinHashLSH → approxSimilarityJoin, which
     * OR-combines hash-table buckets and only compares within buckets —

@@ -228,4 +228,32 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
   }
+
+  /** S-family — JSON-Lines sink + scan with an explicit schema: the
+    * interchange format most raw LLM-corpus drops arrive in. Round-trips
+    * the documents table through .json (one object per line, full JSON
+    * string escaping), reads it back with declared types, and aggregates
+    * per language with content-sensitive md5 extrema — a corrupted or
+    * lossy escape/parse of ANY text value would shift min/max md5 and
+    * break the oracle hash, so the roundtrip is proven lossless, not just
+    * row-count-preserving. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${java.lang.ProcessHandle.current().pid()}"
+    Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).json(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("chars_sum"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        min(md5(col("text"))).as("min_text_md5"),
+        max(md5(col("text"))).as("max_text_md5"))
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.CorpusPipeline
+import graft.functions.TextAnalytics
+import graft.operators.Dedup
+
+/** Round-6 corpus operators: bloom decontamination (one-sided error
+  * contracts), duplicated-span detection, top-k n-grams, and the
+  * language-temperature sampling pass. */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bloom decontamination has no false negatives and bounded false positives") {
+    // eval: two benchmark docs; train: one verbatim copy (fully
+    // contaminated), one half-overlap, and many fully clean docs with
+    // disjoint vocabulary
+    val eval = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta"),
+      (1001L, "eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val clean = (1L to 40L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h"))
+    val train = (Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // copy of eval 1000
+      (101L, "alpha beta gamma delta unique trailer words here")) ++ clean)
+      .toDF("doc_id", "text")
+
+    val exact = Dedup.decontaminateDocs(train, eval)
+      .select("doc_id", "n_sh", "n_hit", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val bloom = Dedup.bloomDecontaminateDocs(train, eval)
+      .select("doc_id", "n_sh", "n_hit", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+
+    assert(exact.keySet == bloom.keySet)
+    for ((id, (_, nSh, nHitExact, contExact)) <- exact) {
+      val (_, nShB, nHitBloom, contBloom) = bloom(id)
+      assert(nShB == nSh, s"doc $id shingle count drifted")
+      // Bloom filters have NO false negatives: every exact hit is a hit
+      assert(nHitBloom >= nHitExact, s"doc $id lost hits: $nHitBloom < $nHitExact")
+      if (contExact) assert(contBloom, s"doc $id truly contaminated but not flagged")
+    }
+    // the verbatim copy is fully contaminated on both sides
+    assert(exact(100L)._3 == exact(100L)._2 && bloom(100L)._4)
+    // false-positive side: across all truly-clean shingles, spurious hits
+    // stay well under 10× the 1% fpp target
+    val cleanIds = clean.map(_._1).toSet
+    val fpHits = bloom.collect { case (id, (_, _, h, _)) if cleanIds(id) => h }.sum
+    val fpShingles = bloom.collect { case (id, (_, s, _, _)) if cleanIds(id) => s }.sum
+    assert(fpHits.toDouble / fpShingles < 0.1,
+      s"fp ratio ${fpHits.toDouble / fpShingles} too high")
+    // and no clean doc crosses the τ=0.5 flag
+    assert(cleanIds.forall(id => !bloom(id)._4))
+  }
+
+  test("dupSpans flags exact copies and within-doc repetition, not unique docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // copy pair with doc 2
+      (2L, "a b c d e f g h i j"),
+      (3L, "p q r s t u v w x y"), // unique: zero dup windows
+      (4L, "m m m m m m m m m m m m") // one window string repeated in-doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpansDocs(docs, w = 8, tau = 0.5)
+      .select("doc_id", "n_windows", "n_dup", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, true)))
+    assert(out(2L) == ((2L, 3L, 3L, true)))
+    assert(out(3L) == ((3L, 3L, 0L, false)))
+    // doc 4: 5 positions, all the same 8-token window -> all duplicated
+    assert(out(4L) == ((4L, 5L, 5L, true)))
+  }
+
+  test("topkNgrams ranks by frequency with a total tie-break") {
+    val docs = Seq(
+      (1L, "x y x y x y"), // "x y" ×3, "y x" ×2
+      (2L, "x y b b b b") // "x y" ×1, "b b" ×3
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.topkNgramsDocs(docs, n = 2, k = 3)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1, "x y", 4L), (2, "b b", 3L), (3, "y x", 2L)))
+  }
+
+  test("langSampleDocs is deterministic, keeps rate-1 languages whole, downsamples the head") {
+    val rates = CorpusPipeline.langSample(spark, sf)
+      .select("lang", "keep_rate", "n_docs")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // the synthetic corpus is en-heavy: en must be downsampled, at least
+    // one low-resource language kept whole
+    assert(rates("en")._1 < 1.0)
+    assert(rates.exists { case (l, (r, _)) => l != "en" && r == 1.0 })
+
+    val run1 = CorpusPipeline.langSampleDocs(spark, sf)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    val run2 = CorpusPipeline.langSampleDocs(spark, sf)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(run1 == run2, "sampling not deterministic")
+
+    val keptByLang = run1.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for ((lang, (rate, n)) <- rates) {
+      if (rate == 1.0) assert(keptByLang.getOrElse(lang, 0L) == n, s"$lang lost docs at rate 1")
+      else {
+        val kept = keptByLang.getOrElse(lang, 0L)
+        assert(kept > 0 && kept < n, s"$lang kept $kept of $n at rate $rate")
+      }
+    }
+  }
+}
