@@ -1,7 +1,5 @@
 package graft
 
-import java.util.WeakHashMap
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -23,8 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and returns the checkpointed frame on every later call. Results are
   * identical to a fresh compute (all builders here are deterministic).
   *
-  * Lifecycle: entries are keyed weakly by session (a stopped, unreferenced
-  * session's entries vanish with its blocks). The harness isolation sweep
+  * Lifecycle: entries of STOPPED sessions are pruned on every public
+  * call (their blocks died with the context; a WeakHashMap would not work
+  * here — the DataFrame values strongly reference their session, so the
+  * weak keys could never be collected). The harness isolation sweep
   * ([[Memo.sweep]]) unpersists every persistent RDD EXCEPT memo-owned
   * blocks — exactly the cross-query sharing the memo exists for — and
   * [[Memo.clear]] releases a session's memo explicitly (used by specs and
@@ -33,13 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Memo {
 
   private val entries =
-    new WeakHashMap[SparkSession, mutable.Map[String, (DataFrame, Set[Int])]]()
+    mutable.Map.empty[SparkSession, mutable.Map[String, (DataFrame, Set[Int])]]
 
   private def mapFor(s: SparkSession): mutable.Map[String, (DataFrame, Set[Int])] =
     synchronized {
-      var m = entries.get(s)
-      if (m == null) { m = mutable.Map.empty; entries.put(s, m) }
-      m
+      entries.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+      entries.getOrElseUpdate(s, mutable.Map.empty)
     }
 
   /** Memoize `build`'s result for (s, key): first call materializes it
