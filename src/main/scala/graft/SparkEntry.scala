@@ -101,6 +101,10 @@ object SparkEntry {
     "q_topk_ngrams"    -> ((s: SparkSession, d: String) => TextAnalytics.topkNgrams(s, d)),
     // α=0.5 temperature-resampled language mixing weights + keep rates
     "q_lang_sample"    -> (graft.etl.CorpusPipeline.langSample _),
+    // corpus-unigram LM quality proxy (CCNet-style perplexity filter)
+    "q_unigram_logprob" -> (TextAnalytics.unigramLogProb _),
+    // incremental-ingest dedup triage (batch vs existing corpus)
+    "q_incremental_dedup" -> (Dedup.incrementalStatus _),
     // JSONL sink + explicit-schema scan roundtrip (content-md5 extrema
     // prove lossless escaping, not just row counts)
     "q_jsonl_roundtrip" -> (Relational.jsonlRoundtrip _),
@@ -831,6 +835,60 @@ object SparkEntry {
         |  round(weight / sum_w, 6) AS target_share,
         |  round(LEAST(1.0, (weight / sum_w) / share), 6) AS keep_rate
         |FROM sh CROSS JOIN sw""".stripMargin,
+
+    // the mean sums ~doc-length ln() doubles (order unpinned on either
+    // engine) — round(·, 6) key, same accepted class as q_tfidf's scores
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(ln(CAST(c AS DOUBLE) / n)) / count(*), 6) AS avg_logprob
+        |FROM toks JOIN tc USING (term) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
+    // existing corpus = doc_id % 10 < 8; the batch carries synthesized
+    // exact re-arrivals (+100000 = corpus copies, +200000 = in-batch
+    // repeats) since the raw testdata has no byte-identical pair; 8-token
+    // shingles; statuses by the same precedence as the Spark CASE
+    "q_incremental_dedup" ->
+      """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+        |inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |    WHERE doc_id % 10 < 8 AND doc_id % 100 = 1
+        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |    WHERE doc_id % 10 >= 8 AND doc_id % 100 = 98),
+        |exh AS (SELECT DISTINCT sha256(text) AS h FROM ex),
+        |m AS (
+        |  SELECT doc_id, sha256(text) AS h,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM inc),
+        |extoks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM ex),
+        |exsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 7), i -> array_to_string(t[i:i+7], ' ')))) AS sh
+        |  FROM extoks WHERE len(t) >= 8),
+        |intoks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM inc),
+        |insh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 7), i -> array_to_string(t[i:i+7], ' ')))) AS sh
+        |  FROM intoks WHERE len(t) >= 8),
+        |hits AS (SELECT i.doc_id, count(*) AS n_hit FROM insh i JOIN exsh USING (sh) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM insh GROUP BY 1),
+        |cont AS (
+        |  SELECT tot.doc_id, CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination
+        |  FROM tot LEFT JOIN hits h USING (doc_id))
+        |SELECT m.doc_id,
+        |  CASE WHEN m.h IN (SELECT h FROM exh) THEN 'exact_corpus'
+        |       WHEN m.rn > 1 THEN 'exact_batch'
+        |       WHEN COALESCE(c.contamination, 0) >= 0.5 THEN 'near_corpus'
+        |       ELSE 'kept' END AS status,
+        |  COALESCE(c.contamination, 0.0) AS contamination
+        |FROM m LEFT JOIN cont c USING (doc_id)""".stripMargin,
 
     // the oracle aggregates the parquet table directly: if Spark's JSONL
     // write/read corrupted any value, the md5 extrema would diverge

@@ -226,6 +226,35 @@ object TextAnalytics {
   def topkNgrams(s: SparkSession, d: String, n: Int = 2, k: Int = 20): DataFrame =
     topkNgramsDocs(Tables.documents(s, d), n, k)
 
+  /** Statistical language-model quality proxy (the CCNet/perplexity-filter
+    * recipe with the corpus itself as the LM): per document, the mean
+    * unigram log-probability of its tokens under the corpus unigram
+    * distribution. Gibberish / rare-vocabulary docs score far below
+    * common-vocabulary prose, giving a quality axis independent of the
+    * length/stopword/repetition gates.
+    *
+    * Scale shape: term counts are one partial-aggregated groupBy; scores
+    * attach back by an equi-join from token occurrences to the AGGREGATED
+    * term table (1:1 output per occurrence — a hot term skews the probe
+    * side only, which AQE handles); the per-doc mean is another partial
+    * agg. The reported mean carries a round(·, 6) key: it sums ~doc-length
+    * ln() doubles whose order no engine pins (same accepted class as the
+    * q_tfidf scores). */
+  def unigramLogProb(s: SparkSession, d: String): DataFrame =
+    unigramLogProbDocs(Tables.documents(s, d))
+
+  /** [[unigramLogProb]] over an arbitrary (doc_id, text) frame. */
+  def unigramLogProbDocs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tc = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    toks.join(tc, Seq("term")).crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log(col("c").cast("double") / col("n"))) / count(lit(1)), 6)
+          .as("avg_logprob"))
+  }
+
   /** [[topkNgrams]] over an arbitrary (doc_id, text) frame — the testable
     * form. */
   def topkNgramsDocs(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {

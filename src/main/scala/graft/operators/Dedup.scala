@@ -233,6 +233,64 @@ object Dedup {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     dupSpansDocs(Tables.documents(s, d))
 
+  /** Incremental-ingest dedup triage — the daily-crawl shape: classify
+    * each INCOMING document against the existing corpus and its own batch
+    * without ever re-deduplicating the corpus. Statuses, by precedence:
+    *
+    *  - `exact_corpus`: byte-identical to an existing doc (hash semi-join
+    *    against the corpus' content-hash set — at 100 TB that set is the
+    *    stored dedup index, key-only, never the corpus text);
+    *  - `exact_batch`: duplicate within the batch (row_number per hash,
+    *    lowest doc_id survives);
+    *  - `near_corpus`: shingle containment vs the corpus ≥ τ (the
+    *    [[decontaminateDocs]] probe with the corpus as the "eval" side);
+    *  - `kept`: new content.
+    *
+    * Every stage is keyed on hashes or aggregated shingles: batch-sized
+    * work joined against index-sized sets — the whole point of
+    * incremental ingestion is that nothing rescans the corpus text. */
+  def incrementalStatusDocs(existing: DataFrame, incoming: DataFrame,
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val exHash = existing.select(sha2(col("text"), 256).as("h")).distinct()
+    val wH = Window.partitionBy("h").orderBy("doc_id")
+    val marked = incoming
+      .withColumn("h", sha2(col("text"), 256))
+      .join(exHash.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .withColumn("rn", row_number().over(wH))
+    val cont = decontaminateDocs(incoming, existing, n, tau)
+      .select(col("doc_id"), col("contamination"))
+    marked.join(cont, Seq("doc_id"), "left")
+      .withColumn("contamination", coalesce(col("contamination"), lit(0.0)))
+      .withColumn("status",
+        when(col("in_corpus"), "exact_corpus")
+          .when(col("rn") > 1, "exact_batch")
+          .when(col("contamination") >= tau, "near_corpus")
+          .otherwise("kept"))
+      .select("doc_id", "status", "contamination")
+  }
+
+  /** Gate query: existing corpus = doc_id % 10 < 8, incoming batch = the
+    * rest (a deterministic 20% "daily increment") PLUS synthesized exact
+    * copies — the raw testdata contains no byte-identical pair, so the
+    * exact_corpus / exact_batch arms would otherwise never run: every
+    * doc_id % 100 == 1 corpus doc re-arrives as id+100000 (exact_corpus)
+    * and every % 100 == 98 batch doc is repeated as id+200000
+    * (exact_batch). Shingle width 8 per the decontamination convention
+    * (3-token shingles collide on the testdata's ~40-word vocabulary and
+    * flag most of the batch; 8-token containment only fires on true
+    * near-copies). */
+  def incrementalStatus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.where(col("doc_id") % 10 < 8)
+    val batch = docs.where(col("doc_id") % 10 >= 8)
+    val fromCorpus = existing.where(col("doc_id") % 100 === 1)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val fromBatch = batch.where(col("doc_id") % 100 === 98)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+    incrementalStatusDocs(existing,
+      batch.unionByName(fromCorpus).unionByName(fromBatch), n = 8)
+  }
+
   /** Near-dup via MinHash-LSH banding (spark.ml): shingle sets → sparse
     * binary vectors (HashingTF) → MinHashLSH → approxSimilarityJoin, which
     * OR-combines hash-table buckets and only compares within buckets —

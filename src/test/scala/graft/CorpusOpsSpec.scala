@@ -82,6 +82,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out == Seq((1, "x y", 4L), (2, "b b", 3L), (3, "y x", 2L)))
   }
 
+  test("incremental triage classifies by precedence: corpus copy, batch repeat, near-copy, new") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // byte-copy of 1
+      (11L, "brand new unseen words entirely fresh content here"),
+      (12L, "brand new unseen words entirely fresh content here"), // repeat of 11
+      (13L, "one two three four five six seven eight different tail"), // near-copy of 2
+      (14L, "totally distinct vocabulary nothing shared anywhere else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalStatusDocs(existing, incoming, n = 3, tau = 0.5)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(
+      10L -> "exact_corpus",
+      11L -> "kept",
+      12L -> "exact_batch",
+      13L -> "near_corpus",
+      14L -> "kept"))
+  }
+
+  test("unigram log-prob matches the hand-computed corpus distribution") {
+    val docs = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val outMap = TextAnalytics.unigramLogProbDocs(docs)
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // tokens: a ×3, b ×1, total 4
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(outMap(1L) == ((2L, r6(math.log(0.75)))))
+    assert(outMap(2L) == ((2L, r6((math.log(0.75) + math.log(0.25)) / 2))))
+    // the common-vocabulary doc scores higher than the rare-vocabulary one
+    assert(outMap(1L)._2 > outMap(2L)._2)
+  }
+
   test("langSampleDocs is deterministic, keeps rate-1 languages whole, downsamples the head") {
     val rates = CorpusPipeline.langSample(spark, sf)
       .select("lang", "keep_rate", "n_docs")
