@@ -108,6 +108,11 @@ object SparkEntry {
     // JSONL sink + explicit-schema scan roundtrip (content-md5 extrema
     // prove lossless escaping, not just row counts)
     "q_jsonl_roundtrip" -> (Relational.jsonlRoundtrip _),
+    // ORC sink + scan roundtrip (Spark's other native columnar format)
+    "q_orc_roundtrip"  -> (Relational.orcRoundtrip _),
+    // streaming ingest gate: stream-static anti join vs the corpus hash
+    // index + within-stream dedup (watermark-bounded state)
+    "q_stream_ingest_dedup" -> (graft.streaming.EventStreams.streamIngestDedup _),
     // sequence packing: token-budget shards (two-level distributed
     // prefix sum) + greedy per-shard packing (bounded sequential kernel)
     "q_pack_shards"    -> (graft.etl.Packing.shards _),
@@ -897,6 +902,32 @@ object SparkEntry {
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
         |  min(md5(text)) AS min_text_md5, max(md5(text)) AS max_text_md5
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  min(md5(text)) AS min_text_md5, max(md5(text)) AS max_text_md5
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // kept content after the stream-static anti join (corpus re-arrivals
+    // dropped) and within-stream hash dedup (rn = 1 picks one survivor
+    // per hash — which one is order-dependent in the stream, so the
+    // compared columns are all survivor-INdependent content aggregates)
+    "q_stream_ingest_dedup" ->
+      """WITH ex AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+        |inc AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 10 >= 8
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text, lang, n_chars FROM documents
+        |    WHERE doc_id % 10 < 8 AND doc_id % 100 = 1
+        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text, lang, n_chars FROM documents
+        |    WHERE doc_id % 10 >= 8 AND doc_id % 100 = 98),
+        |keep AS (
+        |  SELECT lang, n_chars, text,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM inc WHERE sha256(text) NOT IN (SELECT sha256(text) FROM ex))
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  min(md5(text)) AS min_text_md5, max(md5(text)) AS max_text_md5
+        |FROM keep WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     // epoch fan-out via generate_series; tier thresholds mirror the
     // Spark-side CASE exactly (same token/alpha expressions as textStats)

@@ -256,4 +256,24 @@ object Relational {
         min(md5(col("text"))).as("min_text_md5"),
         max(md5(col("text"))).as("max_text_md5"))
   }
+
+  /** S-family — ORC sink + scan (the other columnar format Spark ships
+    * natively; Avro is NOT covered — the spark-avro DataSource jar is not
+    * in this distribution). Same lossless-roundtrip proof as
+    * [[jsonlRoundtrip]], grouped by `source` so the aggregate exercises a
+    * different column. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${java.lang.ProcessHandle.current().pid()}"
+    Tables.documents(s, d)
+      .select("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("chars_sum"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        min(md5(col("text"))).as("min_text_md5"),
+        max(md5(col("text"))).as("max_text_md5"))
+  }
 }

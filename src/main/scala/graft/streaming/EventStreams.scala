@@ -191,6 +191,69 @@ object EventStreams {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Streaming ingest dedup — the streaming half of
+    * `Dedup.incrementalStatus`: a document stream is gated against a
+    * STATIC corpus hash index by a stream-static LEFT ANTI join (exact
+    * re-crawls of stored content never enter the pipeline; the static
+    * side is the key-only dedup index, not corpus text), then deduped
+    * within the stream by content hash via dropDuplicatesWithinWatermark
+    * (in-flight repeats collapse; state is bounded by the watermark
+    * horizon). Stream-static joins are stateless on the stream side —
+    * the static index is read per micro-batch — so this composes with
+    * the watermarked dedup without extra state stores.
+    *
+    * The gate query streams the documents table (batch = doc_id%10 ≥ 8)
+    * with two synthesized re-arrival branches — corpus copies (+100000)
+    * that the anti-join must drop, and in-batch repeats (+200000) that
+    * the dedup must collapse — and drains into a memory sink. Event time
+    * is a synthetic crawl timestamp derived from doc_id (deterministic).
+    * The output aggregates per lang with content-md5 extrema because the
+    * SURVIVOR of an in-batch repeat pair is order-dependent (same text,
+    * different doc_id) while the kept CONTENT is not — the aggregate is
+    * what the DuckDB oracle can pin (`q_stream_ingest_dedup`). */
+  def streamIngestDedup(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    try {
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      def src: DataFrame = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val batch = src.where(col("doc_id") % 10 >= 8)
+      val corpusCopies = src.where(col("doc_id") % 10 < 8 && col("doc_id") % 100 === 1)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val batchRepeats = src.where(col("doc_id") % 10 >= 8 && col("doc_id") % 100 === 98)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+      val incoming = batch.unionAll(corpusCopies).unionAll(batchRepeats)
+        .withColumn("h", sha2(col("text"), 256))
+        .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)"))
+      val corpusIndex = graft.Tables.documents(s, d)
+        .where(col("doc_id") % 10 < 8)
+        .select(sha2(col("text"), 256).as("h")).distinct()
+      val kept = incoming
+        .join(corpusIndex, Seq("h"), "left_anti") // stream-static anti join
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(Seq("h"))
+      val name = "graft_stream_ingest"
+      val q = kept.writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars_sum"),
+          min(md5(col("text"))).as("min_text_md5"),
+          max(md5(col("text"))).as("max_text_md5"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, lastTs: Long)
