@@ -125,12 +125,16 @@ object CorpusPipeline {
     * the round(cos, 6) rank keys (documented, ADVICE r5).
     *
     * Scale shape: one partial-agg groupBy to |langs| rows, then two
-    * broadcast-sized cross joins with 1-row totals — nothing here grows
-    * with the corpus. */
+    * broadcast-sized cross joins with 1-row totals. The |langs|-row
+    * aggregate is materialized eagerly (localCheckpoint): the totals
+    * branches would otherwise each re-run the corpus scan + aggregation
+    * (the plan showed 4 FileScans), and nothing downstream grows with the
+    * corpus. */
   def langSample(s: SparkSession, d: String): DataFrame = {
     val perLang = tiered(Tables.documents(s, d))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .localCheckpoint(true)
     val tot = perLang.agg(sum("n_tokens").as("tot_tokens"))
     val shared = perLang.crossJoin(broadcast(tot))
       .withColumn("share", col("n_tokens").cast("double") / col("tot_tokens"))

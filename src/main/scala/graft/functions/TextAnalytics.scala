@@ -247,7 +247,9 @@ object TextAnalytics {
   def unigramLogProbDocs(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tc = toks.groupBy("term").agg(count(lit(1)).as("c"))
-    val tot = toks.agg(count(lit(1)).as("n"))
+    // total token count from the TERM table (Σc — exact integer sum over
+    // vocab-sized input), not a third scan+tokenize of the corpus
+    val tot = tc.agg(sum("c").as("n"))
     toks.join(tc, Seq("term")).crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
