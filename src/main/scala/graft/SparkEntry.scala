@@ -79,6 +79,9 @@ object SparkEntry {
     // transitive closure of the near-dup pair graph (connected
     // components) and the cleaned corpus it induces
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
+    // same clusters through O(log n) large-star/small-star rounds (the
+    // giant-component path); must agree exactly with the min-label form
+    "q_dedup_clusters_ls" -> (Dedup.dedupClustersLogRounds _),
     "q_dedup_clean"    -> (Dedup.dedupClean _),
     // composed flagship: quality gate -> exact dedup -> near-dup dedup
     "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
@@ -726,6 +729,14 @@ object SparkEntry {
     // every node r reachable from id (components are near-dup clusters —
     // tiny — so full reachability is cheap); cluster = min reachable id
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+        |$NgramReachCtes
+        |SELECT id AS doc_id, min(r) AS cluster, (min(r) = id) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
+
+    // identical oracle: the log-round variant must produce the same
+    // transitive closure as min-label propagation
+    "q_dedup_clusters_ls" ->
       s"""WITH RECURSIVE $NgramPairCtes,
         |$NgramReachCtes
         |SELECT id AS doc_id, min(r) AS cluster, (min(r) = id) AS keep

@@ -534,6 +534,89 @@ object Dedup {
     labels
   }
 
+  /** Connected components in O(log n) rounds by alternating large-star /
+    * small-star contractions (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the variant [[connectedComponents]]'
+    * scaladoc defers to for graphs with CONTINENT-SIZED components, where
+    * min-label propagation needs diameter-many rounds:
+    *
+    *  - large-star: every node's larger neighbors re-attach to the
+    *    minimum of its neighborhood (one groupBy(min) + one equi-join);
+    *  - small-star: every node and its smaller neighbors re-attach to
+    *    the minimum smaller neighbor (same shape on the canonical
+    *    larger→smaller edge list).
+    *
+    * Both steps are |E|-linear partial-agg + equi-join rounds (no
+    * neighborhood collect_list — a hot node's neighbor set never
+    * materializes in one task), edges stay canonical (src > dst), and the
+    * fixpoint is the star graph rooted at each component's minimum. Same
+    * API and output as [[connectedComponents]]; property-tested equal to
+    * it on path/clique/mixed/string-id graphs (TextDedupSpec). */
+  def connectedComponentsLogRounds(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 32): DataFrame = {
+    val ec = edges.columns
+    var e = edges
+      .select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric view: emit (v, m(u)) for v > u
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val minsL = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val afterLarge = sym.join(minsL, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      // small-star on the canonical list: u and its smaller neighbors
+      // all re-attach to the minimum smaller neighbor
+      val minsS = afterLarge.groupBy("src").agg(min("dst").as("m"))
+      val next = afterLarge.join(minsS, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(minsS.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct().localCheckpoint(true)
+      // fixpoint: same size and next ⊆ e (both sides distinct) ⇒ equal
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      e = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsLogRounds did not converge in $maxIter rounds")
+    // fixpoint edges are (node, root); add roots and isolated nodes
+    val labelled = e.select(col("src").as("id"), col("dst").as("comp"))
+      .unionAll(e.select(col("dst").as("id"), col("dst").as("comp")).distinct())
+      .distinct()
+    val isolated = nodes.select(col(nodes.columns.head).as("id"))
+      .distinct()
+      .join(labelled.select("id"), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    labelled.unionAll(isolated)
+  }
+
+  /** Gate query: [[dedupClusters]] computed through the log-round
+    * large-star/small-star components instead of min-label propagation —
+    * same pair graph, same output contract, same DuckDB recursive-CTE
+    * oracle (the two variants must agree exactly). Memoized like its
+    * sibling. */
+  def dedupClustersLogRounds(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"dedup_clusters_ls:$d") {
+      val docs = Tables.documents(s, d)
+      val sh = rarePostings(docs, maxDf = 100L).cache()
+      val pairs =
+        try ngramJaccardFromPostings(sh, docSizes(docs), threshold = 0.12)
+          .select("a_id", "b_id").localCheckpoint(true)
+        finally sh.unpersist()
+      connectedComponentsLogRounds(pairs, docs.select("doc_id"))
+        .select(col("id").as("doc_id"), col("comp").as("cluster"),
+          (col("id") === col("comp")).as("keep"))
+    }
+
   /** Gate query: near-dup clusters = connected components over the
     * [[ngramJaccard]] pair graph, every document labeled with its cluster
     * id (min doc_id of its component) and whether it is the canonical

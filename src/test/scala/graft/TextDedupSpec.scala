@@ -229,6 +229,38 @@ class TextDedupSpec extends SparkTestBase {
     assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
 
+  test("log-round components agree with min-label propagation on every fixture") {
+    def both(edges: org.apache.spark.sql.DataFrame, nodes: org.apache.spark.sql.DataFrame) = {
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.get(0) -> r.get(1)).toMap
+      (toMap(Dedup.connectedComponents(edges, nodes)),
+        toMap(Dedup.connectedComponentsLogRounds(edges, nodes)))
+    }
+    // path + pair + isolated (the existing fixture)
+    val (a1, b1) = both(Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b"),
+      Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id"))
+    assert(a1 == b1)
+    // endpoints absent from nodes
+    val (a2, b2) = both(Seq((2L, 3L), (10L, 11L)).toDF("a", "b"),
+      Seq(2L, 10L).toDF("id"))
+    assert(a2 == b2)
+    // string ids
+    val (a3, b3) = both(Seq(("b", "c"), ("c", "a")).toDF("x", "y"),
+      Seq("a", "b", "c", "z").toDF("id"))
+    assert(a3 == b3)
+    // long path (diameter 40 — the shape min-label needs 40 rounds for
+    // and large-star/small-star needs ~log rounds)
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val (a4, b4) = both(path, Seq(0L).toDF("id"))
+    assert(a4 == b4 && a4.values.toSet == Set(0L))
+    // seeded random graph: 60 nodes, 45 edges — multiple components
+    val rnd = new scala.util.Random(42)
+    val re = Seq.fill(45)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val (a5, b5) = both(re.toDF("a", "b"), (0L until 60L).toDF("id"))
+    assert(a5 == b5)
+  }
+
   test("dedup clusters keep one canonical doc per planted near-dup group") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = a.replace("today", "tomorrow")          // near-dup of a
