@@ -6,6 +6,37 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import org.apache.spark.sql.graft.VectorExpressions.floatDot
 
+/** Static PQ kernels shared by training/encoding/search closures (top
+  * level so Spark serializes only the call, not an enclosing object). */
+object PqKernel {
+  /** Index of the L2-nearest codeword; ties break to the lowest index. */
+  def nearestL2(codewords: Array[Array[Float]], slice: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < codewords.length) {
+      val cw = codewords(c)
+      var dist = 0.0
+      var i = 0
+      while (i < slice.length) {
+        val df = slice(i).toDouble - cw(i)
+        dist += df * df
+        i += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+}
+
 /** Similarity search over the `embeddings` table (brief north-star):
   * brute-force cosine top-k as the correctness baseline, IVF (coarse
   * centroid bucketing) as the scale path.
@@ -245,6 +276,126 @@ object Similarity {
         expr("array_min(q)").cast("long").as("q_min"),
         expr("array_max(q)").cast("long").as("q_max"),
         col("max_abs_err"))
+  }
+
+  /** Per-subspace PQ codebooks: (sub)(code) → codeword slice. */
+  type Codebooks = Array[Array[Array[Float]]]
+
+  /** Deterministic product-quantization training (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"): split the
+    * embedding into m equal subspaces and learn k codewords per subspace
+    * by Lloyd iterations seeded from the k lowest vec_ids' slices — the
+    * same deterministic-seed + vec_id-ordered-sum scheme as
+    * [[refineCentroids]], so training is bit-reproducible. One job per
+    * iteration covers ALL subspaces (each vector emits m (sub, code,
+    * slice) assignments; per-(sub, code) means are a bounded mapGroups).
+    * The full codebook set is m·k·(dim/m) floats = k·dim — driver-sized
+    * by construction, broadcast for encoding. */
+  def pqTrain(e: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 3): Codebooks = {
+    val s = e.sparkSession
+    import s.implicits._
+    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val d = dim / m
+    val seeds = vecs.orderBy("vec_id").limit(k).collect().sortBy(_._1).map(_._2)
+    require(seeds.length == k, s"need at least k=$k vectors to seed PQ")
+    var books: Codebooks =
+      Array.tabulate(m)(sub => seeds.map(_.slice(sub * d, (sub + 1) * d)))
+    val cached = vecs.cache()
+    try {
+      for (_ <- 1 to iters) {
+        val bc = s.sparkContext.broadcast(books)
+        val means = cached
+          .flatMap { case (id, emb) =>
+            val bk = bc.value
+            (0 until m).iterator.map { sub =>
+              val slice = emb.slice(sub * d, (sub + 1) * d)
+              ((sub, PqKernel.nearestL2(bk(sub), slice)), (id, slice))
+            }
+          }
+          .groupByKey(_._1)
+          .mapGroups { (key, it) =>
+            val rows = it.toArray.sortBy(_._2._1) // vec_id order: exact sums
+            val sum = new Array[Double](d)
+            rows.foreach { r =>
+              var i = 0
+              while (i < d) { sum(i) += r._2._2(i); i += 1 }
+            }
+            (key._1, key._2, Array.tabulate(d)(i => (sum(i) / rows.length).toFloat))
+          }
+          .collect()
+        val next = books.map(_.clone())
+        means.foreach { case (sub, code, mean) => next(sub)(code) = mean }
+        books = next
+      }
+      books
+    } finally cached.unpersist()
+  }
+
+  /** Encode every vector to its m sub-codes — one narrow broadcast pass,
+    * 4 bits·log2(k)/8 bytes per vector instead of 4·dim: the PQ storage
+    * win that makes billion-vector search fit in memory. */
+  def pqEncode(e: DataFrame, books: Codebooks): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val m = books.length
+    val d = books(0)(0).length
+    val bc = s.sparkContext.broadcast(books)
+    e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val bk = bc.value
+        (id, Array.tabulate(m)(sub =>
+          PqKernel.nearestL2(bk(sub), emb.slice(sub * d, (sub + 1) * d))))
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** PQ-ADC top-k (asymmetric distance computation): per query, a m×k
+    * table of exact dot products against every codeword — k·dim mults,
+    * built once per query — turns each corpus vector's score into m table
+    * lookups over its CODES. The corpus pass touches codes only (the
+    * 4-byte-ish encoded form), never the float vectors: the scan cost at
+    * 100 TB is the encoded corpus, ~dim/m-fold smaller. Deterministic
+    * ranking via (round(score, 6) DESC, vec_id), the same ULP-proof rank
+    * key as [[cosineTopK]]. No oracle — the codebooks are seeded JVM
+    * Lloyd fits — so the contract is spec-pinned instead (PqSpec:
+    * determinism, code locality, ADC-vs-exact recall on separable
+    * clusters). */
+  def pqTopK(s: SparkSession, d: String, m: Int = 4, k: Int = 16,
+      nQueries: Int = 10, topK: Int = 5, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val books = pqTrain(e, m, k, iters)
+    val codes = pqEncode(e, books)
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val dSub = books(0)(0).length
+    // per-query ADC tables: (q_id, table(sub)(code) = <q_slice, codeword>)
+    val tables: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, q) =>
+      qid -> Array.tabulate(m) { sub =>
+        val slice = q.slice(sub * dSub, (sub + 1) * dSub)
+        books(sub).map(cw => PqKernel.dot(slice, cw))
+      }
+    }
+    val bc = s.sparkContext.broadcast(tables)
+    val scored = codes.as[(Long, Array[Int])]
+      .flatMap { case (id, cs) =>
+        bc.value.iterator.filter(_._1 != id).map { case (qid, tab) =>
+          var sc = 0.0
+          var sub = 0
+          while (sub < cs.length) { sc += tab(sub)(cs(sub)); sub += 1 }
+          (qid, id, sc)
+        }
+      }
+      .toDF("q_id", "vec_id", "score")
+    val w = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
+    scored
+      .withColumn("sim_key", round(col("score"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("sim_key").as("adc_score"))
   }
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
