@@ -398,6 +398,67 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("sim_key").as("adc_score"))
   }
 
+  /** IVF-PQ: the composition the two halves exist for (FAISS's
+    * workhorse index) — coarse IVF bucketing prunes the corpus to nprobe
+    * buckets per query, and within the probed buckets the score is
+    * PQ-ADC over the ENCODED corpus. The full pass over float vectors
+    * happens exactly twice at build time (assignment + encoding); search
+    * touches nprobe/√N of the corpus and reads only codes. This variant
+    * encodes raw vectors, not residuals (vector − centroid): simpler, a
+    * known recall trade, documented rather than hidden. No oracle
+    * (seeded JVM Lloyd fits); PqSpec pins probed-bucket containment,
+    * own-cluster recall, and determinism. */
+  def ivfPqTopK(s: SparkSession, d: String, nCentroids: Int = 0, nprobe: Int = 2,
+      m: Int = 4, k: Int = 16, nQueries: Int = 10, topK: Int = 5,
+      iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = withNorm(s, d)
+    val nc = if (nCentroids > 0) nCentroids else centroidCount(e.count())
+    val cents = seedCents(e, nc)
+    val assigned = assignWith(e, cents).select("vec_id", "bucket")
+    val books = pqTrain(e, m, k, iters)
+    val codes = pqEncode(e, books)
+    val corpus = assigned.join(codes, Seq("vec_id"))
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val dSub = books(0)(0).length
+    // driver-side probe selection + ADC tables: both bounded by
+    // (nQueries × centroid count) and (nQueries × m × k)
+    val plans: Array[(Long, Set[Long], Array[Array[Double]])] = queries.map {
+      case (qid, q, qn) =>
+        val probed = cents
+          .map(c => (c._1, PqKernel.dot(q, c._2) / (qn * c._3)))
+          .sortBy { case (cid, sim) => (-sim, cid) }
+          .take(nprobe).map(_._1).toSet
+        val table = Array.tabulate(m) { sub =>
+          val slice = q.slice(sub * dSub, (sub + 1) * dSub)
+          books(sub).map(cw => PqKernel.dot(slice, cw))
+        }
+        (qid, probed, table)
+    }
+    val bc = s.sparkContext.broadcast(plans)
+    val scored = corpus.as[(Long, Long, Array[Int])]
+      .flatMap { case (id, bucket, cs) =>
+        bc.value.iterator
+          .filter { case (qid, probed, _) => qid != id && probed.contains(bucket) }
+          .map { case (qid, _, tab) =>
+            var sc = 0.0
+            var sub = 0
+            while (sub < cs.length) { sc += tab(sub)(cs(sub)); sub += 1 }
+            (qid, id, bucket, sc)
+          }
+      }
+      .toDF("q_id", "vec_id", "bucket", "score")
+    val w = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
+    scored
+      .withColumn("sim_key", round(col("score"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("bucket"), col("rank"),
+        col("sim_key").as("adc_score"))
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
     * corpus = all vectors. Ranking key is (round(cos,6) DESC, vec_id) so
     * the result is deterministic under floating-point ULP differences. */

@@ -98,6 +98,29 @@ class PqSpec extends SparkTestBase {
     assert(adc.toSeq.sorted == again.toSeq.sorted)
   }
 
+  test("IVF-PQ: results come from probed buckets, stay in-cluster, deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+    clustered()
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // 3 centroids = vecs 0,1,2 — one per cluster; nprobe=1 probes only
+    // the query's own cluster bucket
+    val out = Similarity.ivfPqTopK(spark, dir, nCentroids = 3, nprobe = 1,
+        m = 4, k = 16, nQueries = 3, topK = 5)
+      .select("q_id", "vec_id", "bucket", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, v, b, _) =>
+      assert(v % 3 == q % 3, s"query $q got cross-cluster neighbor $v")
+      assert(b == q, s"query $q scored a vector outside its probed bucket $b")
+    }
+    val again = Similarity.ivfPqTopK(spark, dir, nCentroids = 3, nprobe = 1,
+        m = 4, k = 16, nQueries = 3, topK = 5)
+      .select("q_id", "vec_id", "bucket", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.toSeq.sorted == again.toSeq.sorted)
+  }
+
   test("kernel: nearestL2 breaks ties to the lowest index") {
     val cws = Array(Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f))
     assert(PqKernel.nearestL2(cws, Array(1.0f, 0.0f)) == 0)
