@@ -47,19 +47,39 @@ object Memo {
     * eager (the connected-components loop) and leave its OWN intermediate
     * checkpoint blocks behind — those are deliberately NOT owned by the
     * memo (only the final result's blocks are), so the harness sweep still
-    * reclaims them. */
+    * reclaims them. Ownership is read off the checkpointed frame's OWN
+    * plan (its LogicalRDD leaves) — a persistent-RDD-set diff around the
+    * build would mis-own anything another thread persisted concurrently,
+    * exempting foreign caches from the sweep forever. Builds run outside
+    * the lock (they run Spark jobs); if two threads race the same key,
+    * the loser's freshly-checkpointed blocks are released and the
+    * winner's frame is returned. */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     synchronized { mapFor(s).get(key) } match {
       case Some((df, _)) => df
       case None =>
-        // build OUTSIDE the lock: fixpoint builders run Spark jobs
-        val lazyResult = build
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val df = lazyResult.localCheckpoint(true)
-        val owned = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
-        synchronized { mapFor(s).getOrElseUpdate(key, (df, owned))._1 }
+        val df = build.localCheckpoint(true)
+        val owned = checkpointIds(df)
+        synchronized {
+          val m = mapFor(s)
+          m.get(key) match {
+            case Some((winner, _)) =>
+              val live = s.sparkContext.getPersistentRDDs
+              owned.foreach(id => live.get(id).foreach(_.unpersist(false)))
+              winner
+            case None =>
+              m.put(key, (df, owned))
+              df
+          }
+        }
     }
   }
+
+  /** RDD ids of the checkpointed leaves in df's analyzed plan. */
+  private def checkpointIds(df: DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
 
   /** Block ids owned by s's memo entries (the checkpointed results). */
   def ownedIds(s: SparkSession): Set[Int] =

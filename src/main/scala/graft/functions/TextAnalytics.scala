@@ -15,6 +15,18 @@ object TextAnalytics {
   /** Whitespace tokens of the trimmed, lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** All consecutive n-token windows of a token-array column, space-
+    * joined, WITH multiplicity and in position order. The single source
+    * of the sliding-window expression shared by dedup shingles
+    * (array_distinct on top), repetition grams, and duplicated-span
+    * windows — the three used to carry diverging copies (and diverging
+    * domain guards, one of which crashed: sequence(0, size-n) steps
+    * BACKWARD when size < n, producing negative slice offsets).
+    * Callers MUST filter to size(toks) >= n first. */
+  def tokenWindows(toks: Column, n: Int): Column =
+    transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+
   private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "nicht")
   private val stopEs = Seq("el", "la", "de", "que", "y", "los", "es")
@@ -100,14 +112,17 @@ object TextAnalytics {
   }
 
   /** Word n-grams WITH multiplicity — repetition analysis needs counts,
-    * unlike the dedup shingles (which are distinct per doc). Domain is
-    * docs with ≥ 3 tokens so the bigram and trigram stats share it. */
-  private def grams(docs: DataFrame, n: Int): DataFrame =
+    * unlike the dedup shingles (which are distinct per doc). `minTokens`
+    * is the domain guard: repetition passes 3 so its bigram and trigram
+    * stats share one domain; it must be >= n or the window expression
+    * produces negative offsets (the sequence() steps backward). */
+  private def grams(docs: DataFrame, n: Int, minTokens: Int = 3): DataFrame = {
+    require(minTokens >= n,
+      s"minTokens=$minTokens must be >= n=$n (shorter docs crash the window slice)")
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
-        .as("sh"))
+      .where(size(col("toks")) >= minTokens)
+      .select(col("doc_id"), explode(tokenWindows(col("toks"), n)).as("sh"))
+  }
 
   /** Gopher-style repetition filters: per document, the share of its most
     * frequent bigram among all bigrams and the duplicate-trigram fraction
@@ -258,11 +273,14 @@ object TextAnalytics {
   }
 
   /** [[topkNgrams]] over an arbitrary (doc_id, text) frame — the testable
-    * form. */
+    * form. Domain: docs with >= max(3, n) tokens (>= 3 keeps the n=2
+    * default aligned with the repetition-stats domain and its oracle;
+    * wider grams raise the guard so short docs never hit the window
+    * expression). */
   def topkNgramsDocs(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("gram"))
-    grams(docs, n)
+    grams(docs, n, minTokens = math.max(3, n))
       .groupBy(col("sh").as("gram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))

@@ -28,15 +28,16 @@ object Dedup {
       .select("doc_id", "text_hash", "lang", "n_chars")
   }
 
-  /** Distinct n-token shingles per document: (doc_id, shingle) pairs. */
+  /** Distinct n-token shingles per document: (doc_id, shingle) pairs.
+    * Window generation is the shared [[TextAnalytics.tokenWindows]]
+    * expression (single source — copies of it had diverging guards). */
   private def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextAnalytics.tokens(col("text"))
     docs
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))")))
-        .as("sh"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalytics.tokenWindows(col("toks"), n))).as("sh"))
   }
 
   /** Near-dup by n-gram Jaccard over an inverted shingle index: explode
@@ -167,10 +168,15 @@ object Dedup {
       n: Int = 3, tau: Double = 0.5, fpp: Double = 0.01): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
-    val evalSh = shingles(eval, n).select(xxhash64(col("sh")).as("sh")).distinct()
-    // benchmark-sized count, needed to size the filter; one small job
-    val nEval = math.max(evalSh.count(), 1L)
-    val bloom = evalSh.stat.bloomFilter("sh", nEval, fpp)
+    // own + release: the eval shingle set is consumed twice (the sizing
+    // count and the filter build) — cache for the pair of jobs, release
+    // before the lazy train-side plan is assembled
+    val evalSh = shingles(eval, n).select(xxhash64(col("sh")).as("sh")).distinct().cache()
+    val bloom =
+      try {
+        val nEval = math.max(evalSh.count(), 1L)
+        evalSh.stat.bloomFilter("sh", nEval, fpp)
+      } finally evalSh.unpersist()
     val bc = s.sparkContext.broadcast(bloom)
     shingles(train, n).select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       .as[(Long, Long)]
@@ -212,13 +218,18 @@ object Dedup {
     * partitions. */
   def dupSpansDocs(docs: DataFrame, w: Int = 8, tau: Double = 0.5): DataFrame = {
     val toks = TextAnalytics.tokens(col("text"))
+    // materialized once (localCheckpoint): the extraction feeds BOTH the
+    // occurrence-count groupBy and the join probe side — unmaterialized,
+    // the tokenize+explode+hash pass (the heaviest stage) runs twice. At
+    // 100 TB this would be a persist(DISK_ONLY) or an intermediate table;
+    // blocks here are reclaimed by the harness sweep / session stop.
     val windows = docs
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks)-$w), i -> concat_ws(' ', slice(toks, i+1, $w)))"))
-        .as("win"))
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokenWindows(col("toks"), w)).as("win"))
       .select(col("doc_id"), xxhash64(col("win")).as("win"))
+      .localCheckpoint(true)
     val counts = windows.groupBy("win").agg(count(lit(1)).as("c"))
     windows
       .join(counts, Seq("win"))
@@ -603,16 +614,12 @@ object Dedup {
     * large-star/small-star components instead of min-label propagation —
     * same pair graph, same output contract, same DuckDB recursive-CTE
     * oracle (the two variants must agree exactly). Memoized like its
-    * sibling. */
+    * sibling; the pair graph itself comes from the shared [[pairEdges]]
+    * memo, so the posting self-join builds once for both variants. */
   def dedupClustersLogRounds(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, s"dedup_clusters_ls:$d") {
-      val docs = Tables.documents(s, d)
-      val sh = rarePostings(docs, maxDf = 100L).cache()
-      val pairs =
-        try ngramJaccardFromPostings(sh, docSizes(docs), threshold = 0.12)
-          .select("a_id", "b_id").localCheckpoint(true)
-        finally sh.unpersist()
-      connectedComponentsLogRounds(pairs, docs.select("doc_id"))
+      connectedComponentsLogRounds(pairEdges(s, d),
+        Tables.documents(s, d).select("doc_id"))
         .select(col("id").as("doc_id"), col("comp").as("cluster"),
           (col("id") === col("comp")).as("keep"))
     }
@@ -636,15 +643,27 @@ object Dedup {
     * pipeline would write. */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, s"dedup_clusters:$d") {
-      val docs = Tables.documents(s, d)
-      val sh = rarePostings(docs, maxDf = 100L).cache()
-      val pairs =
-        try ngramJaccardFromPostings(sh, docSizes(docs), threshold = 0.12)
-          .select("a_id", "b_id").localCheckpoint(true)
-        finally sh.unpersist()
-      connectedComponents(pairs, docs.select("doc_id"))
+      connectedComponents(pairEdges(s, d), Tables.documents(s, d).select("doc_id"))
         .select(col("id").as("doc_id"), col("comp").as("cluster"),
           (col("id") === col("comp")).as("keep"))
+    }
+
+  /** The thresholded near-dup pair graph over the raw documents table —
+    * memoized under its own key because BOTH connected-components
+    * variants ([[dedupClusters]], [[dedupClustersLogRounds]]) consume the
+    * identical edges: the corpus-wide posting self-join (the dominant
+    * cost) builds once; each variant's component loop stays separately
+    * measurable. */
+  private def pairEdges(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"dedup_pairs:$d") {
+      val docs = Tables.documents(s, d)
+      val sh = rarePostings(docs, maxDf = 100L).cache()
+      // materialize INSIDE the try: the memo's own checkpoint happens
+      // after this block returns, which would be too late — the posting
+      // cache would already be released under a still-lazy plan
+      try ngramJaccardFromPostings(sh, docSizes(docs), threshold = 0.12)
+        .select("a_id", "b_id").localCheckpoint(true)
+      finally sh.unpersist()
     }
 
   /** Gate query: the CLEANED corpus — documents left-semi-joined to the

@@ -212,10 +212,29 @@ object Relational {
     * (`sensor_data_etl.py:35-51`). Round-trips a projection of events
     * through CSV, then aggregates — proving the scan path parses with the
     * declared types. */
+  /** JVM-unique roundtrip scratch dir: the PID suffix keeps concurrent
+    * runs (Verify + Bench on the same sfDir) from overwriting each
+    * other's directory mid-read, and a once-per-path shutdown hook
+    * recursively deletes it so repeated JVMs don't accumulate
+    * corpus-sized copies in java.io.tmpdir. */
+  private val tmpCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def roundtripTmp(fmt: String, d: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${java.lang.ProcessHandle.current().pid()}"
+    if (tmpCleanupRegistered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del))
+          f.delete(): Unit
+        }
+        del(new java.io.File(path))
+      }))
+    }
+    path
+  }
+
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    // JVM-unique path: concurrent runs (Verify + Bench on the same sfDir)
-    // must not overwrite each other's round-trip directory mid-read
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${java.lang.ProcessHandle.current().pid()}"
+    val tmp = roundtripTmp("csv", d)
     Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
       .write.mode("overwrite").csv(tmp)
@@ -238,7 +257,7 @@ object Relational {
     * break the oracle hash, so the roundtrip is proven lossless, not just
     * row-count-preserving. */
   def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${java.lang.ProcessHandle.current().pid()}"
+    val tmp = roundtripTmp("jsonl", d)
     Tables.documents(s, d)
       .select("doc_id", "text", "lang", "n_chars")
       .write.mode("overwrite").json(tmp)
@@ -263,7 +282,7 @@ object Relational {
     * [[jsonlRoundtrip]], grouped by `source` so the aggregate exercises a
     * different column. */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${java.lang.ProcessHandle.current().pid()}"
+    val tmp = roundtripTmp("orc", d)
     Tables.documents(s, d)
       .select("doc_id", "text", "source", "n_chars")
       .write.mode("overwrite").orc(tmp)

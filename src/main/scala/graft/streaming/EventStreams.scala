@@ -229,9 +229,17 @@ object EventStreams {
         .withColumn("doc_id", col("doc_id") + 100000L)
       val batchRepeats = src.where(col("doc_id") % 10 >= 8 && col("doc_id") % 100 === 98)
         .withColumn("doc_id", col("doc_id") + 200000L)
+      // synthetic crawl time derives from the ORIGINAL id (mod 100000
+      // folds the +100000/+200000 re-arrival offsets away): a repeat
+      // carries the same event time as the row it duplicates, so the
+      // within-stream dedup holds BY CONSTRUCTION even if the source
+      // splits into multiple micro-batches and the watermark advances
+      // between them — with ts ∝ raw doc_id, a repeat would sit 200000 s
+      // past its original and only dedup by the single-file,
+      // single-batch accident
       val incoming = batch.unionAll(corpusCopies).unionAll(batchRepeats)
         .withColumn("h", sha2(col("text"), 256))
-        .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)"))
+        .withColumn("ts", expr("timestamp_micros((doc_id % 100000) * 1000000)"))
       val corpusIndex = graft.Tables.documents(s, d)
         .where(col("doc_id") % 10 < 8)
         .select(sha2(col("text"), 256).as("h")).distinct()

@@ -82,6 +82,20 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out == Seq((1, "x y", 4L), (2, "b b", 3L), (3, "y x", 2L)))
   }
 
+  test("topkNgrams with n wider than the shortest doc skips it instead of crashing") {
+    // regression: the shared window helper's domain guard was hardcoded
+    // >= 3, so n = 4 let a 3-token doc reach sequence(0, -1) (which steps
+    // BACKWARD) and crash the slice with a negative offset
+    val docs = Seq(
+      (1L, "a b c"), // shorter than n -> must be excluded, not fatal
+      (2L, "w x y z w x y z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.topkNgramsDocs(docs, n = 4, k = 10)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.head == ((1, "w x y z", 2L)))
+    assert(out.forall(g => g._2.split(" ").length == 4))
+  }
+
   test("incremental triage classifies by precedence: corpus copy, batch repeat, near-copy, new") {
     val existing = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
