@@ -106,6 +106,10 @@ object SparkEntry {
     "q_lang_sample"    -> (graft.etl.CorpusPipeline.langSample _),
     // corpus-unigram LM quality proxy (CCNet-style perplexity filter)
     "q_unigram_logprob" -> (TextAnalytics.unigramLogProb _),
+    // percentile prune on the LM score (keep top 90%)
+    "q_quality_prune"  -> ((s: SparkSession, d: String) => TextAnalytics.qualityPrune(s, d)),
+    // first-iteration BPE merge candidates (adjacent char-pair counts)
+    "q_bpe_merges"     -> ((s: SparkSession, d: String) => TextAnalytics.bpeMergeCandidates(s, d)),
     // incremental-ingest dedup triage (batch vs existing corpus)
     "q_incremental_dedup" -> (Dedup.incrementalStatus _),
     // JSONL sink + explicit-schema scan roundtrip (content-md5 extrema
@@ -869,6 +873,42 @@ object SparkEntry {
         |  round(sum(ln(CAST(c AS DOUBLE) / n)) / count(*), 6) AS avg_logprob
         |FROM toks JOIN tc USING (term) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+
+    // percent_rank is the exact (rank-1)/(n-1) on both engines; the
+    // ordering key is the rounded avg_logprob + doc_id tie-break, so
+    // ranks are cross-engine stable
+    "q_quality_prune" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(sum(ln(CAST(c AS DOUBLE) / n)) / count(*), 6) AS avg_logprob
+        |  FROM toks JOIN tc USING (term) CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, avg_logprob, pctl FROM (
+        |  SELECT *, percent_rank() OVER (ORDER BY avg_logprob, doc_id) AS pctl
+        |  FROM scored) ranked
+        |WHERE pctl >= 0.09999999999999998""".stripMargin,
+
+    // substring(term, i, 2) is 1-based on both engines; counts carry
+    // multiplicity across repeated tokens
+    "q_bpe_merges" ->
+      """WITH terms AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, length(term) - 1), i -> substring(term, i, 2))) AS pair
+        |  FROM terms WHERE length(term) >= 2),
+        |c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY 1)
+        |SELECT rank, pair, n FROM (
+        |  SELECT pair, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank
+        |  FROM c) ranked
+        |WHERE rank <= 20""".stripMargin,
 
     // existing corpus = doc_id % 10 < 8; the batch carries synthesized
     // exact re-arrivals (+100000 = corpus copies, +200000 = in-batch

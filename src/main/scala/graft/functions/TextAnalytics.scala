@@ -229,6 +229,47 @@ object TextAnalytics {
           |    (h, c) -> (h * 131 + ascii(c)) % 1000000007)) % 1000000007)""".stripMargin)
         .as("fp_roll"))
 
+  /** Percentile-based quality pruning — the filtering step CCNet applies
+    * on top of its LM score: rank every document by [[unigramLogProb]]
+    * and keep the top keepFrac (the low tail is the gibberish/rare-
+    * vocabulary band). The threshold is an EXACT percent_rank with a
+    * doc_id tie-break, the same small-scale exact form as
+    * `TimeWindows.quantileTrim`; at 100 TB the threshold comes from
+    * approx_percentile over the scores and broadcasts as a scalar (the
+    * documented quantileTrimSketch duality) — only the tiny score table
+    * ever feeds the rank window, never corpus text. */
+  def qualityPrune(s: SparkSession, d: String, keepFrac: Double = 0.9): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logprob"), col("doc_id"))
+    unigramLogProb(s, d)
+      .withColumn("pctl", percent_rank().over(w))
+      .where(col("pctl") >= 1.0 - keepFrac)
+      .select("doc_id", "n_tokens", "avg_logprob", "pctl")
+  }
+
+  /** First-iteration BPE merge candidates — tokenizer induction's
+    * opening move: the corpus-wide most frequent ADJACENT CHARACTER
+    * pairs inside tokens (Sennrich et al. 2016 counts exactly these to
+    * pick each merge). Same shape as [[topkNgramsDocs]] one level down:
+    * per-token pair explode → partial-agg count → TakeOrdered top-k with
+    * a total (count desc, pair asc) order. */
+  def bpeMergeCandidates(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair"))
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .where(length(col("term")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "pair", "n")
+  }
+
   /** Corpus-wide top-k most frequent word n-grams — the vocabulary /
     * collocation report a training-data pipeline publishes next to the
     * corpus stats (and the raw input for stop-n-gram lists). Rank ties

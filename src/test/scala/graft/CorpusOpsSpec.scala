@@ -131,6 +131,34 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(outMap(1L)._2 > outMap(2L)._2)
   }
 
+  test("quality prune drops exactly the low-score tail") {
+    val out = TextAnalytics.qualityPrune(spark, sf, keepFrac = 0.8)
+      .select("doc_id", "pctl").as[(Long, Double)].collect()
+    val all = TextAnalytics.unigramLogProb(spark, sf)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect()
+    // kept count ≈ 80% (exact up to percent_rank tie granularity)
+    assert(out.length <= all.length)
+    assert(math.abs(out.length - 0.8 * all.length) <= 2)
+    // every dropped doc scores <= every kept doc
+    val kept = out.map(_._1).toSet
+    val keptMin = all.filter(r => kept(r._1)).map(_._2).min
+    val droppedMax = all.filterNot(r => kept(r._1)).map(_._2).max
+    assert(droppedMax <= keptMin)
+  }
+
+  test("BPE merge candidates count adjacent char pairs with multiplicity") {
+    // on a hand corpus: "aaab aaab ab" -> pairs: aa,aa,ab ×2 docs... use
+    // the table-free oracle logic directly on a tiny planted table
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    Seq((1L, "aaab ab", "en", "s", 7L), (2L, "ab", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalytics.bpeMergeCandidates(spark, dir, k = 5)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    // "aaab": aa, aa, ab; "ab": ab; "ab": ab -> ab ×3, aa ×2
+    assert(out == Seq((1, "ab", 3L), (2, "aa", 2L)))
+  }
+
   test("langSampleDocs is deterministic, keeps rate-1 languages whole, downsamples the head") {
     val rates = CorpusPipeline.langSample(spark, sf)
       .select("lang", "keep_rate", "n_docs")
