@@ -89,6 +89,8 @@ object SparkEntry {
     "q_corpus_mix"     -> (graft.etl.CorpusPipeline.mix _),
     // corpus-composition report (docs/tokens per lang × quality tier)
     "q_corpus_stats"   -> (graft.etl.CorpusPipeline.corpusStats _),
+    // same report with ROLLUP subtotals + grand total in one shuffle
+    "q_corpus_stats_rollup" -> (graft.etl.CorpusPipeline.corpusStatsRollup _),
     // composed tail: clean -> pack (ragged doc_ids through the prefix sum)
     "q_corpus_pack"    -> (graft.etl.CorpusPipeline.corpusPack _),
     // train/eval n-gram containment (test-set-leakage guard)
@@ -1027,6 +1029,26 @@ object SparkEntry {
         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
         |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
         |FROM tiers GROUP BY 1, 2""".stripMargin,
+
+    // ROLLUP grouping sets match Spark's (lang, tier) → (lang) → ()
+    // levels; NULL keys mark subtotal rows identically on both engines
+    "q_corpus_stats_rollup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio
+        |  FROM documents),
+        |tiers AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CASE WHEN alpha_ratio >= 0.7 AND n_tokens >= 20 THEN 'hi'
+        |         WHEN alpha_ratio >= 0.5 AND n_tokens >= 5 THEN 'mid'
+        |         ELSE 'low' END AS tier
+        |  FROM t)
+        |SELECT lang, tier, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM tiers GROUP BY ROLLUP (lang, tier)""".stripMargin,
 
     // reported doubles are RAW (bit-exact cross-engine: float→double is
     // exact, and both engines evaluate the same IEEE ops in the same

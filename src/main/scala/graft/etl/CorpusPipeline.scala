@@ -109,6 +109,20 @@ object CorpusPipeline {
     Packing.packShards(docs.join(keep, Seq("doc_id"), "left_semi"))
   }
 
+  /** [[corpusStats]] with ROLLUP totals — the report form that carries
+    * per-(lang, tier) rows PLUS per-lang subtotals and the grand total in
+    * one pass (Spark computes rollup grouping sets in a single shuffle
+    * with partial aggregation, not |levels| separate jobs). NULL grouping
+    * keys mark subtotal rows, exactly as DuckDB's ROLLUP does, so the
+    * oracle compares all three levels. */
+  def corpusStatsRollup(s: SparkSession, d: String): DataFrame =
+    tiered(Tables.documents(s, d))
+      .rollup("lang", "tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+
   /** Temperature-resampled multilingual mixing weights, α = 0.5 (the
     * XLM/mBERT exponent-smoothing recipe: w_l = share_l^α, target_l =
     * w_l / Σw — upsamples low-resource languages, downsamples the head):
