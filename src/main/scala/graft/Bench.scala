@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * single sample can't distinguish a regression from a noisy neighbor
   * (VERDICT.md round-2 item 8). */
 object Bench {
+  /** Cumulative JVM GC milliseconds (all collectors). */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,11 +31,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to reps).flatMap { _ =>
+        val times = (1 to reps).flatMap { rep =>
+          val gc0 = gcMillis
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
+            val t = (System.nanoTime() - t0) / 1e9
+            // per-rep diagnostics to STDERR only — the stdout JSON line the
+            // driver parses is unchanged. gc = GC ms attributable to this rep.
+            System.err.println(f"[bench] $name rep=$rep t=$t%.2fs gc=${gcMillis - gc0}ms")
+            Some(t)
           } catch {
             case _: Throwable => None
           } finally {

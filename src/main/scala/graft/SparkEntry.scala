@@ -51,6 +51,9 @@ object SparkEntry {
     "q_quantile_trim_sketch" -> ((s: SparkSession, d: String) => TimeWindows.quantileTrimSketch(s, d)),
     // sorts / top-k (O1-O2)
     "q_orderby_topk"   -> (Relational.orderbyTopk _),
+    // grouped ranking: per-user top-5 by value (WindowGroupLimit plan —
+    // no global sort; TopkPerKeySpec asserts the plan shape)
+    "q_topk_per_key"   -> ((s: SparkSession, d: String) => Relational.topkPerKey(s, d)),
     // windows / time series (W1-W6, A7)
     "q_lead_window"    -> (TimeWindows.leadWindow _),
     "q_lead_global"    -> (TimeWindows.leadGlobal _),
@@ -110,6 +113,11 @@ object SparkEntry {
     "q_unigram_logprob" -> (TextAnalytics.unigramLogProb _),
     // percentile prune on the LM score (keep top 90%)
     "q_quality_prune"  -> ((s: SparkSession, d: String) => TextAnalytics.qualityPrune(s, d)),
+    // 100 TB twin: threshold from approx_percentile broadcast as a scalar
+    // filter — no rank window anywhere (no oracle: GK sketch internals;
+    // QualityPruneSketchSpec pins >=99% keep-set agreement with the exact
+    // form)
+    "q_quality_prune_sketch" -> ((s: SparkSession, d: String) => TextAnalytics.qualityPruneSketch(s, d)),
     // first-iteration BPE merge candidates (adjacent char-pair counts)
     "q_bpe_merges"     -> ((s: SparkSession, d: String) => TextAnalytics.bpeMergeCandidates(s, d)),
     // incremental-ingest dedup triage (batch vs existing corpus)
@@ -142,6 +150,12 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "q_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    // measured recall@k of Lloyd-refined IVF vs brute-force ground truth
+    // (no oracle: float Lloyd means; AnnRecallSpec pins the floor)
+    "q_ann_recall"     -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    // measured recall@k of IVF-PQ ADC vs exact-dot ground truth — the
+    // number for the stacked IVF-pruning + non-residual-PQ trades
+    "q_ivf_pq_recall"  -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
     // symmetric int8 embedding quantization (scale, checksum, max error)
     "q_quantize_int8"  -> (Similarity.quantizeInt8 _),
     // product quantization: deterministic Lloyd codebooks + ADC top-k
@@ -159,6 +173,9 @@ object SparkEntry {
     // streaming exact dedup: events streamed twice (two unioned file
     // sources), dropDuplicatesWithinWatermark must recover the table
     "q_stream_dedup"   -> (graft.streaming.EventStreams.streamDedup _),
+    // production sink path: Append mode -> parquet files + checkpoint,
+    // read back; oracle = the watermark-closed window subset
+    "q_stream_sink"    -> (graft.streaming.EventStreams.streamSink _),
     // streaming sessionization via native session_window (event-time gap
     // sessions), oracled at full timestamp precision
     "q_stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize _),
@@ -355,6 +372,14 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
 
+    "q_topk_per_key" ->
+      """SELECT user_id, rank, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+        |  FROM events) t
+        |WHERE rank <= 5""".stripMargin,
+
     "q_lead_window" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
@@ -391,6 +416,23 @@ object SparkEntry {
     // event_id must recover exactly the base table
     "q_stream_dedup" ->
       "SELECT event_id, ts, user_id, event_type, value FROM events",
+
+    // the parquet sink holds exactly the windows the final watermark
+    // (max event time - 10 min) closed: Append emits a window when
+    // watermark passes its END. Window ends sit on the 30-min grid and
+    // the cutoff carries the max ts's sub-second offset, so < vs <= at
+    // the boundary cannot matter
+    "q_stream_sink" ->
+      """WITH cutoff AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+        |agg AS (
+        |  SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |    count(*) AS n, max(value) AS max_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, bucket, avg_value, n, max_value
+        |FROM agg, cutoff
+        |WHERE bucket + INTERVAL 30 MINUTE <= wm""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
@@ -1076,12 +1118,13 @@ object SparkEntry {
         |  END AS max_abs_err
         |FROM q""".stripMargin,
 
-    // kind/width/height are synthesized from doc_id; n_bytes is the
-    // UTF-8 payload length on both engines (Spark encode == DuckDB encode)
+    // kind/width/height are synthesized from doc_id; the payload is
+    // seeded-PRNG bytes whose LENGTH follows the Media.payloadLen
+    // formula — the oracle re-derives the arithmetic, never the bytes
     "q_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  CAST(200 + doc_id % 300 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
 
     // floor(x + 0.5) mirrors Scala's math.round exactly; scale/area are
@@ -1092,7 +1135,7 @@ object SparkEntry {
         |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
         |    CAST(doc_id % 640 + 1 AS INTEGER) AS src_width,
         |    CAST(doc_id % 480 + 1 AS INTEGER) AS src_height,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |    CAST(200 + doc_id % 300 AS BIGINT) AS len
         |  FROM documents),
         |sc AS (
         |  SELECT *, LEAST(1.0, LEAST(64.0 / src_width, 64.0 / src_height)) AS scale
@@ -1115,7 +1158,7 @@ object SparkEntry {
     // frames = 64-byte chunks at stride 4; the last chunk is ragged
     "q_media_frames" ->
       """WITH m AS (
-        |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  SELECT doc_id AS media_id, CAST(200 + doc_id % 300 AS BIGINT) AS len
         |  FROM documents),
         |f AS (
         |  SELECT media_id, len,

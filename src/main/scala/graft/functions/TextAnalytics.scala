@@ -247,6 +247,30 @@ object TextAnalytics {
       .select("doc_id", "n_tokens", "avg_logprob", "pctl")
   }
 
+  /** 100 TB form of [[qualityPrune]] — the sketch twin the exact
+    * percent_rank form documents: the keep threshold comes from ONE
+    * approx_percentile (GK sketch, partial-aggregating, no sort anywhere)
+    * over the per-doc score table and broadcasts back as a scalar filter.
+    * Same duality as `TimeWindows.quantileTrim` / `quantileTrimSketch`:
+    * the exact form is the oracle-able small-scale variant whose
+    * SinglePartition rank window cannot scale past one task's worth of
+    * doc-count rows; this form never materializes a global order at all.
+    * Boundary semantics differ only AT the threshold: the sketch keeps
+    * every doc with avg_logprob >= threshold (ties included), where the
+    * exact form's doc_id tie-break can drop some threshold-tied docs —
+    * QualityPruneSketchSpec pins >= 99 % keep-set agreement. A deployment
+    * would materialize the score table once instead of recomputing it on
+    * both sides of the threshold (the Memo pattern); both passes here are
+    * over the same lazy frame, which Spark evaluates twice. */
+  def qualityPruneSketch(s: SparkSession, d: String, keepFrac: Double = 0.9): DataFrame = {
+    val scored = unigramLogProb(s, d)
+    val thr = scored.agg(
+      expr(s"approx_percentile(avg_logprob, ${1.0 - keepFrac}, 10000)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("avg_logprob") >= col("thr"))
+      .select("doc_id", "n_tokens", "avg_logprob")
+  }
+
   /** First-iteration BPE merge candidates — tokenizer induction's
     * opening move: the corpus-wide most frequent ADJACENT CHARACTER
     * pairs inside tokens (Sennrich et al. 2016 counts exactly these to

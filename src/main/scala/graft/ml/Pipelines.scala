@@ -1,6 +1,5 @@
 package graft.ml
 
-import java.nio.file.Files
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
 import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
@@ -60,14 +59,13 @@ object Pipelines {
     val model = pipeline.fit(train.cache())
 
     // S6: model save/load round-trip; predictions come from the RELOADED
-    // model, proving persistence end-to-end (cf. sensor_data_classification.py:66)
-    val dir = Files.createTempDirectory("graft_mlp_")
-    model.write.overwrite().save(dir.toString)
-    val reloaded = PipelineModel.load(dir.toString)
-    // load() materializes the model; drop the on-disk copy so repeated
-    // verify/bench cycles don't accumulate tmp model directories
-    import scala.jdk.CollectionConverters._
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    // model, proving persistence end-to-end (cf. sensor_data_classification.py:66).
+    // The scratch dir goes through the shared Scratch helper (PID-suffixed
+    // path + shutdown-hook cleanup — same discipline as the format
+    // roundtrips); overwrite() makes repeated calls in one JVM idempotent.
+    val dir = graft.Scratch.dir("mlp_model")
+    model.write.overwrite().save(dir)
+    val reloaded = PipelineModel.load(dir)
     val predictions = reloaded.transform(test).cache()
 
     val f1 = new MulticlassClassificationEvaluator()

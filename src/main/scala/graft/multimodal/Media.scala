@@ -39,17 +39,48 @@ object Media {
     f
   }
 
-  /** Synthesize a media table from `documents` (text bytes as the opaque
-    * payload) — the testdata has no binary table; the schema is the
-    * contract. */
+  /** Deterministic payload length for a media id — the arithmetic
+    * contract the DuckDB oracles re-derive (they can't reproduce the
+    * PRNG bytes, but every gate output depends on the payload only
+    * through its LENGTH). */
+  def payloadLen(mediaId: Long): Int = (200 + mediaId % 300).toInt
+
+  private val fixtureLock = new Object
+  private val fixtureWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Binary media fixture: one row per document id with a seeded-PRNG
+    * payload of [[payloadLen]] bytes, written ONCE per (JVM, sfDir) as a
+    * true `binary` parquet column (PID-suffixed scratch path, cleaned at
+    * exit — the testdata dir is read-only). Unlike the earlier UTF-8
+    * re-encoding of document text, the payload here is genuinely opaque
+    * bytes (full 0-255 range, no character-set structure), so the typed
+    * binary plumbing — parquet BYTE_ARRAY scan, Array[Byte] encoder,
+    * mapPartitions batches — is exercised on what it claims to carry. */
+  def mediaFixturePath(s: SparkSession, d: String): String = fixtureLock.synchronized {
+    val path = graft.Scratch.dir(s"mediafix_$d")
+    if (fixtureWritten.add(path)) {
+      import s.implicits._
+      graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+          val b = new Array[Byte](payloadLen(id))
+          rnd.nextBytes(b)
+          MediaRow(id, if (id % 2 == 0) "image" else "audio",
+            (id % 640 + 1).toInt, (id % 480 + 1).toInt, b)
+        }
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The media table: binary payloads + typed metadata, read back from
+    * the parquet fixture (so every downstream op consumes a real binary
+    * parquet scan, not an in-plan cast). */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    graft.Tables.documents(s, d)
-      .select(col("doc_id").as("media_id"),
-        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
-        (col("doc_id") % 640 + 1).cast("int").as("width"),
-        (col("doc_id") % 480 + 1).cast("int").as("height"),
-        encode(col("text"), "UTF-8").as("content"))
+    s.read.parquet(mediaFixturePath(s, d))
+      .select("media_id", "kind", "width", "height", "content")
       .as[MediaRow]
   }
 

@@ -156,6 +156,24 @@ object Relational {
       .limit(100)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
+  /** O-family extension — top-k PER KEY (each user's k highest-value
+    * events), the grouped-ranking shape every leaderboard / best-example
+    * selection needs. A row_number over a KEY-PARTITIONED window + rank
+    * filter: no global sort, no single-partition stage anywhere — the
+    * shuffle is hashpartitioning(user_id) and Spark 4 plans a
+    * WindowGroupLimit, so each partition keeps only k rows per key BEFORE
+    * the final window (the per-key analog of TakeOrderedAndProject).
+    * Unique event_id tiebreak keeps ranks deterministic. TopkPerKeySpec
+    * asserts the no-global-sort plan shape. */
+  def topkPerKey(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("user_id", "rank", "event_id", "event_type", "value")
+  }
+
   /** A-family extension — per-type distinct-user counts. `count_distinct`
     * is exact: Catalyst expands it to a two-stage aggregate (partial
     * distinct on (type, user), then count) — one extra shuffle, exact
@@ -212,26 +230,10 @@ object Relational {
     * (`sensor_data_etl.py:35-51`). Round-trips a projection of events
     * through CSV, then aggregates — proving the scan path parses with the
     * declared types. */
-  /** JVM-unique roundtrip scratch dir: the PID suffix keeps concurrent
-    * runs (Verify + Bench on the same sfDir) from overwriting each
-    * other's directory mid-read, and a once-per-path shutdown hook
-    * recursively deletes it so repeated JVMs don't accumulate
-    * corpus-sized copies in java.io.tmpdir. */
-  private val tmpCleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def roundtripTmp(fmt: String, d: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${java.lang.ProcessHandle.current().pid()}"
-    if (tmpCleanupRegistered.add(path)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(del))
-          f.delete(): Unit
-        }
-        del(new java.io.File(path))
-      }))
-    }
-    path
-  }
+  /** JVM-unique roundtrip scratch dir — see [[graft.Scratch]] (PID
+    * suffix for concurrent-run isolation, shutdown-hook cleanup). */
+  private def roundtripTmp(fmt: String, d: String): String =
+    graft.Scratch.dir(s"${fmt}_$d")
 
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val tmp = roundtripTmp("csv", d)

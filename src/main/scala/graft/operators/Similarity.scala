@@ -459,6 +459,69 @@ object Similarity {
         col("sim_key").as("adc_score"))
   }
 
+  /** Measured ANN quality gate: recall@k of [[annIvf]] (Lloyd-refined
+    * centroids by default) against the brute-force [[cosineTopK]] ground
+    * truth, one row per query — the number that decides whether an ANN
+    * configuration is shippable, produced by the engine itself instead of
+    * asserted in prose. Both sides rank by the same (round(cos,6) DESC,
+    * vec_id) key, so recall differences measure BUCKETING loss only.
+    * Deterministic (seeded centroids + vec_id-ordered Lloyd sums) but not
+    * SQL-expressible (float Lloyd means) → no oracle; AnnRecallSpec pins
+    * the floor and the refined-beats-seeds ordering. Cost shape: ground
+    * truth is one broadcast-queries corpus pass — the same pass a
+    * production recall audit runs on a SAMPLE of queries next to the
+    * index build. */
+  def annRecall(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 2, refineIters: Int = 2): DataFrame = {
+    val truth = cosineTopK(s, d, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val got = annIvf(s, d, nprobe = nprobe, nQueries = nQueries, k = k,
+      refineIters = refineIters)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(got, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_k", col("n_hits").cast("double") / col("k_truth"))
+  }
+
+  /** Exact top-k by RAW DOT PRODUCT — the ground truth whose metric
+    * matches what PQ-ADC approximates (ADC scores are unnormalized
+    * dot products, so cosine truth would conflate metric mismatch with
+    * quantization loss). Same broadcast-queries/one-corpus-pass shape and
+    * the same deterministic rank key discipline as [[cosineTopK]]. */
+  def dotTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim_key", round(floatDot(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+  }
+
+  /** Recall@k of [[ivfPqTopK]] (ADC over codes within probed buckets)
+    * against the exact-dot [[dotTopK]] ground truth — the measured number
+    * for the two stacked approximations (IVF pruning + non-residual PQ
+    * encoding) that `ivfPqTopK`'s scaladoc could only describe as "a
+    * documented recall trade". One row per query. No oracle (seeded JVM
+    * Lloyd fits); AnnRecallSpec pins the floor. */
+  def ivfPqRecall(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 2, m: Int = 4, codebookK: Int = 16): DataFrame = {
+    val truth = dotTopK(s, d, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val got = ivfPqTopK(s, d, nprobe = nprobe, m = m, k = codebookK,
+      nQueries = nQueries, topK = k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(got, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_k", col("n_hits").cast("double") / col("k_truth"))
+  }
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
     * corpus = all vectors. Ranking key is (round(cos,6) DESC, vec_id) so
     * the result is deterministic under floating-point ULP differences. */

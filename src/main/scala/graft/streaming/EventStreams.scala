@@ -133,6 +133,50 @@ object EventStreams {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Gate query for the PRODUCTION sink path: [[windowedMeans]] in
+    * APPEND mode to a parquet file sink with a checkpoint directory, then
+    * read back from the sink files. What lands in the sink is exactly the
+    * FINALIZED windows — those the watermark (max event time − 10 min)
+    * has closed; the still-open tail windows are retained as state and
+    * never emitted — so the DuckDB oracle is the batch resample SQL
+    * restricted to the same watermark-closed subset, and the hash check
+    * pins Append-mode emission semantics end to end (the memory-sink
+    * twin `q_stream_resample` pins Complete-mode totals). The checkpoint
+    * + sink pair lives in a PID-scoped scratch dir (fresh per JVM);
+    * repeated calls in one JVM RESUME from the checkpoint — the source
+    * sees no new files, emits nothing, and the sink's committed file
+    * manifest still reads back the same rows: the exactly-once resume
+    * contract, exercised by the bench's repeat reps. */
+  def streamSink(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    try {
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val base = graft.Scratch.dir(s"streamsink_$d")
+      val q = windowedMeans(stream).writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$base/out")
+        .select("user_id", "bucket", "avg_value", "n", "max_value")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Event-time sessionization via the NATIVE session_window function:
     * per-user sessions that close after `gap` idle time, aggregated with
     * the same DECIMAL-exact sum as the batch sessionizer. Works on batch

@@ -228,6 +228,42 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(last.getAs[Long]("n") == expected.n)
   }
 
+  test("media fixture is a true binary parquet column with formula lengths, stable across reads") {
+    val path = Media.mediaFixturePath(spark, sf)
+    val raw = spark.read.parquet(path)
+    assert(raw.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType, raw.schema.treeString)
+    val rows = Media.mediaTable(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.content.length == Media.payloadLen(r.media_id),
+        s"media ${r.media_id}: ${r.content.length} != formula")
+    }
+    // genuinely opaque bytes: the payloads cover (nearly) the full byte
+    // range, which no UTF-8 text re-encoding would
+    val distinctBytes = rows.take(20).flatMap(_.content).map(_ & 0xFF).distinct.length
+    assert(distinctBytes > 200, s"only $distinctBytes distinct byte values — not binary-like")
+    // deterministic: a second table read returns identical payloads
+    val again = Media.mediaTable(spark, sf).collect()
+      .map(r => r.media_id -> r.content.toSeq).toMap
+    rows.foreach(r => assert(again(r.media_id) == r.content.toSeq))
+  }
+
+  test("streamSink gate: parquet sink holds exactly the watermark-closed windows") {
+    val out = EventStreams.streamSink(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val cutoff = ev.agg(max("ts")).head().getTimestamp(0).getTime - 10 * 60 * 1000L
+    val batch = ev
+      .groupBy(col("user_id"), window(col("ts"), "30 minutes"))
+      .agg(graft.operators.exactAvg(col("value")).as("avg_value"),
+        count(lit(1)).as("n"), max("value").as("max_value"))
+      .select(col("user_id"), col("window.start").as("bucket"),
+        col("avg_value"), col("n"), col("max_value"))
+      .where(col("bucket").cast("long") * 1000 + 30 * 60 * 1000 <= cutoff)
+    assert(out.count() == batch.count(),
+      s"sink rows ${out.count()} != closed-window rows ${batch.count()}")
+    assert(out.except(batch).count() == 0)
+  }
+
   test("media feature extraction preserves ids, byte stats, and feature shape") {
     val media = Media.mediaTable(spark, sf)
     val feats = Media.extractFeatures(media)
