@@ -111,6 +111,8 @@ object SparkEntry {
     "q_lang_sample"    -> (graft.etl.CorpusPipeline.langSample _),
     // corpus-unigram LM quality proxy (CCNet-style perplexity filter)
     "q_unigram_logprob" -> (TextAnalytics.unigramLogProb _),
+    // bigram conditional-LM score (word-order-sensitive quality axis)
+    "q_bigram_logprob" -> (TextAnalytics.bigramLogProb _),
     // percentile prune on the LM score (keep top 90%)
     "q_quality_prune"  -> ((s: SparkSession, d: String) => TextAnalytics.qualityPrune(s, d)),
     // 100 TB twin: threshold from approx_percentile broadcast as a scalar
@@ -156,6 +158,10 @@ object SparkEntry {
     // measured recall@k of IVF-PQ ADC vs exact-dot ground truth — the
     // number for the stacked IVF-pruning + non-residual-PQ trades
     "q_ivf_pq_recall"  -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
+    // the IVFADC residual-encoding composition (Jégou 2011 §IV) and its
+    // measured recall — the raw-vs-residual trade as numbers
+    "q_ivf_pq_topk_res" -> ((s: SparkSession, d: String) => Similarity.ivfPqResidualTopK(s, d)),
+    "q_ivf_pq_recall_res" -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d, residual = true)),
     // symmetric int8 embedding quantization (scale, checksum, max error)
     "q_quantize_int8"  -> (Similarity.quantizeInt8 _),
     // product quantization: deterministic Lloyd codebooks + ADC top-k
@@ -916,6 +922,25 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(sum(ln(CAST(c AS DOUBLE) / n)) / count(*), 6) AS avg_logprob
         |FROM toks JOIN tc USING (term) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
+    // adjacent-pair zip via DuckDB's parallel unnest (equal-length list
+    // slices zip positionally); prefix counts make p(w2|w1) sum to 1
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(t[1:len(t)-1]) AS w1,
+        |    unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(ln(CAST(c2 AS DOUBLE) / c1)) / count(*), 6)
+        |    AS avg_bigram_logprob
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY 1""".stripMargin,
 
     // percent_rank is the exact (rank-1)/(n-1) on both engines; the

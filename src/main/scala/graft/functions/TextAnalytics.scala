@@ -234,10 +234,10 @@ object TextAnalytics {
     * and keep the top keepFrac (the low tail is the gibberish/rare-
     * vocabulary band). The threshold is an EXACT percent_rank with a
     * doc_id tie-break, the same small-scale exact form as
-    * `TimeWindows.quantileTrim`; at 100 TB the threshold comes from
-    * approx_percentile over the scores and broadcasts as a scalar (the
-    * documented quantileTrimSketch duality) — only the tiny score table
-    * ever feeds the rank window, never corpus text. */
+    * `TimeWindows.quantileTrim`; the 100 TB twin is implemented as
+    * [[qualityPruneSketch]] (approx_percentile threshold broadcast as a
+    * scalar — no rank window anywhere). Only the tiny score table ever
+    * feeds this exact form's rank window, never corpus text. */
   def qualityPrune(s: SparkSession, d: String, keepFrac: Double = 0.9): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("avg_logprob"), col("doc_id"))
@@ -335,6 +335,41 @@ object TextAnalytics {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(log(col("c").cast("double") / col("n"))) / count(lit(1)), 6)
           .as("avg_logprob"))
+  }
+
+  /** Bigram conditional-LM quality score — one rung up from
+    * [[unigramLogProb]]: per document, the mean ln p(w2|w1) of its
+    * adjacent token pairs under the corpus MLE bigram model
+    * (p(w2|w1) = c(w1 w2) / c(w1·), with c(w1·) the bigram-PREFIX count,
+    * so probabilities per prefix sum to exactly 1 and no smoothing is
+    * needed — every document bigram occurs in the corpus counts at least
+    * once by construction). Fluent word-order prose scores higher than
+    * shuffled-vocabulary text that unigram scoring cannot tell apart.
+    * Domain: docs with ≥ 2 tokens.
+    *
+    * Scale shape: identical to the unigram form — bigram and prefix
+    * counts are partial-aggregated groupBys, scores attach back by
+    * equi-joins from occurrences to the AGGREGATED count tables, the
+    * per-doc mean is another partial agg. round(·, 6) on the mean for
+    * the cross-engine float-sum-order hazard. */
+  def bigramLogProb(s: SparkSession, d: String): DataFrame =
+    bigramLogProbDocs(Tables.documents(s, d))
+
+  /** [[bigramLogProb]] over an arbitrary (doc_id, text) frame. */
+  def bigramLogProbDocs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(col("c2").cast("double") / col("c1"))) / count(lit(1)), 6)
+          .as("avg_bigram_logprob"))
   }
 
   /** [[topkNgrams]] over an arbitrary (doc_id, text) frame — the testable

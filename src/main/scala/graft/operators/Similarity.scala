@@ -291,14 +291,21 @@ object Similarity {
     * slice) assignments; per-(sub, code) means are a bounded mapGroups).
     * The full codebook set is m·k·(dim/m) floats = k·dim — driver-sized
     * by construction, broadcast for encoding. */
-  def pqTrain(e: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 3): Codebooks = {
+  def pqTrain(e: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 3,
+      seedSkip: Long = 0L): Codebooks = {
     val s = e.sparkSession
     import s.implicits._
     val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val dim = vecs.head()._2.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val d = dim / m
-    val seeds = vecs.orderBy("vec_id").limit(k).collect().sortBy(_._1).map(_._2)
+    // seedSkip: lowest vec_id eligible as a Lloyd seed. Residual callers
+    // pass the coarse-centroid count — vec_ids below it ARE the centroids,
+    // whose residuals are exactly zero, and k identical zero seeds make
+    // Lloyd collapse to one effective codeword (nearestL2 ties break to
+    // index 0, so only codeword 0 ever receives points or updates).
+    val seeds = vecs.where(col("vec_id") >= seedSkip)
+      .orderBy("vec_id").limit(k).collect().sortBy(_._1).map(_._2)
     require(seeds.length == k, s"need at least k=$k vectors to seed PQ")
     var books: Codebooks =
       Array.tabulate(m)(sub => seeds.map(_.slice(sub * d, (sub + 1) * d)))
@@ -410,11 +417,13 @@ object Similarity {
     * own-cluster recall, and determinism. */
   def ivfPqTopK(s: SparkSession, d: String, nCentroids: Int = 0, nprobe: Int = 2,
       m: Int = 4, k: Int = 16, nQueries: Int = 10, topK: Int = 5,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, refineIters: Int = 0): DataFrame = {
     import s.implicits._
     val e = withNorm(s, d)
     val nc = if (nCentroids > 0) nCentroids else centroidCount(e.count())
-    val cents = seedCents(e, nc)
+    val cents =
+      if (refineIters > 0) refineCentroids(e, nc, refineIters)
+      else seedCents(e, nc)
     val assigned = assignWith(e, cents).select("vec_id", "bucket")
     val books = pqTrain(e, m, k, iters)
     val codes = pqEncode(e, books)
@@ -457,6 +466,106 @@ object Similarity {
       .where(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("bucket"), col("rank"),
         col("sim_key").as("adc_score"))
+  }
+
+  /** Per-vector residuals against an explicit centroid set: emit
+    * (vec_id, residual embedding, bucket) where residual = v − c_bucket.
+    * One narrow broadcast pass, same shape as [[assignWith]]. The
+    * residual is what IVFADC (Jégou et al. 2011 §IV) quantizes: residual
+    * magnitudes are much smaller than vector magnitudes, so the same
+    * codebook budget spends its resolution where the information is. */
+  def residualsOf(e: DataFrame, cents: Array[Cent]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val byId = cents.map(c => c._1 -> c._2).toMap
+    val bc = s.sparkContext.broadcast(byId)
+    assignWith(e, cents)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .as[(Long, Array[Float], Long)]
+      .map { case (id, emb, bucket) =>
+        val c = bc.value(bucket)
+        val r = new Array[Float](emb.length)
+        var i = 0
+        while (i < emb.length) { r(i) = emb(i) - c(i); i += 1 }
+        (id, r, bucket)
+      }
+      .toDF("vec_id", "embedding", "bucket")
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the IVFADC composition proper:
+    * codebooks are trained on (vector − coarse centroid) residuals and
+    * each vector's codes quantize its residual. Search exploits
+    * q·v ≈ q·c_b + q·r̂_v: the per-bucket constant q·c_b is exact (the
+    * probe pass already computes q against every centroid), and the ADC
+    * table over residual codewords is built ONCE per query — same m
+    * lookups per corpus vector as the raw variant, so the scan cost is
+    * identical and only the quantization error shrinks (residuals are
+    * small, so the same k codewords cover them finer). The measured
+    * delta vs the raw variant is `ivfPqRecall(residual = true/false)`;
+    * AnnRecallSpec pins residual ≥ raw. Build passes over float vectors:
+    * assignment + residual + encode — same two-scan class as the raw
+    * form (residual fuses into assignment). */
+  def ivfPqResidualTopK(s: SparkSession, d: String, nCentroids: Int = 0,
+      nprobe: Int = 2, m: Int = 4, k: Int = 16, nQueries: Int = 10,
+      topK: Int = 5, iters: Int = 3, refineIters: Int = 2): DataFrame = {
+    import s.implicits._
+    val e = withNorm(s, d)
+    val nc = if (nCentroids > 0) nCentroids else centroidCount(e.count())
+    // IVFADC presumes a TRAINED coarse quantizer: residuals against raw
+    // seed vectors average LARGER than the unit vectors themselves
+    // (measured 1.18 vs 1.00 at sf0.001), inverting the whole premise —
+    // Lloyd-refined centroids are bucket means, so residuals shrink to
+    // the within-bucket spread (0.93 measured). refineIters = 0 exists
+    // only for controlled raw-vs-residual experiments.
+    val cents =
+      if (refineIters > 0) refineCentroids(e, nc, refineIters)
+      else seedCents(e, nc)
+    val residuals = residualsOf(e, cents)
+    // no explicit cache: pqTrain owns a cache of its input for the Lloyd
+    // rounds (see pqTrain), and the one extra residual recompute for the
+    // encode pass is a narrow map — the same lifecycle as the raw variant
+    val books = pqTrain(residuals.select("vec_id", "embedding"), m, k, iters,
+      seedSkip = nc)
+    val codes = pqEncode(residuals.select("vec_id", "embedding"), books)
+    val corpus = residuals.select("vec_id", "bucket").join(codes, Seq("vec_id"))
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val dSub = books(0)(0).length
+    // per-query probe plan: probed buckets, the exact q·c_b constants,
+    // and ONE residual-ADC table (independent of the bucket)
+    val plans: Array[(Long, Map[Long, Double], Array[Array[Double]])] =
+      queries.map { case (qid, q, qn) =>
+        val sims = cents.map(c => (c._1, PqKernel.dot(q, c._2), PqKernel.dot(q, c._2) / (qn * c._3)))
+        val probed = sims.sortBy { case (cid, _, sim) => (-sim, cid) }
+          .take(nprobe).map(p => p._1 -> p._2).toMap
+        val table = Array.tabulate(m) { sub =>
+          val slice = q.slice(sub * dSub, (sub + 1) * dSub)
+          books(sub).map(cw => PqKernel.dot(slice, cw))
+        }
+        (qid, probed, table)
+      }
+    val bc = s.sparkContext.broadcast(plans)
+    val scored = corpus.as[(Long, Long, Array[Int])]
+      .flatMap { case (id, bucket, cs) =>
+        bc.value.iterator
+          .filter { case (qid, probed, _) => qid != id && probed.contains(bucket) }
+          .map { case (qid, probed, tab) =>
+            var sc = probed(bucket)
+            var sub = 0
+            while (sub < cs.length) { sc += tab(sub)(cs(sub)); sub += 1 }
+            (qid, id, bucket, sc)
+          }
+      }
+      .toDF("q_id", "vec_id", "bucket", "score")
+    val w = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
+    val out = scored
+      .withColumn("sim_key", round(col("score"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("bucket"), col("rank"),
+        col("sim_key").as("adc_score"))
+    out
   }
 
   /** Measured ANN quality gate: recall@k of [[annIvf]] (Lloyd-refined
@@ -504,16 +613,28 @@ object Similarity {
 
   /** Recall@k of [[ivfPqTopK]] (ADC over codes within probed buckets)
     * against the exact-dot [[dotTopK]] ground truth — the measured number
-    * for the two stacked approximations (IVF pruning + non-residual PQ
-    * encoding) that `ivfPqTopK`'s scaladoc could only describe as "a
-    * documented recall trade". One row per query. No oracle (seeded JVM
-    * Lloyd fits); AnnRecallSpec pins the floor. */
+    * for the two stacked approximations (IVF pruning + PQ encoding) that
+    * `ivfPqTopK`'s scaladoc could only describe as "a documented recall
+    * trade". One row per query; `residual = true` measures the IVFADC
+    * residual-encoding variant instead, so the raw-vs-residual trade is
+    * a pair of numbers, not prose. No oracle (seeded JVM Lloyd fits);
+    * AnnRecallSpec pins the floors and the residual ≥ raw ordering. */
   def ivfPqRecall(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
-      nprobe: Int = 2, m: Int = 4, codebookK: Int = 16): DataFrame = {
+      nprobe: Int = 2, m: Int = 4, codebookK: Int = 16,
+      residual: Boolean = false, refineIters: Int = -1): DataFrame = {
     val truth = dotTopK(s, d, nQueries, k)
       .select(col("q_id"), col("vec_id"))
-    val got = ivfPqTopK(s, d, nprobe = nprobe, m = m, k = codebookK,
-      nQueries = nQueries, topK = k)
+    // refineIters = -1 means "the variant's own default" (raw ships
+    // seeds, residual ships a trained coarse quantizer); pass an explicit
+    // value to hold the coarse quantizer fixed across a comparison
+    val approx =
+      if (residual) ivfPqResidualTopK(s, d, nprobe = nprobe, m = m,
+        k = codebookK, nQueries = nQueries, topK = k,
+        refineIters = if (refineIters >= 0) refineIters else 2)
+      else ivfPqTopK(s, d, nprobe = nprobe, m = m, k = codebookK,
+        nQueries = nQueries, topK = k,
+        refineIters = if (refineIters >= 0) refineIters else 0)
+    val got = approx
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     truth.join(got, Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")

@@ -58,6 +58,28 @@ class AnnRecallSpec extends SparkTestBase {
     } finally { df.unpersist(); () }
   }
 
+  test("residual (IVFADC) encoding does not lose recall vs raw encoding") {
+    // Isolate the ENCODING: same trained coarse quantizer for both sides
+    // and probe EVERY bucket, so no recall is won or lost to IVF pruning.
+    // (At small nprobe the crude raw codebook can score HIGHER recall by
+    // accident — pruning filters out impostors whose ADC scores are
+    // inflated — which measures the pruning filter, not the encoding.
+    // Measured at sf0.001: probe-all raw 0.20 vs residual 0.30; nprobe=2
+    // raw 0.36 rides exactly that artifact.)
+    val raw = meanRecall(Similarity.ivfPqRecall(spark, sf,
+      nprobe = 4096, refineIters = 2))
+    val res = meanRecall(Similarity.ivfPqRecall(spark, sf,
+      nprobe = 4096, residual = true, refineIters = 2))
+    assert(res >= raw - 1e-9,
+      s"residual IVF-PQ recall $res regressed below raw $raw")
+    assert(res >= 0.25, s"residual IVF-PQ mean recall $res below 0.25 floor")
+  }
+
+  test("residual gate defaults clear the recall floor") {
+    val res = meanRecall(Similarity.ivfPqRecall(spark, sf, residual = true))
+    assert(res >= 0.25, s"residual IVF-PQ mean recall $res below 0.25 floor")
+  }
+
   test("dot-product ground truth is deterministic and disjoint from the query itself") {
     val t1 = Similarity.dotTopK(spark, sf).collect().map(_.toString).sorted.toSeq
     val t2 = Similarity.dotTopK(spark, sf).collect().map(_.toString).sorted.toSeq
