@@ -54,6 +54,14 @@ object SparkEntry {
     // grouped ranking: per-user top-5 by value (WindowGroupLimit plan —
     // no global sort; TopkPerKeySpec asserts the plan shape)
     "q_topk_per_key"   -> ((s: SparkSession, d: String) => Relational.topkPerKey(s, d)),
+    // set operations (INTERSECT / EXCEPT / UNION DISTINCT, labeled legs)
+    "q_set_ops"        -> (Relational.setOps _),
+    // left SEMI / ANTI join as first-class shapes (EXISTS / NOT EXISTS)
+    "q_semi_anti"      -> (Relational.semiAnti _),
+    // CUBE grouping sets over (event_type, day) — one-shuffle all-slices
+    "q_cube_daily"     -> (Relational.cubeDaily _),
+    // UNPIVOT (melt): the A2 pivot inverted back to long rows
+    "q_unpivot"        -> (Relational.unpivotDaily _),
     // windows / time series (W1-W6, A7)
     "q_lead_window"    -> (TimeWindows.leadWindow _),
     "q_lead_global"    -> (TimeWindows.leadGlobal _),
@@ -122,6 +130,14 @@ object SparkEntry {
     "q_quality_prune_sketch" -> ((s: SparkSession, d: String) => TextAnalytics.qualityPruneSketch(s, d)),
     // first-iteration BPE merge candidates (adjacent char-pair counts)
     "q_bpe_merges"     -> ((s: SparkSession, d: String) => TextAnalytics.bpeMergeCandidates(s, d)),
+    // exact φ=1/30 heavy hitters (integer-threshold cut, no float share)
+    "q_heavy_hitters"  -> ((s: SparkSession, d: String) => TextAnalytics.heavyHitters(s, d)),
+    // Misra-Gries candidates + exact recount: provably EQUAL to the
+    // exact form, so it shares the same oracle — the vocabulary never
+    // shuffles, only ≤ k candidates per partition do
+    "q_heavy_hitters_sketch" -> ((s: SparkSession, d: String) => TextAnalytics.heavyHittersSketch(s, d)),
+    // Okapi BM25 against a fixed query term set (fixed-order term sum)
+    "q_bm25"           -> ((s: SparkSession, d: String) => TextAnalytics.bm25(s, d)),
     // incremental-ingest dedup triage (batch vs existing corpus)
     "q_incremental_dedup" -> (Dedup.incrementalStatus _),
     // JSONL sink + explicit-schema scan roundtrip (content-md5 extrema
@@ -162,6 +178,9 @@ object SparkEntry {
     // measured recall — the raw-vs-residual trade as numbers
     "q_ivf_pq_topk_res" -> ((s: SparkSession, d: String) => Similarity.ivfPqResidualTopK(s, d)),
     "q_ivf_pq_recall_res" -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d, residual = true)),
+    // Matryoshka truncation trade: recall@5 of prefix-dim cosine search
+    // vs full-dim truth — exact math, so fully oracle-able
+    "q_mrl_recall"     -> ((s: SparkSession, d: String) => Similarity.mrlRecall(s, d)),
     // symmetric int8 embedding quantization (scale, checksum, max error)
     "q_quantize_int8"  -> (Similarity.quantizeInt8 _),
     // product quantization: deterministic Lloyd codebooks + ADC top-k
@@ -185,6 +204,9 @@ object SparkEntry {
     // streaming sessionization via native session_window (event-time gap
     // sessions), oracled at full timestamp precision
     "q_stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize _),
+    // stream-STREAM inner interval join (click→purchase attribution);
+    // drained inner join == batch interval join, which is the oracle
+    "q_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
     // typed grouped forecasting kernel (U1/U2 replacement)
     "q_holt_prep"      -> ((s: SparkSession, d: String) => HoltForecast.prep(s, d)),
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
@@ -386,6 +408,44 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rank <= 5""".stripMargin,
 
+    "q_set_ops" ->
+      """SELECT 'click_and_purchase' AS set_op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT 'view_not_error', user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT 'signup_or_purchase', user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'signup'
+        |  UNION
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH open AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'has_open_order' AS kind, c_custkey, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM open)
+        |UNION ALL
+        |SELECT 'no_open_order', c_custkey, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM open)""".stripMargin,
+
+    "q_cube_daily" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |SELECT event_type, day, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM e GROUP BY CUBE (event_type, day)""".stripMargin,
+
+    // pivot∘unpivot with null-drop is exactly the long-form aggregate —
+    // the oracle checks the roundtrip against the direct groupBy
+    "q_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_lead_window" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
@@ -524,6 +584,22 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // drained inner stream-stream join == the batch interval join; the
+    // join condition runs on epoch MICROS (Spark's ts is µs-truncated
+    // from the nanos file, epoch_us() floors the same way), and the lag
+    // floors both sides to whole seconds (floor composes: ns→µs→s)
+    "q_stream_stream_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, epoch_us(ts) AS c_us, user_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS p_us, user_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |  p.p_us // 1000000 - c.c_us // 1000000 AS lag_secs
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000""".stripMargin,
 
     "q_rolling_stats" ->
       """SELECT event_id, user_id, ts, value,
@@ -979,6 +1055,59 @@ object SparkEntry {
         |  FROM c) ranked
         |WHERE rank <= 20""".stripMargin,
 
+    // integer-threshold heavy hitters: cnt*k >= total is exact on both
+    // engines — the ONE oracle shared by the exact form and the
+    // Misra-Gries sketch form (candidates recounted exactly, false
+    // positives cut by the same comparison, so both equal this SQL)
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT term, cnt, total FROM c, tot WHERE cnt * 30 >= total""".stripMargin,
+
+    "q_heavy_hitters_sketch" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT term, cnt, total FROM c, tot WHERE cnt * 30 >= total""".stripMargin,
+
+    // per-term contributions pivoted into FIXED columns, summed in fixed
+    // left-to-right order — the only float-order hazard (ln) is the same
+    // correctly-rounded-class call both engines make; round(·,6) absorbs
+    // the last ulp. Literals mirror the Scala arithmetic exactly
+    // ((1.2 + 1.0), 1.0 - 0.75, ...) so both engines fold identically.
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75
+        |          + 0.75 * dl / (CAST(n_tokens AS DOUBLE) / n_docs))) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus),
+        |p AS (
+        |  SELECT doc_id, count(*) AS n_query_terms,
+        |    COALESCE(max(w) FILTER (WHERE term = 'spark'), 0.0) AS ws,
+        |    COALESCE(max(w) FILTER (WHERE term = 'join'), 0.0) AS wj,
+        |    COALESCE(max(w) FILTER (WHERE term = 'filter'), 0.0) AS wf
+        |  FROM w GROUP BY 1)
+        |SELECT doc_id, n_query_terms,
+        |  round(ws, 6) AS w_spark, round(wj, 6) AS w_join,
+        |  round(wf, 6) AS w_filter, round(ws + wj + wf, 6) AS bm25
+        |FROM p""".stripMargin,
+
     // existing corpus = doc_id % 10 < 8; the batch carries synthesized
     // exact re-arrivals (+100000 = corpus copies, +200000 = in-batch
     // repeats) since the raw testdata has no byte-identical pair; 8-token
@@ -1265,6 +1394,50 @@ object SparkEntry {
         |      AS INTEGER) AS rank
         |  FROM x)
         |SELECT q_id, vec_id, rank, round(cos, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+
+    // prefix-dim cosine reproduces the Spark slice exactly (same
+    // left-to-right double accumulation as q_cosine_topk, over
+    // generate_series(1, trunc_dim)); recall = integer hit count / 5
+    "q_mrl_recall" ->
+      """WITH dims AS (SELECT unnest([8, 16, 32]) AS trunc_dim),
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id < 10),
+        |tx AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |truth AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM tx) t
+        |  WHERE rank <= 5),
+        |gx AS (
+        |  SELECT d.trunc_dim, q.q_id, e.vec_id,
+        |    list_sum(list_transform(generate_series(1, d.trunc_dim),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, d.trunc_dim),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, d.trunc_dim),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q, dims d WHERE e.vec_id <> q.q_id),
+        |got AS (
+        |  SELECT trunc_dim, q_id, vec_id FROM (
+        |    SELECT trunc_dim, q_id, vec_id, row_number() OVER (
+        |      PARTITION BY trunc_dim, q_id
+        |      ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM gx) t
+        |  WHERE rank <= 5)
+        |SELECT d.trunc_dim, t.q_id,
+        |  CAST(count(g.vec_id) AS DOUBLE) / 5 AS recall_at_k
+        |FROM dims d CROSS JOIN truth t
+        |LEFT JOIN got g ON g.trunc_dim = d.trunc_dim AND g.q_id = t.q_id
+        |  AND g.vec_id = t.vec_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // IVF assignment is deterministic SQL: centroids = ⌊√N⌋-ish lowest
     // vec_ids, nearest by exact cosine (ties → lowest c_id). Both engines

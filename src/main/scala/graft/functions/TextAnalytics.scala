@@ -294,6 +294,126 @@ object TextAnalytics {
       .select("rank", "pair", "n")
   }
 
+  /** Exact heavy hitters: every token whose corpus frequency clears the
+    * φ = 1/k share threshold (cnt·k ≥ total — pure integer comparison,
+    * no float share). One partial-aggregated groupBy over the token
+    * stream; the total comes from summing the AGGREGATED term table (a
+    * vocab-sized input), broadcast as a one-row cross join — no second
+    * corpus scan, no collect. The result is tiny (≤ k rows by the
+    * pigeonhole bound), but the shuffle still carries the full distinct
+    * vocabulary — which is what [[heavyHittersSketch]] removes. */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 30): DataFrame =
+    heavyHittersDocs(Tables.documents(s, d), k)
+
+  /** [[heavyHitters]] over an arbitrary (doc_id, text) frame. */
+  def heavyHittersDocs(docs: DataFrame, k: Int = 30): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .where(col("cnt") * k >= col("total"))
+      .select(col("term"), col("cnt"), col("total"))
+  }
+
+  /** Misra-Gries sketch form of [[heavyHitters]] — the 100 TB shape when
+    * the distinct vocabulary itself is too large to shuffle (web-scale
+    * n-grams, URLs, user ids): each partition keeps at most k running
+    * counters (decrement-all when full), so candidate generation is a
+    * NARROW pass emitting ≤ k terms per partition. The MG guarantee —
+    * any item with local share > 1/(k+1) survives its partition, and a
+    * global φ=1/k item must clear that share in ≥ 1 partition — makes
+    * the union a SUPERSET of the true heavy hitters; a second pass
+    * recounts ONLY the candidates exactly (broadcast semi-join filter
+    * before the groupBy, so the shuffle carries ≤ k·partitions terms,
+    * not the vocabulary). Candidates below the threshold are discarded
+    * by the same integer comparison as the exact form — so the output
+    * EQUALS [[heavyHitters]] row for row, and both share one oracle:
+    * a sketch whose false positives are verified away, not approximated
+    * away. The corpus total is a grouping-free count over the token
+    * stream (partial longs, no shuffle) — the candidate recount can't
+    * supply it because it only covers candidates. */
+  def heavyHittersSketch(s: SparkSession, d: String, k: Int = 30): DataFrame =
+    heavyHittersSketchDocs(Tables.documents(s, d), k)
+
+  /** [[heavyHittersSketch]] over an arbitrary (doc_id, text) frame. */
+  def heavyHittersSketchDocs(docs: DataFrame, k: Int = 30): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None =>
+            // decrement-all: drop every counter by 1, evict zeros
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters(key) = c - 1
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.distinct().toDF("term")
+    val recount = toks
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    recount.crossJoin(broadcast(tot))
+      .where(col("cnt") * k >= col("total"))
+      .select(col("term"), col("cnt"), col("total"))
+  }
+
+  /** Okapi BM25 scoring of every document against a FIXED query term set
+    * — the classic sparse-retrieval ranking (k1 tf saturation, b length
+    * normalization, log-odds idf with the +1 floor that keeps common
+    * terms non-negative). Corpus statistics (df per query term, doc
+    * count, mean doc length) are aggregates broadcast as one-row /
+    * |query|-row frames; per-doc tf for the query terms comes from a
+    * pre-filtered token stream (the isin filter reaches the scan, so at
+    * 100 TB the tf shuffle carries query-term occurrences only, not the
+    * corpus). The final score sums per-term contributions in a FIXED
+    * column order (one conditional-max column per query term — never a
+    * float sum whose order the engine picks), so the rounded score is
+    * cross-engine exact. Only docs containing ≥ 1 query term appear. */
+  def bm25(s: SparkSession, d: String,
+      query: Seq[String] = Seq("spark", "join", "filter"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Docs(Tables.documents(s, d), query, k1, b)
+
+  /** [[bm25]] over an arbitrary (doc_id, text) frame. */
+  def bm25Docs(docs: DataFrame, query: Seq[String],
+      k1: Double, b: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+    val tf = toks.where(col("term").isin(query: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scoredTerms = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("n_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1.0))
+        / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    // fixed-order per-term columns, then an EXPLICIT left-to-right sum —
+    // the same float-order discipline as the pivot queries
+    val perTerm = scoredTerms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_query_terms"),
+        query.map(t =>
+          coalesce(max(when(col("term") === t, col("w"))), lit(0.0)).as(s"w_$t")): _*)
+    perTerm
+      .withColumn("bm25",
+        round(query.map(t => col(s"w_$t")).reduceLeft(_ + _), 6))
+      .select(col("doc_id") +: col("n_query_terms") +:
+        query.map(t => round(col(s"w_$t"), 6).as(s"w_$t")) :+ col("bm25"): _*)
+  }
+
   /** Corpus-wide top-k most frequent word n-grams — the vocabulary /
     * collocation report a training-data pipeline publishes next to the
     * corpus stats (and the raw input for stop-n-gram lists). Rank ties

@@ -174,6 +174,83 @@ object Relational {
       .select("user_id", "rank", "event_id", "event_type", "value")
   }
 
+  /** Set-operation family — INTERSECT / EXCEPT / UNION DISTINCT over
+    * per-type user sets, labeled and stacked into one result. Catalyst
+    * compiles intersect to a left-semi join over distinct sides and
+    * except to a left-anti join — both hash-shuffle on the full row (here
+    * a single bigint), never a sort — and the final union's distinct
+    * folds into the same aggregate shape. At 100 TB each leg is one
+    * shuffle of an already-projected narrow column; nothing rescans the
+    * wide table. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def users(t: String) =
+      ev.where(col("event_type") === t).select("user_id")
+    val both = users("click").intersect(users("purchase"))
+      .withColumn("set_op", lit("click_and_purchase"))
+    val only = users("view").except(users("error"))
+      .withColumn("set_op", lit("view_not_error"))
+    val either = users("signup").union(users("purchase")).distinct()
+      .withColumn("set_op", lit("signup_or_purchase"))
+    both.unionByName(only).unionByName(either)
+      .select("set_op", "user_id")
+  }
+
+  /** J-family extension — left SEMI and left ANTI join as first-class
+    * relational shapes (EXISTS / NOT EXISTS): customers with at least one
+    * open order and customers with none, labeled and stacked. Semi/anti
+    * never materialize right-side columns or duplicate left rows on
+    * multi-matches — the build side is deduplicated in the hash table, so
+    * the shuffle carries each custkey once no matter how many orders it
+    * has (the anti-join form is also the backbone of every dedup "clean"
+    * pass, `Dedup.dedupClean`). */
+  def semiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val open = Tables.orders(s, d)
+      .where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val has = c.join(open, Seq("c_custkey"), "left_semi")
+      .withColumn("kind", lit("has_open_order"))
+    val not = c.join(open, Seq("c_custkey"), "left_anti")
+      .withColumn("kind", lit("no_open_order"))
+    has.unionByName(not)
+      .select("kind", "c_custkey", "c_mktsegment", "c_acctbal")
+  }
+
+  /** A-family extension — CUBE over (event_type, event day): all four
+    * grouping sets (both keys, each alone, grand total) in ONE shuffle
+    * with partial aggregation, the same single-pass grouping-sets plan as
+    * the ROLLUP in `CorpusPipeline.corpusStatsRollup` (its strict
+    * superset: cube adds the per-day-across-types slice a rollup omits).
+    * NULL keys mark subtotal rows exactly as DuckDB's CUBE does. Long
+    * count + DECIMAL-cast value sum keep every level hash-exact. */
+  def cubeDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .cube("event_type", "day")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
+
+  /** P-family extension — UNPIVOT (melt), the inverse of the A2 pivot:
+    * per-user wide counts (one column per event type) back to long
+    * (user_id, event_type, n) rows. Spark's `unpivot` is a single
+    * codegen'd Expand — each input row emits |values| output rows in the
+    * same task, no shuffle, no join — so the long form costs one narrow
+    * pass whatever the table size. Nulls (types a user never produced)
+    * are dropped by unpivot's contract, matching the oracle's UNION ALL
+    * arms. The wide input here is itself the A2 pivot (fixed value list,
+    * so the unpivot column set is static — the only pivot form that
+    * scales anyway). */
+  def unpivotDaily(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, d)
+      .groupBy("user_id").pivot("event_type", types)
+      .agg(count(lit(1)))
+    wide.unpivot(Array(col("user_id")),
+        types.map(t => col(t).as(t)).toArray,
+        "event_type", "n")
+      .where(col("n").isNotNull)
+  }
+
   /** A-family extension — per-type distinct-user counts. `count_distinct`
     * is exact: Catalyst expands it to a two-stage aggregate (partial
     * distinct on (type, user), then count) — one extra shuffle, exact

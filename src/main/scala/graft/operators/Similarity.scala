@@ -659,6 +659,52 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("sim"))
   }
 
+  /** Matryoshka-style truncation trade, measured: recall@k of brute-force
+    * cosine over the FIRST `dim` embedding components against the
+    * full-dimension ground truth, one row per (trunc_dim, query). The
+    * number behind "store/search the 16-dim prefix, re-rank with the full
+    * vector" — at 100 TB, prefix search reads dim/D of the vector bytes
+    * (columnar layouts can even prune the tail pages), and this query
+    * says exactly what that buys and costs. Every pass is the
+    * [[cosineTopK]] shape: corpus streamed once per dim, queries
+    * broadcast, (round(cos, 6) DESC, vec_id) deterministic ranking —
+    * fully oracle-able, unlike the Lloyd-fit recalls. Truncated slices
+    * are NOT unit-norm, so cosine renormalizes per slice. */
+  def mrlRecall(s: SparkSession, d: String, dims: Seq[Int] = Seq(8, 16, 32),
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val full = Tables.embeddings(s, d)
+    def topkAt(sliced: DataFrame): DataFrame = {
+      val e = sliced
+        .withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
+      val q = e.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          floatDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .withColumn("sim_key", round(col("cos"), 6))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+    // nQueries·k rows; localCheckpoint so the |dims| recall joins don't
+    // each re-run the full-dim scan (same discipline as Dedup.dupSpans)
+    val truth = topkAt(full.select(col("vec_id"), col("embedding")))
+      .localCheckpoint()
+    dims.map { dim =>
+      val got = topkAt(full.select(col("vec_id"),
+          slice(col("embedding"), 1, dim).as("embedding")))
+        .withColumn("hit", lit(1L))
+      truth.join(got, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k)
+          .as("recall_at_k"))
+        .withColumn("trunc_dim", lit(dim))
+    }.reduce(_ unionByName _)
+      .select("trunc_dim", "q_id", "recall_at_k")
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus onto ≈√N fixed seed
     * vectors (deterministic: the lowest vec_ids; nCentroids = 0 means
     * auto-scale via centroidCount), assign every vector to its nearest

@@ -177,6 +177,59 @@ object EventStreams {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Stream-STREAM inner interval join — the missing two-moving-sides
+    * shape next to the stream-static ingest dedup: clicks and purchases
+    * arrive as two independent streams, joined per user where the
+    * purchase lands within [click_ts, click_ts + 30 min] (the attribution
+    * join every event pipeline runs). Both sides are watermarked and the
+    * join condition carries an explicit event-time range, so Spark derives
+    * state-eviction bounds: each side buffers only rows the other side's
+    * watermark could still match — state is O(rate × horizon), never
+    * O(stream). Inner-join matches emit as soon as both rows have
+    * arrived (no watermark gating for inner joins), so a fully drained
+    * run equals the batch interval join row for row — which is exactly
+    * the DuckDB oracle. Output carries both event ids, so the pair set —
+    * not an aggregate of it — is what hash-matches. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    try {
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      def src: DataFrame = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id").as("c_user"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("user_id").as("p_user"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+          (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+            .as("lag_secs"))
+      val name = "graft_stream_stream_join"
+      val q = joined.writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Event-time sessionization via the NATIVE session_window function:
     * per-user sessions that close after `gap` idle time, aggregated with
     * the same DECIMAL-exact sum as the batch sessionizer. Works on batch
