@@ -62,6 +62,18 @@ object SparkEntry {
     "q_cube_daily"     -> (Relational.cubeDaily _),
     // UNPIVOT (melt): the A2 pivot inverted back to long rows
     "q_unpivot"        -> (Relational.unpivotDaily _),
+    // click→purchase conversion funnel (first-touch attribution report)
+    "q_funnel"         -> (graft.operators.Analytics.funnel _),
+    // signup-cohort retention triangle (distinct active users per offset)
+    "q_cohort"         -> (graft.operators.Analytics.cohortRetention _),
+    // per-type equi-width value histogram (bit-exact bin arithmetic)
+    "q_histogram"      -> ((s: SparkSession, d: String) => graft.operators.Analytics.histogram(s, d)),
+    // ANALYZE-style column profile (one-pass multi-distinct aggregate)
+    "q_profile"        -> (graft.operators.Analytics.profile _),
+    // Morton z-order clustering key (the OPTIMIZE ZORDER primitive)
+    "q_zorder"         -> (Relational.zorderKey _),
+    // deterministic per-key LCG sampling (oracle-able, WindowGroupLimit)
+    "q_per_key_sample" -> ((s: SparkSession, d: String) => Relational.perKeySample(s, d)),
     // windows / time series (W1-W6, A7)
     "q_lead_window"    -> (TimeWindows.leadWindow _),
     "q_lead_global"    -> (TimeWindows.leadGlobal _),
@@ -94,6 +106,9 @@ object SparkEntry {
     // giant-component path); must agree exactly with the min-label form
     "q_dedup_clusters_ls" -> (Dedup.dedupClustersLogRounds _),
     "q_dedup_clean"    -> (Dedup.dedupClean _),
+    // PageRank centrality over the same memoized near-dup pair graph
+    // (no oracle: float iterations; PagerankSpec pins closed forms)
+    "q_doc_pagerank"   -> ((s: SparkSession, d: String) => Dedup.docPagerank(s, d)),
     // composed flagship: quality gate -> exact dedup -> near-dup dedup
     "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
     // quality-tiered epoch mixing (upsampling weights before packing)
@@ -445,6 +460,89 @@ object SparkEntry {
     "q_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // comparisons run on epoch MICROS (Spark's ts is µs-truncated, and
+    // trunc commutes with min); lag floors both ends to whole seconds
+    "q_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(ts) AS first_click_ts FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (
+        |  SELECT fc.user_id, min(p.ts) AS first_purchase_ts
+        |  FROM fc JOIN events p ON p.user_id = fc.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND epoch_us(p.ts) >= epoch_us(fc.first_click_ts)
+        |  GROUP BY 1)
+        |SELECT fc.user_id, fc.first_click_ts, fp.first_purchase_ts,
+        |  fp.first_purchase_ts IS NOT NULL AS converted,
+        |  CASE WHEN fp.first_purchase_ts IS NOT NULL
+        |    THEN CAST(floor(epoch(fp.first_purchase_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(fc.first_click_ts)) AS BIGINT) END AS lag_secs
+        |FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id""".stripMargin,
+
+    "q_cohort" ->
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT cohort_day, CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c JOIN a USING (user_id)
+        |WHERE a.day >= c.cohort_day
+        |GROUP BY 1, 2""".stripMargin,
+
+    // identical IEEE expression tree on both engines → bit-exact bins
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  LEAST(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 10.0)) AS BIGINT),
+        |    9) AS bin,
+        |  b.mn, b.mx, count(*) AS n
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'event_id' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct FROM events
+        |UNION ALL SELECT 'ts_us', count(*), count(*) - count(ts),
+        |  count(DISTINCT epoch_us(ts)) FROM events
+        |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value) FROM events
+        |UNION ALL SELECT 'props', count(*), count(*) - count(props),
+        |  count(DISTINCT props) FROM events""".stripMargin,
+
+    // Morton interleave as pure shift/mask integer sums; inputs are
+    // non-negative so % matches Spark's pmod
+    "q_zorder" ->
+      """WITH z AS (
+        |  SELECT event_id, user_id % 4096 AS zx,
+        |    CAST(floor(value) AS BIGINT) % 4096 AS zy
+        |  FROM events)
+        |SELECT event_id, zx, zy,
+        |  CAST(list_sum(list_transform(generate_series(0, 11),
+        |    i -> (((zx >> i) & 1) << (2*i)) + (((zy >> i) & 1) << (2*i+1))))
+        |    AS BIGINT) AS zval
+        |FROM z""".stripMargin,
+
+    // LCG mix in exact BIGINT arithmetic ((id mod 2^31)·1103515245 stays
+    // below 2^63) — the oracle-able twin of the xxhash64 hash sample
+    "q_per_key_sample" ->
+      """WITH k AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ((event_id % 2147483648) * 1103515245 + 12345) % 2147483648
+        |      AS sample_key
+        |  FROM events)
+        |SELECT user_id, rank, event_id, event_type, value, sample_key FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY sample_key, event_id) AS INTEGER) AS rank FROM k) t
+        |WHERE rank <= 2""".stripMargin,
 
     "q_lead_window" ->
       """WITH daily AS (

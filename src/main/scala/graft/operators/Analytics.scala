@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-analytics battery: funnel conversion, cohort retention,
+  * distribution histograms — the OLAP report shapes a production event
+  * pipeline serves next to the relational/ML surface. All single-shuffle
+  * declarative plans (partial-aggregated groupBys, co-partitioned or
+  * broadcast joins), exact cross-engine math (integer counts, raw
+  * double pass-through, identical IEEE expression trees). */
+object Analytics {
+
+  /** Click→purchase conversion funnel: per user with ≥ 1 click, the
+    * first click, the first purchase AT OR AFTER that click, a
+    * conversion flag, and the lag in whole seconds. The join explodes
+    * each user's (first click × purchases) — bounded by per-user
+    * purchase count, re-aggregated immediately; both sides hash on
+    * user_id, so the join is one co-partitioned shuffle each at any
+    * scale (the conditional min cannot be pre-aggregated because the
+    * click anchor differs per user). */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstClick = ev.where(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("first_click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    firstClick.join(purchases, Seq("user_id"), "left")
+      .groupBy("user_id", "first_click_ts")
+      .agg(min(when(col("p_ts") >= col("first_click_ts"), col("p_ts")))
+        .as("first_purchase_ts"))
+      .withColumn("converted", col("first_purchase_ts").isNotNull)
+      .withColumn("lag_secs",
+        when(col("converted"),
+          unix_timestamp(col("first_purchase_ts"))
+            - unix_timestamp(col("first_click_ts"))))
+  }
+
+  /** Cohort retention: users grouped by their signup day (cohort), and
+    * for each later day-offset the count of cohort members active that
+    * day — the triangle every growth dashboard draws. The activity side
+    * is pre-deduplicated to (user, day) BEFORE the join (one distinct
+    * aggregate), so the join fan-out is bounded by active days per
+    * user, not events; count_distinct at the end is exact (two-stage
+    * aggregate). Offset 0 is signup-day activity; pre-signup activity
+    * (possible for synthetic users with events before their signup
+    * event) is excluded by the offset >= 0 guard. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    cohort.join(active, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .where(col("day_offset") >= 0)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** Column profile — the ANALYZE TABLE / data-quality report: one row
+    * per column with row count, null count, and EXACT distinct count.
+    * All counts come from ONE aggregate over the table: Spark plans the
+    * multi-count_distinct as a single Expand + two-stage aggregate (one
+    * shuffle per distinct column set, one scan total — at 100 TB swap
+    * exact for approx_count_distinct and it collapses to one partial-agg
+    * pass; exact is kept here because the oracle can check it). The
+    * 1-row aggregate result is reshaped to long form driver-side (six
+    * longs — not a collect() of data). `ts` profiles its epoch-micros
+    * projection so both engines count the same precision. */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct")))
+    val row = ev.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = row.getAs[Long]("n_rows")
+    cols.map(c => (c, nRows, row.getAs[Long](s"${c}__nulls"),
+        row.getAs[Long](s"${c}__distinct")))
+      .toDF("column_name", "n_rows", "n_nulls", "n_distinct")
+  }
+
+  /** Equi-width value histogram per event type: 10 bins over the
+    * per-type [min, max] range, closed on the right edge (the max lands
+    * in bin 9 via least()). Two passes: a 5-row min/max aggregate
+    * broadcast back onto the stream, then one partial-aggregated
+    * groupBy on (type, bin) — the profile-a-column primitive at any
+    * scale. Bin arithmetic is the identical IEEE expression tree on
+    * both engines (floor((v − mn) / ((mx − mn) / 10.0))), so bins are
+    * bit-exact; mn/mx ride along raw (no re-aggregation). */
+  def histogram(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
+    val ev = Tables.events(s, d)
+    val ranges = ev.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    ev.join(broadcast(ranges), Seq("event_type"))
+      .withColumn("bin",
+        least(floor((col("value") - col("mn"))
+          / ((col("mx") - col("mn")) / nBins.toDouble)).cast("long"),
+          lit((nBins - 1).toLong)))
+      .groupBy("event_type", "bin", "mn", "mx")
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -648,6 +648,64 @@ object Dedup {
           (col("id") === col("comp")).as("keep"))
     }
 
+  /** PageRank over the near-dup pair graph — graph centrality as a
+    * canonical-document signal: within a duplicate cluster, the doc
+    * near-dup-linked to the most (and most-linked) others is the natural
+    * representative, a principled alternative to [[dedupClusters]]'
+    * min-id keep rule. Consumes the same memoized [[pairEdges]] fixpoint
+    * as both CC variants, so the posting self-join never re-runs. */
+  def docPagerank(s: SparkSession, d: String, iters: Int = 5,
+      damping: Double = 0.85): DataFrame =
+    pagerank(pairEdges(s, d), Tables.documents(s, d).select("doc_id"),
+      iters, damping)
+      .select(col("id").as("doc_id"), col("rank"), col("deg"))
+
+  /** Iterative PageRank on an UNDIRECTED edge list (first two columns =
+    * endpoints; symmetrized internally), nodes from `nodes`' first
+    * column. rank_{t+1}(v) = (1−d)/N + d·Σ_{u→v} rank_t(u)/deg(u) — the
+    * simplified formulation without dangling-mass redistribution
+    * (isolated nodes hold the (1−d)/N floor; evaporated mass only
+    * rescales, never reorders — the centrality ORDER is what the dedup
+    * use-case consumes; PagerankSpec pins closed-form star/cycle/path
+    * fixtures). Each iteration is one co-partitioned join (ranks ⋈
+    * edges on the source) + one partial-aggregated groupBy on the
+    * destination — the standard distributed PageRank shuffle shape; at
+    * 100 TB the edge list would be pre-bucketed by src so the per-round
+    * join is exchange-free on the big side. Lineage is truncated per
+    * round (localCheckpoint, same discipline as [[connectedComponents]]).
+    * Degrees and the symmetric edges build once and checkpoint. */
+  def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val ec = edges.columns
+    val sym = edges
+      .select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(edges.select(col(ec(1)).as("src"), col(ec(0)).as("dst")))
+      .distinct().localCheckpoint(true)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val ids = nodes.select(col(nodes.columns.head).as("id"))
+      .unionAll(sym.select(col("src").as("id"))).distinct().localCheckpoint(true)
+    val n = ids.count()
+    val base = (1.0 - damping) / n
+    var ranks = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = sym
+        .join(ranks, sym("src") === ranks("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("in_mass"))
+      ranks = ids
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
+      .select(col("id"), round(col("rank"), 9).as("rank"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
   /** The thresholded near-dup pair graph over the raw documents table —
     * memoized under its own key because BOTH connected-components
     * variants ([[dedupClusters]], [[dedupClustersLogRounds]]) consume the

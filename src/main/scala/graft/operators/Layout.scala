@@ -37,6 +37,28 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Z-order (Morton) interleave of two bounded non-negative int columns
+    * — the multi-dimensional clustering key behind lakehouse OPTIMIZE
+    * ZORDER: sorting by the interleaved bits keeps rows close in BOTH
+    * dimensions physically adjacent, so min/max column statistics prune
+    * files for predicates on EITHER dimension (a single-column sort only
+    * prunes its own column). Pure codegen'd shift/mask/add expressions
+    * over `bits` bit positions — exact integer math, fully oracle-able.
+    * Inputs must already be in [0, 2^bits); callers bucket/pmod first. */
+  def zvalue(x: Column, y: Column, bits: Int = 12): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduceLeft(_ + _)
+
+  /** Range-partition + locally sort by the z-value: the write layout for
+    * a table queried by two selective dimensions. Each output partition
+    * covers a contiguous z-range = a bounded rectangle union in (x, y),
+    * so each file's (x, y) min/max footprint is small — LayoutSpec
+    * measures the bounding-box shrinkage vs a hash layout. */
+  def zorderLayout(df: DataFrame, n: Int, zCol: String): DataFrame =
+    df.repartitionByRange(n, col(zCol)).sortWithinPartitions(zCol)
+
   /** Salted inner equi-join for skewed keys: explode the small/dim side
     * into `salt` replicas, scatter the fact side's hot keys uniformly with
     * a random-free deterministic salt (hash of a unique column), join on

@@ -286,6 +286,42 @@ object Relational {
         < (fraction * 10000).toLong)
       .select("event_id", "user_id", "event_type", "value")
 
+  /** Layout extension — the z-order clustering KEY as a gate query:
+    * Morton-interleave (user_id bucket, value bucket) into one sortable
+    * integer (see `Layout.zvalue` for why; `Layout.zorderLayout` is the
+    * physical write path, LayoutSpec measures the pruning win). The
+    * key computation itself is exact shift/mask integer math — fully
+    * oracle-able, unlike the partition-dependent layout. Inputs are
+    * non-negative (value >= 0 in this schema), so Spark's pmod and the
+    * oracle's % agree. */
+  def zorderKey(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(4096L)).as("zx"),
+        pmod(floor(col("value")).cast("long"), lit(4096L)).as("zy"))
+      .withColumn("zval", Layout.zvalue(col("zx"), col("zy")))
+
+  /** Sampling extension — deterministic per-key sampling: each user's k
+    * events chosen by an LCG mix of the event id ((id mod 2^31) ·
+    * 1103515245 + 12345 mod 2^31 — pure integer ops both engines
+    * compute identically, so unlike xxhash64-based [[hashSample]] this
+    * IS oracle-able). Same WindowGroupLimit plan as [[topkPerKey]]: no
+    * global sort, per-key state bounded at k. The per-key uniform
+    * sample is the "n examples per domain" selection every training-mix
+    * debug pass runs. */
+  def perKeySample(s: SparkSession, d: String, k: Int = 2): DataFrame = {
+    val mix = pmod(
+      pmod(col("event_id"), lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("sample_key"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("sample_key", mix)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select("user_id", "rank", "event_id", "event_type", "value", "sample_key")
+  }
+
   /** Semi-structured extension — typed JSON extraction from the `props`
     * column. ONE `from_json` with an explicit schema (a single codegen'd
     * JsonToStructs parse per row); repeated `get_json_object` calls on

@@ -87,6 +87,28 @@ class LayoutSpec extends SparkTestBase {
     e.unpersist()
   }
 
+  test("z-order layout shrinks per-partition (x, y) bounding boxes vs hash layout") {
+    // interleave is a bijection on 2×12-bit inputs, and a z-range layout
+    // must give partitions whose 2-D footprint is far smaller than a
+    // hash layout's (which spans the whole plane in every partition)
+    val keyed = graft.operators.Relational.zorderKey(spark, sf)
+    assert(keyed.select("zval").distinct().count()
+      == keyed.select("zx", "zy").distinct().count(), "interleave must be 1:1")
+    def meanArea(df: org.apache.spark.sql.DataFrame): Double = {
+      val boxes = df
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(((max("zx") - min("zx") + 1) * (max("zy") - min("zy") + 1))
+          .cast("double").as("area"))
+        .collect().map(_.getAs[Double]("area"))
+      boxes.sum / boxes.length
+    }
+    val z = meanArea(Layout.zorderLayout(keyed, 8, "zval"))
+    val hashed = meanArea(keyed.repartition(8, col("event_id")))
+    assert(z < hashed / 2,
+      s"z-order mean box area $z not clearly below hash layout $hashed")
+  }
+
   test("embedding near-dup finds planted duplicate vectors via shared buckets") {
     // plant: vec 100 == vec 0 (duplicate), others random-ish -> only the
     // planted pair should exceed tau=0.99
