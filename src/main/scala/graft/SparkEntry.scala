@@ -72,6 +72,9 @@ object SparkEntry {
     "q_profile"        -> (graft.operators.Analytics.profile _),
     // Morton z-order clustering key (the OPTIMIZE ZORDER primitive)
     "q_zorder"         -> (Relational.zorderKey _),
+    // MERGE INTO semantics as full-outer join + coalesce (lakehouse
+    // upsert; deterministic synthesized batch → fully oracle-able)
+    "q_merge_upsert"   -> (graft.operators.Analytics.mergeUpsert _),
     // deterministic per-key LCG sampling (oracle-able, WindowGroupLimit)
     "q_per_key_sample" -> ((s: SparkSession, d: String) => Relational.perKeySample(s, d)),
     // windows / time series (W1-W6, A7)
@@ -231,6 +234,12 @@ object SparkEntry {
     // ML pipelines (M1-M10)
     "q_ml_classification" -> (Pipelines.classification _),
     "q_ml_regression"  -> (Pipelines.regression _),
+    // K-fold CV over the GBT (maxDepth, maxIter) grid, parallel fits
+    // (no oracle: seeded JVM fits; CrossValSpec pins the contract)
+    "q_cross_val"      -> (Pipelines.crossValidate _),
+    // ALS implicit-feedback recommender over (user, event_type) counts
+    // (no oracle: seeded JVM fits; AlsSpec pins the contract)
+    "q_als_recommend"  -> (Pipelines.alsRecommend _),
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
     "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
     "q_tfidf"          -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
@@ -517,6 +526,31 @@ object SparkEntry {
         |  count(DISTINCT value) FROM events
         |UNION ALL SELECT 'props', count(*), count(*) - count(props),
         |  count(DISTINCT props) FROM events""".stripMargin,
+
+    // both engines synthesize the identical update batch from the base
+    // table, so the whole MERGE (update/insert/unchanged) is checkable
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value FROM events),
+        |upd AS (
+        |  SELECT event_id, user_id, 'patched' AS event_type,
+        |    value + 1000.0 AS value
+        |  FROM base WHERE event_id % 100 = 0),
+        |ins AS (
+        |  SELECT (SELECT max(event_id) FROM base) + off AS event_id,
+        |    off % 97 AS user_id, 'inserted' AS event_type,
+        |    CAST(off AS DOUBLE) / 10.0 AS value
+        |  FROM (SELECT unnest(generate_series(1, 50)) AS off)),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT COALESCE(b.event_id, u.event_id) AS event_id,
+        |  COALESCE(u.user_id, b.user_id) AS user_id,
+        |  COALESCE(u.event_type, b.event_type) AS event_type,
+        |  COALESCE(u.value, b.value) AS value,
+        |  CASE WHEN u.event_id IS NOT NULL AND b.event_id IS NOT NULL
+        |      THEN 'updated'
+        |    WHEN b.event_id IS NULL THEN 'inserted'
+        |    ELSE 'unchanged' END AS merge_action
+        |FROM base b FULL OUTER JOIN batch u ON b.event_id = u.event_id""".stripMargin,
 
     // Morton interleave as pure shift/mask integer sums; inputs are
     // non-negative so % matches Spark's pmod

@@ -114,6 +114,92 @@ object Pipelines {
       .toDF("metric", "value")
   }
 
+  /** M-family extension — K-fold cross-validation over the GBT
+    * regressor's (maxDepth, maxIter) grid: the model-selection loop every
+    * production fit runs instead of a single split. CrossValidator fits
+    * |grid|×k models; setParallelism(4) runs the fits CONCURRENTLY —
+    * on a cluster each fit is its own job DAG, so the grid scales out
+    * embarrassingly (the data, cached once, is shared by all fits).
+    * Deterministic: seeded folds, seeded GBT, alphabetical grid order.
+    * Output: one row per grid point with its mean CV RMSE, the chosen
+    * params flagged — numbers are seeded-JVM fits, so spec-pinned
+    * (CrossValSpec: best point beats worst, chosen flag unique). */
+  def crossValidate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val labeled = TimeWindows.leadWindow(s, d)
+      .withColumn("epoch_day", unix_timestamp(col("day").cast("timestamp")) / 86400)
+      .withColumn("dow", dayofweek(col("day")).cast("double"))
+      .repartition(2)
+      .cache()
+    try {
+      val assembler = new VectorAssembler()
+        .setInputCols(Array("day_max", "epoch_day", "dow")).setOutputCol("features")
+      val gbt = new GBTRegressor()
+        .setLabelCol("next_day_max").setFeaturesCol("features").setSeed(42L)
+      val pipeline = new Pipeline().setStages(Array(assembler, gbt))
+      val grid = new ParamGridBuilder()
+        .addGrid(gbt.maxDepth, Array(2, 4))
+        .addGrid(gbt.maxIter, Array(5, 10))
+        .build()
+      val evaluator = new RegressionEvaluator()
+        .setLabelCol("next_day_max").setPredictionCol("prediction")
+        .setMetricName("rmse")
+      val cv = new CrossValidator()
+        .setEstimator(pipeline).setEvaluator(evaluator)
+        .setEstimatorParamMaps(grid).setNumFolds(3)
+        .setParallelism(4).setSeed(42L)
+      val model = cv.fit(labeled)
+      val metrics = grid.zip(model.avgMetrics)
+      val best = metrics.minBy(_._2)._2
+      metrics.toSeq.map { case (pm, rmse) =>
+        (pm.get(gbt.maxDepth).get, pm.get(gbt.maxIter).get, rmse, rmse == best)
+      }.toDF("max_depth", "max_iter", "cv_rmse", "chosen")
+    } finally { labeled.unpersist(); () }
+  }
+
+  /** M-family extension — ALS implicit-feedback recommender over the
+    * (user, event_type) interaction counts: the matrix-factorization
+    * workhorse for behavioral recommendation, run in implicit mode
+    * (Hu/Koren/Volinsky 2008) because counts are confidence, not
+    * ratings. ALS on a cluster alternates block-solved least squares
+    * with both factor matrices block-partitioned — the canonical
+    * "model too big for one node" MLlib algorithm (here 5 items × rank 4,
+    * but the plan shape is the distributed one). Deterministic: seeded
+    * init, fixed blocks. Output: per event_type, the count of users for
+    * whom it is the top-1 recommendation, plus coverage stats —
+    * aggregate, so small and stable; numbers are seeded-JVM fits →
+    * spec-pinned (AlsSpec: dominant observed item dominates recs). */
+  def alsRecommend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.recommendation.ALS
+    val interactions = graft.Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("item_id",
+        when(col("event_type") === "click", 0)
+          .when(col("event_type") === "error", 1)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 3).otherwise(4))
+      .select(col("user_id").cast("int").as("user"),
+        col("item_id").as("item"), col("cnt").cast("float").as("rating"))
+      .cache()
+    try {
+      val als = new ALS()
+        .setImplicitPrefs(true).setRank(4).setMaxIter(8)
+        .setRegParam(0.1).setAlpha(1.0).setSeed(42L)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setNumUserBlocks(4).setNumItemBlocks(1)
+      val model = als.fit(interactions)
+      model.setColdStartStrategy("drop")
+      val top1 = model.recommendForAllUsers(1)
+        .select(col("user"), expr("recommendations[0].item").as("item"))
+      val names = Seq(0 -> "click", 1 -> "error", 2 -> "purchase",
+        3 -> "signup", 4 -> "view").toDF("item", "event_type")
+      top1.join(broadcast(names), Seq("item"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_users_top1"))
+    } finally { interactions.unpersist(); () }
+  }
+
   /** M11 — PCA over the wide features. The reference imports PCA
     * (`sensor_data_regression.py:5`) but its one use is commented out
     * (`:64`); here it is live. Output is the k×features loading matrix plus

@@ -84,6 +84,45 @@ object Analytics {
       .toDF("column_name", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** MERGE / upsert — the lakehouse write primitive (MERGE INTO ... WHEN
+    * MATCHED UPDATE / WHEN NOT MATCHED INSERT) expressed as one full
+    * outer join + per-column coalesce: updates win where keys collide,
+    * base rows survive untouched, new keys append. The update batch here
+    * is synthesized deterministically from the base (every event_id
+    * divisible by 100 gets value+1000 and a 'patched' type; 50 brand-new
+    * ids above the max key insert) so both engines derive the identical
+    * batch and the whole merge is oracle-able. Scale shape: ONE
+    * co-partitioned full outer join on the key — the update batch is
+    * usually tiny (broadcast) but the full-outer form is the general
+    * one; a real table format (Delta/Iceberg) adds file-level pruning on
+    * top, the row-level semantics are exactly this plan. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    val updates = base.where(col("event_id") % 100 === 0)
+      .select(col("event_id"), col("user_id"),
+        lit("patched").as("event_type"), (col("value") + 1000.0).as("value"))
+    val maxId = base.agg(max("event_id")).collect()(0).getLong(0)
+    val s2 = s
+    import s2.implicits._
+    val inserts = (1L to 50L).toDF("off")
+      .select((lit(maxId) + col("off")).as("event_id"),
+        (col("off") % 97).as("user_id"),
+        lit("inserted").as("event_type"),
+        (col("off").cast("double") / 10.0).as("value"))
+    val batch = updates.unionByName(inserts).select(
+      col("event_id").as("u_event_id"), col("user_id").as("u_user_id"),
+      col("event_type").as("u_event_type"), col("value").as("u_value"))
+    base.join(batch, col("event_id") === col("u_event_id"), "full_outer")
+      .select(coalesce(col("event_id"), col("u_event_id")).as("event_id"),
+        coalesce(col("u_user_id"), col("user_id")).as("user_id"),
+        coalesce(col("u_event_type"), col("event_type")).as("event_type"),
+        coalesce(col("u_value"), col("value")).as("value"),
+        when(col("u_event_id").isNotNull && col("event_id").isNotNull, "updated")
+          .when(col("event_id").isNull, "inserted").otherwise("unchanged")
+          .as("merge_action"))
+  }
+
   /** Equi-width value histogram per event type: 10 bins over the
     * per-type [min, max] range, closed on the right edge (the max lands
     * in bin 9 via least()). Two passes: a 5-row min/max aggregate
