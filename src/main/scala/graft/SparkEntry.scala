@@ -70,6 +70,12 @@ object SparkEntry {
     "q_histogram"      -> ((s: SparkSession, d: String) => graft.operators.Analytics.histogram(s, d)),
     // ANALYZE-style column profile (one-pass multi-distinct aggregate)
     "q_profile"        -> (graft.operators.Analytics.profile _),
+    // per-user cumulative balance (DECIMAL-exact running window)
+    "q_running_total"  -> (graft.operators.Analytics.runningTotal _),
+    // weekly totals + lag + growth (trend report, epoch-week buckets)
+    "q_wow_growth"     -> (graft.operators.Analytics.wowGrowth _),
+    // first-k event-type paths per user, counted per distinct journey
+    "q_journeys"       -> ((s: SparkSession, d: String) => graft.operators.Analytics.journeys(s, d)),
     // Morton z-order clustering key (the OPTIMIZE ZORDER primitive)
     "q_zorder"         -> (Relational.zorderKey _),
     // MERGE INTO semantics as full-outer join + coalesce (lakehouse
@@ -526,6 +532,45 @@ object SparkEntry {
         |  count(DISTINCT value) FROM events
         |UNION ALL SELECT 'props', count(*), count(*) - count(props),
         |  count(DISTINCT props) FROM events""".stripMargin,
+
+    // running DECIMAL sums are exact at every prefix on both engines
+    "q_running_total" ->
+      """SELECT user_id, event_id, ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running_value,
+        |  count(*) OVER w AS running_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // epoch-week = epoch_us // (7*86400*1e6): identical integer floor
+    // division on both engines; lag NULLs ride through
+    "q_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, week, n, value_sum,
+        |  lag(n, 1) OVER w AS prev_n,
+        |  n - lag(n, 1) OVER w AS n_delta,
+        |  round((n - lag(n, 1) OVER w) / CAST(lag(n, 1) OVER w AS DOUBLE)
+        |    * 100.0, 6) AS pct_change
+        |FROM wk
+        |WINDOW w AS (PARTITION BY event_type ORDER BY week)""".stripMargin,
+
+    // string_agg ORDER BY (ts, event_id) within the per-user top-5 rank
+    "q_journeys" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rank
+        |  FROM events),
+        |j AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rank) AS journey
+        |  FROM r WHERE rank <= 5 GROUP BY 1)
+        |SELECT journey, count(*) AS n_users FROM j GROUP BY 1""".stripMargin,
 
     // both engines synthesize the identical update batch from the base
     // table, so the whole MERGE (update/insert/unchanged) is checkable

@@ -58,6 +58,66 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Per-user running total (cumulative balance): the ROWS UNBOUNDED
+    * PRECEDING window every ledger/usage meter runs. Partitioned by
+    * user — the shuffle is one hash exchange, each partition sorts its
+    * own users' rows (no global sort). DECIMAL accumulation so the
+    * running values are exact at every prefix, not just the total. */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .withColumn("running_value",
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double"))
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select("user_id", "event_id", "ts", "value", "running_value", "running_n")
+  }
+
+  /** Week-over-week growth: weekly event totals per type with the
+    * previous week's total (lag) and the growth delta — the trend
+    * report shape. Weeks are epoch-day // 7 buckets (calendar-agnostic,
+    * identical integer math on both engines); the lag window partitions
+    * by type and holds |weeks| rows — bounded state at any scale. The
+    * pct change divides two DECIMAL-exact doubles; rows with no prior
+    * week carry NULLs through (lag's contract). */
+  def wowGrowth(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("week")
+    Tables.events(s, d)
+      .withColumn("week", expr("unix_micros(ts) div 604800000000"))
+      .groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("n_delta", col("n") - col("prev_n"))
+      .withColumn("pct_change",
+        round((col("n") - col("prev_n")).cast("double") / col("prev_n") * 100.0, 6))
+  }
+
+  /** User journey signatures: each user's first `k` events as an ordered
+    * type path ("click>view>purchase"), then the count of users per
+    * distinct journey — the funnel-discovery / sequence-mining report.
+    * The path is built from a WindowGroupLimit-pruned top-k per user
+    * (rank ≤ k before any aggregation — no user's full history is ever
+    * materialized), then one groupBy(user) with a POSITION-SORTED
+    * array_join (sort_array on (rank, type) structs → deterministic
+    * order regardless of shuffle arrival), then a journey-level count.
+    * Two narrow aggregations; state bounded by k per user. */
+  def journeys(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy("user_id")
+      .agg(array_join(
+        expr("transform(sort_array(collect_list(struct(rank, event_type))), x -> x.event_type)"),
+        ">").as("journey"))
+      .groupBy("journey")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Column profile — the ANALYZE TABLE / data-quality report: one row
     * per column with row count, null count, and EXACT distinct count.
     * All counts come from ONE aggregate over the table: Spark plans the

@@ -20,6 +20,17 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Stateful shuffle partitions = state-store instances for the local
+    * harness streams. Each store pays init+commit per micro-batch (a
+    * fixed cost), so small is right at test volume — but the sf1 bench
+    * measured 2-4 s of GC per rep on the sessionizer when 8 stores
+    * absorbed 150 k users' state (SCALE.md "Round-7"), so the count is
+    * env-tunable (SPARK_GRAFT_STREAM_PARTS) for one-order-up runs. In
+    * production this is sized to state volume and pinned by the
+    * checkpoint at the stream's first start. */
+  private def streamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
   /** The events schema as a streaming source schema (file sources require
     * a user-supplied schema). ts arrives as epoch micros here — streaming
     * file sources can't use the nanos-legacy path the batch reader needs. */
@@ -54,13 +65,9 @@ object EventStreams {
     * writeStream to parquet/kafka with the identical plan.) */
   def streamResample(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // stateful shuffle partitions = state-store instances; each store pays
-    // init+commit per micro-batch, a pure fixed cost at this volume. 8 is
-    // plenty for the windowed agg here; the BATCH queries keep the session
-    // default. (At real scale this would be sized to state volume, and is
-    // pinned at the first start of a stream by its checkpoint anyway.)
+    // see streamParts: the BATCH queries keep the session default
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
     try streamResampleInner(s, d)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -109,7 +116,7 @@ object EventStreams {
     * horizon, never by stream length). */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -150,7 +157,7 @@ object EventStreams {
   def streamSink(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -192,7 +199,7 @@ object EventStreams {
     * not an aggregate of it — is what hash-matches. */
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -261,7 +268,7 @@ object EventStreams {
     * derivation at full timestamp precision (`q_stream_sessionize`). */
   def streamSessionize(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -310,7 +317,7 @@ object EventStreams {
     * what the DuckDB oracle can pin (`q_stream_ingest_dedup`). */
   def streamIngestDedup(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
     try {
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),

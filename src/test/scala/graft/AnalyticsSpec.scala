@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** Analytics battery: semantic invariants the oracle can't phrase (it
+  * only proves result equality) plus the plan shapes that carry the
+  * 100 TB claims. */
+class AnalyticsSpec extends SparkTestBase {
+
+  test("histogram broadcasts the 5-row range side and bins partition the rows") {
+    val out = Analytics.histogram(spark, sf).cache()
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"range side must broadcast, not shuffle:\n$plan")
+      // bins cover every row exactly once
+      val binned = out.agg(sum("n")).collect()(0).getLong(0)
+      assert(binned == Tables.events(spark, sf).count())
+      // bin ids live in [0, 9]
+      assert(out.where(col("bin") < 0 || col("bin") > 9).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("journeys prunes per-user history before aggregating (WindowGroupLimit)") {
+    val out = Analytics.journeys(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-user top-k must prune before the window:\n$plan")
+    assert(!plan.contains("Sort [ts"), "no global sort")
+    // journey user counts total the user population
+    val total = out.agg(sum("n_users")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).select("user_id").distinct().count())
+    // no journey is longer than 5 hops
+    assert(out.where(size(split(col("journey"), ">")) > 5).count() == 0)
+  }
+
+  test("funnel: conversions are a subset of clickers and lags are non-negative") {
+    val out = Analytics.funnel(spark, sf).cache()
+    try {
+      val clickers = Tables.events(spark, sf)
+        .where(col("event_type") === "click").select("user_id").distinct().count()
+      assert(out.count() == clickers, "one funnel row per clicker")
+      assert(out.where(col("converted") && col("lag_secs") < 0).count() == 0)
+      assert(out.where(!col("converted") && col("first_purchase_ts").isNotNull)
+        .count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("merge upsert: action counts reconcile with base and batch sizes") {
+    val out = Analytics.mergeUpsert(spark, sf).cache()
+    try {
+      val base = Tables.events(spark, sf)
+      val nBase = base.count()
+      val nUpd = base.where(col("event_id") % 100 === 0).count()
+      val byAction = out.groupBy("merge_action").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byAction("updated") == nUpd)
+      assert(byAction("inserted") == 50L)
+      assert(byAction("unchanged") == nBase - nUpd)
+      assert(out.count() == nBase + 50)
+      // updated rows actually carry the patch
+      assert(out.where(col("merge_action") === "updated"
+        && col("event_type") =!= "patched").count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("running total: final prefix equals the user's exact total") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("running_n").desc)
+    val last = Analytics.runningTotal(spark, sf)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("running_value"))
+    val expect = Tables.events(spark, sf).groupBy("user_id")
+      .agg(graft.operators.exactSum(col("value")).as("running_value"))
+    assert(last.except(expect).count() == 0)
+    assert(expect.except(last).count() == 0)
+  }
+}
