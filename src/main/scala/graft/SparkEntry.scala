@@ -76,6 +76,10 @@ object SparkEntry {
     "q_wow_growth"     -> (graft.operators.Analytics.wowGrowth _),
     // first-k event-type paths per user, counted per distinct journey
     "q_journeys"       -> ((s: SparkSession, d: String) => graft.operators.Analytics.journeys(s, d)),
+    // Pearson matrix from exact integer moment sums (one aggregate pass)
+    "q_correlation"    -> (graft.operators.Analytics.correlationMatrix _),
+    // per-user Shannon entropy of the type distribution (fixed-order sum)
+    "q_type_entropy"   -> (graft.operators.Analytics.typeEntropy _),
     // Morton z-order clustering key (the OPTIMIZE ZORDER primitive)
     "q_zorder"         -> (Relational.zorderKey _),
     // MERGE INTO semantics as full-outer join + coalesce (lakehouse
@@ -532,6 +536,77 @@ object SparkEntry {
         |  count(DISTINCT value) FROM events
         |UNION ALL SELECT 'props', count(*), count(*) - count(props),
         |  count(DISTINCT props) FROM events""".stripMargin,
+
+    // moment sums are exact BIGINTs (integer cells, < 2^53), so the only
+    // float ops are the final divide + sqrt — identical IEEE trees, raw
+    // doubles compare bit-exact with no rounding key
+    "q_correlation" ->
+      """WITH wide AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    count(*) FILTER (WHERE event_type = 'click') AS click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS "error",
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(click) AS s_c, sum("error") AS s_e,
+        |    sum(purchase) AS s_p, sum("view") AS s_v,
+        |    sum(click*click) AS ss_c, sum("error"*"error") AS ss_e,
+        |    sum(purchase*purchase) AS ss_p, sum("view"*"view") AS ss_v,
+        |    sum(click*"error") AS sp_ce, sum(click*purchase) AS sp_cp,
+        |    sum(click*"view") AS sp_cv, sum("error"*purchase) AS sp_ep,
+        |    sum("error"*"view") AS sp_ev, sum(purchase*"view") AS sp_pv
+        |  FROM wide)
+        |SELECT feature_x, feature_y,
+        |  CAST(n*sp - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*ssx - sx*sx AS DOUBLE) * CAST(n*ssy - sy*sy AS DOUBLE))
+        |    AS pearson_r
+        |FROM (
+        |  SELECT 'click' AS feature_x, 'error' AS feature_y,
+        |    n, CAST(sp_ce AS BIGINT) AS sp, CAST(s_c AS BIGINT) AS sx,
+        |    CAST(s_e AS BIGINT) AS sy, CAST(ss_c AS BIGINT) AS ssx,
+        |    CAST(ss_e AS BIGINT) AS ssy FROM m
+        |  UNION ALL SELECT 'click', 'purchase', n, CAST(sp_cp AS BIGINT),
+        |    CAST(s_c AS BIGINT), CAST(s_p AS BIGINT),
+        |    CAST(ss_c AS BIGINT), CAST(ss_p AS BIGINT) FROM m
+        |  UNION ALL SELECT 'click', 'view', n, CAST(sp_cv AS BIGINT),
+        |    CAST(s_c AS BIGINT), CAST(s_v AS BIGINT),
+        |    CAST(ss_c AS BIGINT), CAST(ss_v AS BIGINT) FROM m
+        |  UNION ALL SELECT 'error', 'purchase', n, CAST(sp_ep AS BIGINT),
+        |    CAST(s_e AS BIGINT), CAST(s_p AS BIGINT),
+        |    CAST(ss_e AS BIGINT), CAST(ss_p AS BIGINT) FROM m
+        |  UNION ALL SELECT 'error', 'view', n, CAST(sp_ev AS BIGINT),
+        |    CAST(s_e AS BIGINT), CAST(s_v AS BIGINT),
+        |    CAST(ss_e AS BIGINT), CAST(ss_v AS BIGINT) FROM m
+        |  UNION ALL SELECT 'purchase', 'view', n, CAST(sp_pv AS BIGINT),
+        |    CAST(s_p AS BIGINT), CAST(s_v AS BIGINT),
+        |    CAST(ss_p AS BIGINT), CAST(ss_v AS BIGINT) FROM m) t""".stripMargin,
+
+    // entropy terms pivot into fixed columns and sum left-to-right —
+    // the same float-order discipline as q_bm25
+    "q_type_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |    count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events, round(
+        |  (CASE WHEN n_click > 0 THEN -(CAST(n_click AS DOUBLE) / n_events)
+        |    * ln(CAST(n_click AS DOUBLE) / n_events) ELSE 0.0 END)
+        |  + (CASE WHEN n_error > 0 THEN -(CAST(n_error AS DOUBLE) / n_events)
+        |    * ln(CAST(n_error AS DOUBLE) / n_events) ELSE 0.0 END)
+        |  + (CASE WHEN n_purchase > 0 THEN -(CAST(n_purchase AS DOUBLE) / n_events)
+        |    * ln(CAST(n_purchase AS DOUBLE) / n_events) ELSE 0.0 END)
+        |  + (CASE WHEN n_signup > 0 THEN -(CAST(n_signup AS DOUBLE) / n_events)
+        |    * ln(CAST(n_signup AS DOUBLE) / n_events) ELSE 0.0 END)
+        |  + (CASE WHEN n_view > 0 THEN -(CAST(n_view AS DOUBLE) / n_events)
+        |    * ln(CAST(n_view AS DOUBLE) / n_events) ELSE 0.0 END), 6)
+        |  AS entropy
+        |FROM c""".stripMargin,
 
     // running DECIMAL sums are exact at every prefix on both engines
     "q_running_total" ->

@@ -144,6 +144,70 @@ object Analytics {
       .toDF("column_name", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** Pearson correlation matrix over the wide daily features — computed
+    * from EXACT DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²) rather
+    * than ml.stat.Correlation's float accumulators, so the result is
+    * bit-identical cross-engine and the whole matrix is one
+    * partial-aggregated pass over the feature table (the moments for
+    * all 6 pairs fold into a single aggregate — no per-pair scans, no
+    * driver matrix). The inputs are the A2 pivot's (user, day) wide
+    * counts; feature pairs are emitted in fixed lexicographic order.
+    * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗ)(n·Σy² − Σy²ᵗ)). */
+  def correlationMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = Seq("click", "error", "purchase", "view")
+    // per-(user, day) type counts — integer cells, so every moment sum
+    // is exact LONG arithmetic (magnitudes stay far under 2^53, so the
+    // final integer→double conversions are exact on both engines)
+    val cells = feats.map(f =>
+      sum(when(col("event_type") === f, 1L).otherwise(0L)).as(f))
+    val wide = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(cells.head, cells.tail: _*)
+    val moments =
+      count(lit(1)).as("n") +:
+      feats.map(f => sum(col(f)).as(s"s_$f")) ++:
+      feats.map(f => sum(col(f) * col(f)).as(s"ss_$f")) ++:
+      (for { i <- feats.indices; j <- feats.indices if i < j }
+        yield sum(col(feats(i)) * col(feats(j)))
+          .as(s"sp_${feats(i)}_${feats(j)}"))
+    val row = wide.agg(moments.head, moments.tail: _*).collect()(0)
+    def lv(name: String): Long = row.getAs[Long](name)
+    val n = lv("n")
+    val pairs = for { i <- feats.indices; j <- feats.indices if i < j } yield {
+      val (x, y) = (feats(i), feats(j))
+      // numerator and variance terms stay in exact integers; the only
+      // float ops are the final divide and sqrt — identical IEEE trees
+      // in the oracle, so the raw double needs no rounding key
+      val cov = (n * lv(s"sp_${x}_$y") - lv(s"s_$x") * lv(s"s_$y")).toDouble
+      val vx = (n * lv(s"ss_$x") - lv(s"s_$x") * lv(s"s_$x")).toDouble
+      val vy = (n * lv(s"ss_$y") - lv(s"s_$y") * lv(s"s_$y")).toDouble
+      (x, y, cov / math.sqrt(vx * vy))
+    }
+    pairs.toDF("feature_x", "feature_y", "pearson_r")
+  }
+
+  /** Per-user Shannon entropy of the event-type distribution — the
+    * behavioral-diversity score (and the same formula a corpus-mix
+    * monitor runs over source shares). Counts pivot into FIXED columns
+    * (one conditional sum per type), the entropy sums its ≤ 5 terms in
+    * fixed left-to-right order — no float-order hazard anywhere, so the
+    * oracle matches bit-exact. One partial-aggregated groupBy. */
+  def typeEntropy(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val counts = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        types.map(t => sum(when(col("event_type") === t, 1L).otherwise(0L))
+          .as(s"n_$t")): _*)
+    val terms = types.map { t =>
+      val p = col(s"n_$t").cast("double") / col("n_events")
+      when(col(s"n_$t") > 0, -p * log(p)).otherwise(lit(0.0))
+    }
+    counts.withColumn("entropy", round(terms.reduceLeft(_ + _), 6))
+      .select("user_id", "n_events", "entropy")
+  }
+
   /** MERGE / upsert — the lakehouse write primitive (MERGE INTO ... WHEN
     * MATCHED UPDATE / WHEN NOT MATCHED INSERT) expressed as one full
     * outer join + per-column coalesce: updates win where keys collide,
