@@ -250,6 +250,12 @@ object SparkEntry {
     // ALS implicit-feedback recommender over (user, event_type) counts
     // (no oracle: seeded JVM fits; AlsSpec pins the contract)
     "q_als_recommend"  -> (Pipelines.alsRecommend _),
+    // FPGrowth frequent itemsets — exact counts over an enumerable item
+    // universe, so the miner's output is fully oracle-checked
+    "q_freq_itemsets"  -> ((s: SparkSession, d: String) => Pipelines.freqItemsets(s, d)),
+    // Word2Vec skip-gram + synonym probe (no oracle: seeded JVM fit;
+    // CrossValAlsSpec pins determinism and bounds)
+    "q_word2vec"       -> ((s: SparkSession, d: String) => Pipelines.word2vec(s, d)),
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
     "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
     "q_tfidf"          -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
@@ -536,6 +542,25 @@ object SparkEntry {
         |  count(DISTINCT value) FROM events
         |UNION ALL SELECT 'props', count(*), count(*) - count(props),
         |  count(DISTINCT props) FROM events""".stripMargin,
+
+    // all 31 possible itemsets enumerated by bitmask; list_has_all
+    // tests basket containment; integer freq >= minSupport*n is exactly
+    // MLlib's freq >= ceil(minSupport*n) for integer freq
+    "q_freq_itemsets" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    list_sort(list_distinct(list(event_type))) AS items
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n_users FROM u),
+        |sets AS (
+        |  SELECT list_filter(['click', 'error', 'purchase', 'signup', 'view'],
+        |    (t, i) -> ((mask >> (i - 1)) & 1) = 1) AS s
+        |  FROM (SELECT unnest(generate_series(1, 31)) AS mask))
+        |SELECT array_to_string(s, '+') AS itemset,
+        |  CAST(count(*) AS BIGINT) AS freq
+        |FROM sets JOIN u ON list_has_all(u.items, sets.s), n
+        |GROUP BY 1, n.n_users
+        |HAVING count(*) >= 0.3 * n.n_users""".stripMargin,
 
     // moment sums are exact BIGINTs (integer cells, < 2^53), so the only
     // float ops are the final divide + sqrt — identical IEEE trees, raw

@@ -200,6 +200,50 @@ object Pipelines {
     } finally { interactions.unpersist(); () }
   }
 
+  /** M-family extension — FPGrowth frequent itemsets over each user's
+    * distinct event-type basket: the market-basket / co-occurrence
+    * miner. FP-Growth builds per-partition conditional FP-trees and
+    * merges them (a parallel-aggregate shape, no candidate-generation
+    * joins — why it beats Apriori at scale). Support counts are EXACT,
+    * and the item universe here is enumerable (5 types → 31 possible
+    * itemsets), so the whole output is DuckDB-oracle-checkable: itemsets
+    * canonicalized by alphabetical sort + '+'-join; freq ≥
+    * ceil(minSupport·n) matches integer-freq ≥ minSupport·n exactly. */
+  def freqItemsets(s: SparkSession, d: String, minSupport: Double = 0.3): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val baskets = graft.Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("items"))
+    val model = new FPGrowth()
+      .setItemsCol("items").setMinSupport(minSupport).setMinConfidence(0.5)
+      .fit(baskets)
+    model.freqItemsets
+      .select(array_join(array_sort(col("items")), "+").as("itemset"),
+        col("freq"))
+  }
+
+  /** M-family extension — Word2Vec (skip-gram) trained on the document
+    * tokens, probed for nearest neighbors of a vocabulary word: the
+    * train-embeddings-inside-the-engine block (the same shape feeds the
+    * `embeddings` table of a real pipeline). setNumPartitions(1) +
+    * seed makes the Hogwild-style fit bit-reproducible (the distributed
+    * form trades that for throughput — documented, not hidden); output
+    * similarities are seeded-JVM floats → spec-pinned, not oracled. */
+  def word2vec(s: SparkSession, d: String, probe: String = "spark",
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.ml.feature.Word2Vec
+    val docs = graft.Tables.documents(s, d)
+      .select(split(lower(trim(col("text"))), "\\s+").as("tokens"))
+    val model = new Word2Vec()
+      .setInputCol("tokens").setOutputCol("vec")
+      .setVectorSize(16).setSeed(42L).setMinCount(5)
+      .setMaxIter(1).setNumPartitions(1)
+      .fit(docs)
+    model.findSynonyms(probe, topK)
+      .select(lit(probe).as("probe"), col("word"),
+        round(col("similarity"), 6).as("similarity"))
+  }
+
   /** M11 — PCA over the wide features. The reference imports PCA
     * (`sensor_data_regression.py:5`) but its one use is commented out
     * (`:64`); here it is live. Output is the k×features loading matrix plus

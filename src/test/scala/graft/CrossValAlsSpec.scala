@@ -23,6 +23,33 @@ class CrossValAlsSpec extends SparkTestBase {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("frequent itemsets obey downward closure and exact support counts") {
+    val out = Pipelines.freqItemsets(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // anti-monotonicity: a superset never outnumbers its subsets
+    for ((set, freq) <- out; (sub, subFreq) <- out
+        if sub != set && sub.split('+').forall(set.split('+').contains))
+      assert(subFreq >= freq, s"$sub ($subFreq) < $set ($freq)")
+    // singleton supports equal direct counts
+    val clickUsers = Tables.events(spark, sf)
+      .where(col("event_type") === "click").select("user_id").distinct().count()
+    out.get("click").foreach(f => assert(f == clickUsers))
+  }
+
+  test("word2vec synonyms are deterministic, bounded, and exclude the probe") {
+    val a = Pipelines.word2vec(spark, sf).collect()
+    val b = Pipelines.word2vec(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "seeded single-partition fit must be bit-reproducible")
+    assert(a.length == 5)
+    a.foreach { r =>
+      assert(r.getString(1) != "spark", "probe is not its own synonym")
+      val sim = r.getAs[Double]("similarity")
+      assert(sim >= -1.0 - 1e-9 && sim <= 1.0 + 1e-9)
+    }
+  }
+
   test("ALS covers every interacting user with one top-1 recommendation") {
     val out = Pipelines.alsRecommend(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 5)
