@@ -122,6 +122,9 @@ object SparkEntry {
     // PageRank centrality over the same memoized near-dup pair graph
     // (no oracle: float iterations; PagerankSpec pins closed forms)
     "q_doc_pagerank"   -> ((s: SparkSession, d: String) => Dedup.docPagerank(s, d)),
+    // per-node triangles + clustering coefficient over the pair graph
+    // (oriented-join count — exact integer ratios, fully oracled)
+    "q_triangles"      -> (Dedup.triangleCounts _),
     // composed flagship: quality gate -> exact dedup -> near-dup dedup
     "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
     // quality-tiered epoch mixing (upsampling weights before packing)
@@ -294,15 +297,20 @@ object SparkEntry {
 
   private val NgramPairCtes: String = ngramPairCtes("documents")
 
-  /** Symmetric edge list + recursive reachability over the thresholded
-    * pair graph (τ = 0.12, same filter as `q_ngram_jaccard`'s output);
-    * nodes come from the same `base` as [[ngramPairCtes]]. */
-  private def ngramReachCtes(base: String): String =
-    s"""jpairs AS (
+  /** The τ = 0.12 thresholded pair edges (same filter as
+    * `q_ngram_jaccard`'s output) — shared by the reachability and
+    * triangle oracles so the edge set can never drift between them. */
+  private val JpairsCte: String =
+    """jpairs AS (
       |  SELECT p.a_id, p.b_id FROM pairs p
       |  JOIN sizes sa ON p.a_id = sa.doc_id
       |  JOIN sizes sb ON p.b_id = sb.doc_id
-      |  WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12),
+      |  WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12)""".stripMargin
+
+  /** Symmetric edge list + recursive reachability over the thresholded
+    * pair graph; nodes come from the same `base` as [[ngramPairCtes]]. */
+  private def ngramReachCtes(base: String): String =
+    s"""$JpairsCte,
       |edges AS (
       |  SELECT a_id AS src, b_id AS dst FROM jpairs
       |  UNION ALL SELECT b_id, a_id FROM jpairs),
@@ -1136,6 +1144,33 @@ object SparkEntry {
         |JOIN sizes sa ON p.a_id = sa.doc_id
         |JOIN sizes sb ON p.b_id = sb.doc_id
         |WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12""".stripMargin,
+
+    // oriented triangle join over the SAME thresholded edge set (the
+    // shared JpairsCte keeps it in lockstep with the cluster oracles);
+    // clustering = 2T/(deg(deg-1)) is an exact integer-ratio double
+    "q_triangles" ->
+      s"""WITH $NgramPairCtes,
+        |$JpairsCte,
+        |tri AS (
+        |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+        |  FROM jpairs e1
+        |  JOIN jpairs e2 ON e2.a_id = e1.a_id AND e2.b_id > e1.b_id
+        |  JOIN jpairs e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id),
+        |pern AS (
+        |  SELECT x AS doc_id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |tcount AS (SELECT doc_id, count(*) AS triangles FROM pern GROUP BY 1),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS deg FROM (
+        |    SELECT a_id AS doc_id FROM jpairs
+        |    UNION ALL SELECT b_id FROM jpairs) t GROUP BY 1)
+        |SELECT d.doc_id, d.deg,
+        |  COALESCE(t.triangles, 0) AS triangles,
+        |  CASE WHEN d.deg >= 2
+        |    THEN 2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
+        |    ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN tcount t ON d.doc_id = t.doc_id""".stripMargin,
 
     // transitive closure of the same pair graph: reach(id, r) enumerates
     // every node r reachable from id (components are near-dup clusters —

@@ -706,6 +706,48 @@ object Dedup {
         coalesce(col("deg"), lit(0L)).as("deg"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * near-dup pair graph — the graph-shape diagnostic next to
+    * [[docPagerank]]: near-clique duplicate groups have clustering ≈ 1,
+    * chain-like spurious link paths ≈ 0, so the coefficient separates
+    * "true duplicate cluster" from "threshold artifact" before a
+    * cluster-collapse pass commits. Triangles come from the ORIENTED
+    * edge join (edges carry a_id < b_id, so each triangle x<y<z is
+    * found exactly once via (x,y)(x,z)(y,z)) — the standard distributed
+    * shape whose cost is Σ per-node oriented-degree², here bounded
+    * because the pair graph is already df-capped and thresholded (at a
+    * heavier scale the orientation would be by DEGREE, not id, which
+    * provably minimizes that bound). Consumes the memoized
+    * [[pairEdges]]; clustering = 2T/(deg·(deg−1)) is an exact
+    * integer-ratio double, so the whole output is oracle-checkable. */
+  def triangleCounts(s: SparkSession, d: String): DataFrame =
+    triangleCountsEdges(pairEdges(s, d))
+
+  /** [[triangleCounts]] over an arbitrary oriented (a_id < b_id) edge
+    * frame — the testable form. */
+  def triangleCountsEdges(e: DataFrame): DataFrame = {
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.a_id") === col("e1.a_id")
+        && col("e2.b_id") > col("e1.b_id"))
+      .join(e.as("e3"), col("e3.a_id") === col("e1.b_id")
+        && col("e3.b_id") === col("e2.b_id"))
+      .select(col("e1.a_id").as("x"), col("e1.b_id").as("y"),
+        col("e2.b_id").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a_id").as("doc_id"))
+      .unionAll(e.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          lit(2.0) * col("triangles") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+  }
+
   /** The thresholded near-dup pair graph over the raw documents table —
     * memoized under its own key because BOTH connected-components
     * variants ([[dedupClusters]], [[dedupClustersLogRounds]]) consume the

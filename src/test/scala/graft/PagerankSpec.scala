@@ -42,6 +42,27 @@ class PagerankSpec extends SparkTestBase {
     assert(r(0L) == r(1L), "symmetric pair must tie")
   }
 
+  test("triangle counts: K4 is all-clustered, a path has none") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} plus a pendant path 4-5-6
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a_id", "b_id")
+    val r = Dedup.triangleCountsEdges(edges).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    // K4: every vertex sits in C(3,2) = 3 triangles, clustering 1.0
+    (1L to 3L).foreach { v =>
+      assert(r(v)._2 == 3, s"$v: ${r(v)}")
+      assert(math.abs(r(v)._3 - 1.0) < 1e-12)
+    }
+    // vertex 4 has deg 4 (K4 + pendant): 3 triangles, clustering 0.5
+    assert(r(4L) == ((4L, 3L, 0.5)))
+    // path vertices: no triangles
+    assert(r(5L)._2 == 0 && r(5L)._3 == 0.0)
+    assert(r(6L)._2 == 0)
+  }
+
   test("doc pagerank runs over the memoized pair graph with degree attached") {
     val out = Dedup.docPagerank(spark, sf).cache()
     try {
