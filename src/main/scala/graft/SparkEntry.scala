@@ -524,14 +524,17 @@ object SparkEntry {
         |WHERE a.day >= c.cohort_day
         |GROUP BY 1, 2""".stripMargin,
 
-    // identical IEEE expression tree on both engines → bit-exact bins
+    // identical IEEE expression tree on both engines → bit-exact bins;
+    // degenerate mx = mn range pinned to bin 0 (mirrors the Spark guard
+    // — unguarded it is NaN, which ANSI CAST rejects)
     "q_histogram" ->
       """WITH b AS (
         |  SELECT event_type, min(value) AS mn, max(value) AS mx
         |  FROM events GROUP BY 1)
         |SELECT e.event_type,
-        |  LEAST(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 10.0)) AS BIGINT),
-        |    9) AS bin,
+        |  CASE WHEN b.mx = b.mn THEN 0 ELSE
+        |    LEAST(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 10.0)) AS BIGINT),
+        |      9) END AS bin,
         |  b.mn, b.mx, count(*) AS n
         |FROM events e JOIN b USING (event_type)
         |GROUP BY 1, 2, 3, 4""".stripMargin,
@@ -651,11 +654,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    // epoch-week = epoch_us // (7*86400*1e6): identical integer floor
-    // division on both engines; lag NULLs ride through
+    // epoch-week = true FLOOR(epoch_us / week_us): the non-negative
+    // remainder is subtracted first so the division is an exact multiple
+    // — sign-correct on both engines even for pre-1970 timestamps
     "q_wow_growth" ->
       """WITH wk AS (
-        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |  SELECT event_type,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 604800000000 + 604800000000)
+        |      % 604800000000)) // 604800000000 AS week,
         |    count(*) AS n,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |  FROM events GROUP BY 1, 2)
@@ -690,7 +696,7 @@ object SparkEntry {
         |    value + 1000.0 AS value
         |  FROM base WHERE event_id % 100 = 0),
         |ins AS (
-        |  SELECT (SELECT max(event_id) FROM base) + off AS event_id,
+        |  SELECT COALESCE((SELECT max(event_id) FROM base), 0) + off AS event_id,
         |    off % 97 AS user_id, 'inserted' AS event_type,
         |    CAST(off AS DOUBLE) / 10.0 AS value
         |  FROM (SELECT unnest(generate_series(1, 50)) AS off)),

@@ -59,7 +59,10 @@ object Media {
     * mapPartitions batches — is exercised on what it claims to carry. */
   def mediaFixturePath(s: SparkSession, d: String): String = fixtureLock.synchronized {
     val path = graft.Scratch.dir(s"mediafix_$d")
-    if (fixtureWritten.add(path)) {
+    // marked written only AFTER the parquet commit succeeds — if the
+    // write throws, the next caller retries instead of reading a
+    // missing/partial fixture (all checks serialize under fixtureLock)
+    if (!fixtureWritten.contains(path)) {
       import s.implicits._
       graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
@@ -70,6 +73,7 @@ object Media {
             (id % 640 + 1).toInt, (id % 480 + 1).toInt, b)
         }
         .write.mode("overwrite").parquet(path)
+      fixtureWritten.add(path)
     }
     path
   }

@@ -81,12 +81,17 @@ object Analytics {
     * identical integer math on both engines); the lag window partitions
     * by type and holds |weeks| rows — bounded state at any scale. The
     * pct change divides two DECIMAL-exact doubles; rows with no prior
-    * week carry NULLs through (lag's contract). */
+    * week carry NULLs through (lag's contract). The week bucket is true
+    * FLOOR division of epoch-micros (subtract the always-non-negative
+    * pmod remainder, then divide the exact multiple) — `div` alone
+    * truncates toward zero and would disagree with a flooring engine on
+    * pre-1970 timestamps; this form is sign-correct on both engines. */
   def wowGrowth(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("week")
     Tables.events(s, d)
-      .withColumn("week", expr("unix_micros(ts) div 604800000000"))
+      .withColumn("week", expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 604800000000)) div 604800000000"))
       .groupBy("event_type", "week")
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
       .withColumn("prev_n", lag(col("n"), 1).over(w))
@@ -172,7 +177,14 @@ object Analytics {
         yield sum(col(feats(i)) * col(feats(j)))
           .as(s"sp_${feats(i)}_${feats(j)}"))
     val row = wide.agg(moments.head, moments.tail: _*).collect()(0)
-    def lv(name: String): Long = row.getAs[Long](name)
+    // the driver-side products n·Σxy and Σx·Σy would overflow Long once
+    // n·Σxy ≥ 2^63 (with per-cell counts ≤ C that happens around
+    // n ≈ 3e9/C rows) — so the six-number-per-pair combine runs in
+    // BigInt, which is exact at ANY scale; for every scale where Long
+    // would not have overflowed the BigInt value is identical, and
+    // BigInt.toDouble rounds to nearest like the oracle's integer→DOUBLE
+    // cast, so gate results are unchanged
+    def lv(name: String): BigInt = BigInt(row.getAs[Long](name))
     val n = lv("n")
     val pairs = for { i <- feats.indices; j <- feats.indices if i < j } yield {
       val (x, y) = (feats(i), feats(j))
@@ -226,11 +238,15 @@ object Analytics {
     val updates = base.where(col("event_id") % 100 === 0)
       .select(col("event_id"), col("user_id"),
         lit("patched").as("event_type"), (col("value") + 1000.0).as("value"))
-    val maxId = base.agg(max("event_id")).collect()(0).getLong(0)
+    // max key rides in lazily as a broadcast 1-row aggregate (no eager
+    // collect at plan-construction time, and an empty base table yields
+    // max_id = 0 instead of an NPE)
+    val maxId = base.agg(coalesce(max("event_id"), lit(0L)).as("max_id"))
     val s2 = s
     import s2.implicits._
     val inserts = (1L to 50L).toDF("off")
-      .select((lit(maxId) + col("off")).as("event_id"),
+      .crossJoin(broadcast(maxId))
+      .select((col("max_id") + col("off")).as("event_id"),
         (col("off") % 97).as("user_id"),
         lit("inserted").as("event_type"),
         (col("off").cast("double") / 10.0).as("value"))
@@ -254,16 +270,21 @@ object Analytics {
     * groupBy on (type, bin) — the profile-a-column primitive at any
     * scale. Bin arithmetic is the identical IEEE expression tree on
     * both engines (floor((v − mn) / ((mx − mn) / 10.0))), so bins are
-    * bit-exact; mn/mx ride along raw (no re-aggregation). */
+    * bit-exact; mn/mx ride along raw (no re-aggregation). A degenerate
+    * range (every value equal, mx == mn) would make the bin expression
+    * 0.0/0.0 = NaN — Spark's non-ANSI cast silently maps NaN to 0 while
+    * an ANSI engine errors — so that case is guarded to bin 0 explicitly
+    * on both engines. */
   def histogram(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
     val ev = Tables.events(s, d)
     val ranges = ev.groupBy("event_type")
       .agg(min("value").as("mn"), max("value").as("mx"))
     ev.join(broadcast(ranges), Seq("event_type"))
       .withColumn("bin",
-        least(floor((col("value") - col("mn"))
-          / ((col("mx") - col("mn")) / nBins.toDouble)).cast("long"),
-          lit((nBins - 1).toLong)))
+        when(col("mx") === col("mn"), 0L).otherwise(
+          least(floor((col("value") - col("mn"))
+            / ((col("mx") - col("mn")) / nBins.toDouble)).cast("long"),
+            lit((nBins - 1).toLong))))
       .groupBy("event_type", "bin", "mn", "mx")
       .agg(count(lit(1)).as("n"))
   }
