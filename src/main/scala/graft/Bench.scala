@@ -27,6 +27,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // split multi-row-group fixture files into parallel scan tasks
+      // (driver sf files are one row group — no effect there; the sf1
+      // ScaleUp fixture writes 1 MB row groups so map-side text work
+      // parallelizes the way a many-split 100 TB table would)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results: Seq[(String, Either[String, Double])] =

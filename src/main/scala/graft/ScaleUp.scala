@@ -51,7 +51,15 @@ object ScaleUp {
     // that file name), so write single files, not directories.
     def writeSingle(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = s"$out/_tmp_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      // small row groups (1 MB vs the 128 MB default): a single-file
+      // fixture with ONE row group can never scan in parallel (splits
+      // align to row groups), which serializes every map-side stage —
+      // the round-8 q_pack_greedy diagnosis found 2 s of single-task
+      // regexp CPU behind an apparent 22× scaling. Real 100 TB tables
+      // are thousands of splits; small row groups restore that shape.
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (1024 * 1024).toString)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file under $tmp"))

@@ -58,17 +58,33 @@ object Packing {
     */
   def packShards(docs: DataFrame, budget: Long = 2048L,
       chunkDocs: Long = 1024L): DataFrame = {
+    // the explicit not-null filter matches what join-key null-filter
+    // inference would add to ONE branch only; stating it up front keeps
+    // both branch subtrees canonically identical (ReuseExchange, below)
     val t = tokenCounts(docs).withColumn("chunk", expr(s"doc_id div $chunkDocs"))
-    // level 1: cumsum within (lang, chunk) — partition bounded by chunkDocs
+      .where(col("lang").isNotNull && col("chunk").isNotNull)
+    // level 1: cumsum within (lang, chunk) — partition bounded by chunkDocs.
+    // The chunk TOTAL (ctot) is a second, whole-partition frame over the
+    // SAME (partition, order) spec. The orderBy on the whole-partition
+    // frame is semantically redundant but LOAD-BEARING: it makes the
+    // level-2 branch's window need exactly the same input columns as the
+    // level-1 branch (doc_id is the sort key), so column pruning cannot
+    // specialize the two subtrees and ReuseExchange collapses them onto
+    // ONE scan + ONE shuffle — the corpus is read and tokenized once,
+    // not twice (round-8 q_pack_greedy diagnosis, SCALE.md)
     val wChunk = Window.partitionBy("lang", "chunk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wWhole = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val within = t.withColumn("wcum", sum("n_tokens").over(wChunk))
+      .withColumn("ctot", sum("n_tokens").over(wWhole))
     // level 2: cumulative totals of PRIOR chunks — corpus/chunkDocs rows,
-    // broadcast back (chunk-count-sized, ~MBs even at petabyte corpora)
+    // broadcast back (chunk-count-sized, ~MBs even at petabyte corpora);
+    // ctot is constant per chunk, so the distinct collapses to one row
+    // per (lang, chunk)
     val wPrev = Window.partitionBy("lang").orderBy("chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunkPrefix = t.groupBy("lang", "chunk")
-      .agg(sum("n_tokens").as("ctot"))
+    val chunkPrefix = within.select("lang", "chunk", "ctot").distinct()
       .withColumn("cpre", coalesce(sum("ctot").over(wPrev), lit(0L)))
       .select("lang", "chunk", "cpre")
     within
@@ -105,20 +121,38 @@ object Packing {
     out
   }
 
-  def packGreedyDocs(shards: DataFrame, budget: Long = 2048L): DataFrame = {
-    val s = shards.sparkSession
-    import s.implicits._
-    shards.select("doc_id", "lang", "shard", "n_tokens").as[ShardDoc]
-      .groupByKey(p => (p.lang, p.shard))
-      .flatMapGroups { (_: (String, Long), it: Iterator[ShardDoc]) =>
-        val docs = it.toArray.sortBy(_.doc_id)
-        val packs = greedyPacks(docs.map(_.n_tokens), budget)
-        docs.iterator.zip(packs.iterator).map { case (d, p) =>
-          (d.doc_id, d.lang, d.shard, p, d.n_tokens)
-        }
-      }
-      .toDF("doc_id", "lang", "shard", "pack", "n_tokens")
-  }
+  /** Declarative form of the per-shard greedy fold: ONE hash aggregate
+    * (collect_list under the bounded-group contract — stage 1 bounds
+    * every (lang, shard) group to ~budget tokens), then the greedy
+    * recurrence as a higher-order `aggregate` over the sorted doc
+    * array, zipped back and exploded. Replaces the round-7
+    * `groupByKey(lambda).flatMapGroups` typed path, whose per-row
+    * encoder/serialize cost was the measured ~40 µs/row constant behind
+    * q_pack_greedy's 22× sf1 bench scaling (SCALE.md round-8 entry):
+    * object-hash aggregation beats shuffle+sort+typed-iterate, and no
+    * row ever leaves Tungsten format. */
+  def packGreedyDocs(shards: DataFrame, budget: Long = 2048L): DataFrame =
+    shards.select("doc_id", "lang", "shard", "n_tokens")
+      .groupBy("lang", "shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tokens"))))
+        .as("ds"))
+      // the same recurrence as greedyPacks (the property-tested fold):
+      // first doc always opens pack 0; a doc that would overflow opens
+      // the next pack and resets the accumulator
+      .withColumn("packs", expr(
+        s"""aggregate(ds,
+           |  named_struct('packs', cast(array() as array<bigint>),
+           |               'acc', 0L, 'pack', 0L),
+           |  (st, x) -> if(size(st.packs) > 0 and st.acc + x.n_tokens > ${budget}L,
+           |    named_struct('packs', concat(st.packs, array(st.pack + 1L)),
+           |                 'acc', x.n_tokens, 'pack', st.pack + 1L),
+           |    named_struct('packs', concat(st.packs, array(st.pack)),
+           |                 'acc', st.acc + x.n_tokens, 'pack', st.pack)),
+           |  st -> st.packs)""".stripMargin))
+      .select(col("lang"), col("shard"),
+        explode(arrays_zip(col("ds"), col("packs"))).as("z"))
+      .select(col("z.ds.doc_id").as("doc_id"), col("lang"), col("shard"),
+        col("z.packs").as("pack"), col("z.ds.n_tokens").as("n_tokens"))
 
   /** Gate query: token-budget shards over the documents table. */
   def shards(s: SparkSession, d: String): DataFrame =
