@@ -196,6 +196,10 @@ object SparkEntry {
     "q_minhash_lsh"    -> (Dedup.minhashBanded _),
     "q_simhash"        -> (Dedup.simhash _),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
+    // measured band-blocking recall vs exact-Hamming ground truth on a
+    // broadcast probe set (no oracle: xxhash64 signatures;
+    // SimhashRecallSpec pins recall(<=3) = 1 and the planted losses)
+    "q_simhash_recall" -> (Dedup.simhashRecall _),
     // LLM-pipeline: similarity search
     "q_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),

@@ -778,10 +778,23 @@ object Dedup {
       .select("doc_id", "lang", "n_chars")
   }
 
-  /** SimHash near-dup candidates: docs sharing any 16-bit band (standard
-    * 4-band blocking for Hamming distance ≤ 3-ish), verified by exact
-    * Hamming distance on the 64-bit signatures. Bucketed, not all-pairs. */
-  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame = {
+  /** SimHash near-dup pairs: docs sharing any 16-bit band, verified by
+    * exact Hamming distance on the 64-bit signatures. Bucketed, not
+    * all-pairs.
+    *
+    * RECALL CONTRACT (exact): with 4 disjoint 16-bit bands, a pair at
+    * Hamming distance h ≤ 3 cannot touch all four bands (pigeonhole), so
+    * at least one band matches and the pair is ALWAYS a candidate —
+    * recall is exactly 1 for h ≤ maxHamming = 3, the standard 64-bit
+    * simhash configuration (Manku et al., WWW'07). For radii above 3
+    * the single 4-band table misses pairs whose flips hit all four
+    * bands; that loss is MEASURED, not guessed: [[simhashBandRecall]] /
+    * `q_simhash_recall` report per-h and cumulative recall against
+    * exact-Hamming ground truth (SimhashRecallSpec pins recall(≤3) = 1
+    * and the planted >3 misses). Callers wanting h > 3 must pass
+    * `maxHamming` explicitly and accept the measured recall, or add
+    * permuted band tables. */
+  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     // own + release (VERDICT r5 #3): the signature cache feeds 8 scans
     // (4 band branches × 2 join sides); the (small) pair result is
     // materialized eagerly so the cache never escapes into a lazy plan
@@ -810,4 +823,48 @@ object Dedup {
         .localCheckpoint(true)
     } finally sh.unpersist()
   }
+
+  /** Measured recall of the 4×16-band blocking against EXACT Hamming
+    * ground truth: a fixed probe set (first `nProbes` ids — deterministic)
+    * is broadcast against every signature, each probe-partner pair gets
+    * its true Hamming distance (one codegen'd popcount) and a
+    * band-collision flag, and the result is one row per distance h ≤
+    * maxH with pair counts and CUMULATIVE recall at ≤ h. This is the
+    * q_ann_recall pattern applied to simhash: the blocking's loss above
+    * the guaranteed radius is a number in the gate output, not a
+    * scaladoc adjective. Scale shape: the ground-truth side is the
+    * all-partners scan of a BOUNDED broadcast probe set (nProbes × N
+    * popcounts, embarrassingly parallel, no shuffle until the ≤ 65-row
+    * groupBy); the bounded global window orders ≤ maxH+1 rows. */
+  def simhashBandRecall(sigs: DataFrame, nProbes: Int = 200,
+      maxH: Int = 12): DataFrame = {
+    def bands(c: org.apache.spark.sql.Column, p: String) = Seq(
+      c.bitwiseAND(lit(0xFFFFL)).as(s"${p}0"),
+      shiftrightunsigned(c, 16).bitwiseAND(lit(0xFFFFL)).as(s"${p}1"),
+      shiftrightunsigned(c, 32).bitwiseAND(lit(0xFFFFL)).as(s"${p}2"),
+      shiftrightunsigned(c, 48).bitwiseAND(lit(0xFFFFL)).as(s"${p}3"))
+    val base = sigs.select(col("doc_id"), col("simhash"))
+    val probes = base.orderBy("doc_id").limit(nProbes)
+      .select(col("doc_id").as("p_id") +: col("simhash").as("p_sim")
+        +: bands(col("simhash"), "p_b"): _*)
+    val part = base.select(col("doc_id") +: col("simhash")
+      +: bands(col("simhash"), "b"): _*)
+    val blocked = (0 to 3).map(i => col(s"p_b$i") === col(s"b$i")).reduce(_ || _)
+    val w = Window.orderBy("hamming")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    broadcast(probes).join(part, col("p_id") < col("doc_id"))
+      .select(expr("bit_count(p_sim ^ simhash)").as("hamming"),
+        when(blocked, 1L).otherwise(0L).as("blk"))
+      .where(col("hamming") <= maxH)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"), sum("blk").as("n_blocked"))
+      .withColumn("cum_pairs", sum("n_pairs").over(w))
+      .withColumn("cum_blocked", sum("n_blocked").over(w))
+      .withColumn("recall",
+        round(col("cum_blocked").cast("double") / col("cum_pairs"), 6))
+  }
+
+  /** Gate query: band-blocking recall over the documents table. */
+  def simhashRecall(s: SparkSession, d: String): DataFrame =
+    simhashBandRecall(simhash(s, d))
 }
