@@ -723,16 +723,43 @@ object Dedup {
   def triangleCounts(s: SparkSession, d: String): DataFrame =
     triangleCountsEdges(pairEdges(s, d))
 
-  /** [[triangleCounts]] over an arbitrary oriented (a_id < b_id) edge
-    * frame — the testable form. */
+  /** [[triangleCounts]] over an arbitrary (a_id < b_id) edge frame — the
+    * testable form.
+    *
+    * Edges are re-oriented low→high by DEGREE (ties by id) before the
+    * wedge join, so the join fan-out is Σ out-deg², which the
+    * by-total-degree orientation provably minimizes (every node's
+    * out-degree is O(√m) — Chiba–Nishizeki / Suri–Vassilvitskii): a
+    * celebrity node of degree d contributes d² wedges under naive by-id
+    * orientation but only its (few) higher-degree neighbors² here. Each
+    * triangle is still counted exactly once — it has exactly one vertex
+    * with two out-edges in any acyclic orientation, and (deg, id) is a
+    * total order so the orientation is acyclic (TriangleOrientSpec
+    * asserts equality with brute-force enumeration on adversarial
+    * fixtures). */
   def triangleCountsEdges(e: DataFrame): DataFrame = {
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e2.a_id") === col("e1.a_id")
-        && col("e2.b_id") > col("e1.b_id"))
-      .join(e.as("e3"), col("e3.a_id") === col("e1.b_id")
-        && col("e3.b_id") === col("e2.b_id"))
-      .select(col("e1.a_id").as("x"), col("e1.b_id").as("y"),
-        col("e2.b_id").as("z"))
+    val degO = e.select(col("a_id").as("n")).unionAll(e.select(col("b_id").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(degO.select(col("n").as("a_id"), col("d").as("a_deg")), Seq("a_id"))
+      .join(degO.select(col("n").as("b_id"), col("d").as("b_deg")), Seq("b_id"))
+    val aFirst = col("a_deg") < col("b_deg") ||
+      (col("a_deg") === col("b_deg") && col("a_id") < col("b_id"))
+    // dst's (deg, id) rides along so the wedge join can order endpoints
+    // by the SAME total order without re-joining degrees
+    val oriented = withDeg.select(
+      when(aFirst, col("a_id")).otherwise(col("b_id")).as("src"),
+      when(aFirst, col("b_id")).otherwise(col("a_id")).as("dst"),
+      when(aFirst, col("b_deg")).otherwise(col("a_deg")).as("dst_deg"))
+      .localCheckpoint(true)
+    val dstAfter = col("e2.dst_deg") > col("e1.dst_deg") ||
+      (col("e2.dst_deg") === col("e1.dst_deg") && col("e2.dst") > col("e1.dst"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e2.src") === col("e1.src") && dstAfter)
+      .join(oriented.as("e3"), col("e3.src") === col("e1.dst")
+        && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
     val perNode = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
