@@ -24,12 +24,19 @@ object EventStreams {
     * harness streams. Each store pays init+commit per micro-batch (a
     * fixed cost), so small is right at test volume — but the sf1 bench
     * measured 2-4 s of GC per rep on the sessionizer when 8 stores
-    * absorbed 150 k users' state (SCALE.md "Round-7"), so the count is
-    * env-tunable (SPARK_GRAFT_STREAM_PARTS) for one-order-up runs. In
+    * absorbed 150 k users' state, and PARTS=16 cut it 19.9 → 6.9 s
+    * (SCALE.md "Round-7"), so the DEFAULT now derives from the session:
+    * half the cores, clamped to [8, 32] — 8 under the 4-16-core
+    * verify/test sessions (state is tiny there, store init dominates),
+    * 16 under the local[32] bench (the measured sweet spot). The env
+    * override (SPARK_GRAFT_STREAM_PARTS) stays for experiments. In
     * production this is sized to state volume and pinned by the
-    * checkpoint at the stream's first start. */
-  private def streamParts: String =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    * checkpoint at the stream's FIRST start — changing it later
+    * requires a new checkpoint, which is why it must never be derived
+    * from anything that varies across restarts of the same stream. */
+  private def streamParts(s: SparkSession): String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+      (s.sparkContext.defaultParallelism / 2).max(8).min(32).toString)
 
   /** The events schema as a streaming source schema (file sources require
     * a user-supplied schema). ts arrives as epoch micros here — streaming
@@ -67,7 +74,7 @@ object EventStreams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // see streamParts: the BATCH queries keep the session default
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
     try streamResampleInner(s, d)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -116,7 +123,7 @@ object EventStreams {
     * horizon, never by stream length). */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -157,7 +164,7 @@ object EventStreams {
   def streamSink(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -199,7 +206,7 @@ object EventStreams {
     * not an aggregate of it — is what hash-matches. */
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -268,7 +275,7 @@ object EventStreams {
     * derivation at full timestamp precision (`q_stream_sessionize`). */
   def streamSessionize(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -317,7 +324,7 @@ object EventStreams {
     * what the DuckDB oracle can pin (`q_stream_ingest_dedup`). */
   def streamIngestDedup(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts) // state-store count, see streamResample
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
     try {
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),
