@@ -268,6 +268,9 @@ object SparkEntry {
     "q_tfidf"          -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
     "q_count_distinct" -> (Relational.countDistinctUsers _),
     "q_json_extract"   -> (Relational.jsonExtract _),
+    // array HOFs (transform/filter/aggregate/zip_with) as a gate row —
+    // float→double-first lambdas + left folds match DuckDB list_* exactly
+    "q_array_hof"      -> (Relational.arrayHof _),
     // hash-based sampling is deterministic by KEY (not partitioning), so
     // the rows-only gate check is stable; the hash itself is JVM-side →
     // no cross-engine oracle
@@ -809,6 +812,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events GROUP BY 1""".stripMargin,
+
+    // list_reduce seeds with the first element; Spark's aggregate seeds
+    // 0.0D — identical left folds since 0.0 + x ≡ x, and every lambda
+    // casts float→double (exact) before any arithmetic
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS n_dims,
+        |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos,
+        |  round(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)), (a, x) -> a + x), 6) AS sum_all,
+        |  round(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x), 6)
+        |    AS sum_sq,
+        |  round(list_reduce(list_transform(embedding,
+        |    (x, i) -> CAST(x AS DOUBLE)
+        |      * CAST(embedding[len(embedding) - i + 1] AS DOUBLE)),
+        |    (a, x) -> a + x), 6) AS rev_dot
+        |FROM embeddings""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

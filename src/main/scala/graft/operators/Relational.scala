@@ -338,6 +338,33 @@ object Relational {
         sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
   }
 
+  /** Array higher-order functions as a first-class surface (the last
+    * §2.8 extension note): `transform` / `filter` / `aggregate` /
+    * `zip_with` over the `array<float>` embedding column — the exact
+    * expression family Similarity uses internally, here as an
+    * oracle-able row per vector. Determinism recipe: every lambda casts
+    * float→double FIRST (exact), folds run left-to-right with a 0.0
+    * seed on both engines (DuckDB `list_reduce` seeds with the first
+    * element, and 0.0 + x ≡ x for the non-empty fixed-dim vectors), so
+    * the doubles agree bit-for-bit; round(6) is belt and braces. All
+    * codegen-adjacent scalar expression work, one scan, no shuffle
+    * except the final ordering — at 100 TB this is scan-speed. */
+  def arrayHof(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        size(expr("filter(embedding, x -> x > 0.0F)")).as("n_pos"),
+        round(expr(
+          "aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE))"),
+          6).as("sum_all"),
+        round(expr(
+          """aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            |0.0D, (acc, x) -> acc + x)""".stripMargin), 6).as("sum_sq"),
+        round(expr(
+          """aggregate(zip_with(embedding, reverse(embedding),
+            |(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+            |0.0D, (acc, x) -> acc + x)""".stripMargin), 6).as("rev_dot"))
+
   /** S2+S5 — CSV sink + scan with an EXPLICIT schema, no header, mirroring
     * the reference's declared 14-field StructType CSV source
     * (`sensor_data_etl.py:35-51`). Round-trips a projection of events
