@@ -226,7 +226,9 @@ object SparkEntry {
     // τ = 0.4 at the gate: the driver's synthetic embeddings carry no
     // planted near-identical pairs (max pairwise cos ≈ 0.51), so the
     // near-dup default τ=0.95 would exercise nothing (VERDICT r2 item 5)
-    "q_embed_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d, tau = 0.4)),
+    // τ is DATA-DERIVED (p99 of the id-successor background-pair
+    // cosines), not a magic constant — emitted as a `tau` column
+    "q_embed_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     // streaming (extension): windowed means via Structured Streaming,
     // oracle-checked against the SAME SQL as the batch resample
     "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
@@ -1785,13 +1787,21 @@ object SparkEntry {
     // IVF assignment is deterministic SQL: centroids = ⌊√N⌋-ish lowest
     // vec_ids, nearest by exact cosine (ties → lowest c_id). Both engines
     // accumulate the dot product left-to-right in double, so the sims —
-    // and therefore buckets, pairs, and ranks — hash-match bitwise.
+    // and therefore buckets, pairs, and ranks — hash-match bitwise. τ is
+    // the p99 of the id-successor background-pair cosines (quantile_cont
+    // = Spark's interpolated percentile on identical doubles), rounded
+    // to 4 dp on both engines before the compare.
     "q_embed_neardup" ->
       """WITH n AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(generate_series(1, 64),
         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
         |  FROM embeddings),
+        |succ AS (
+        |  SELECT list_sum(list_transform(generate_series(1, 64),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
+        |tq AS (SELECT round(quantile_cont(cos, 0.99), 4) AS tau_v FROM succ),
         |c AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
         |  WHERE vec_id < LEAST(4096, GREATEST(4,
@@ -1810,7 +1820,8 @@ object SparkEntry {
         |    list_sum(list_transform(generate_series(1, 64),
         |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
         |  FROM a JOIN a b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |SELECT a_id, b_id, bucket, round(cos, 4) AS sim FROM p WHERE cos >= 0.4""".stripMargin,
+        |SELECT a_id, b_id, bucket, round(cos, 4) AS sim, tq.tau_v AS tau
+        |FROM p, tq WHERE cos >= tq.tau_v""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH n AS (

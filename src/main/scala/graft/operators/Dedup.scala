@@ -423,9 +423,23 @@ object Dedup {
     * pinned by SimilaritySplitSpec). At 100 TB the assigned corpus is
     * written partitioned-by-(bucket, sub) so each pair task is bounded.
     * Near-identical vectors land in the same bucket by construction
-    * (their centroid similarities are near-identical). */
+    * (their centroid similarities are near-identical).
+    *
+    * τ defaults to DATA-DERIVED (tau = NaN): the p99 of cosines over
+    * the deterministic id-successor pair sample (each vector × its
+    * vec_id+1 neighbor — id adjacency is uncorrelated with embedding
+    * space, so these are background-similarity draws). A fixed 0.95
+    * means "near-identical" on one corpus and "everything" on another;
+    * the background quantile adapts to whatever the embedding model's
+    * typical unrelated-pair similarity is. The quantile rides in as a
+    * broadcast 1-row aggregate (lazy — no collect at plan-build), is
+    * rounded to 4 dp (the cosines fold left-to-right in double on both
+    * engines, so the oracle reproduces it bit-exactly), and is emitted
+    * as a `tau` column so the derivation is visible in the gate row. At
+    * 100 TB the successor sample is corpus-sized: cap it with
+    * `tauSampleMod` (keep every k-th pair — still deterministic). */
   def embeddingNearDup(s: SparkSession, d: String,
-      tau: Double = 0.95, nCentroids: Int = 0, maxBucket: Int = 100000): DataFrame =
+      tau: Double = Double.NaN, nCentroids: Int = 0, maxBucket: Int = 100000): DataFrame =
     embeddingNearDupVecs(Tables.embeddings(s, d), tau, nCentroids, maxBucket)
 
   /** [[embeddingNearDup]] over an arbitrary (vec_id, embedding) frame —
@@ -435,9 +449,18 @@ object Dedup {
     * harness sweep / session stop), so no cache escapes into a lazy plan
     * with no unpersist handle (VERDICT r5 #3 hazard class). */
   def embeddingNearDupVecs(emb: DataFrame,
-      tau: Double = 0.95, nCentroids: Int = 0, maxBucket: Int = 100000): DataFrame = {
+      tau: Double = Double.NaN, nCentroids: Int = 0, maxBucket: Int = 100000,
+      tauQuantile: Double = 0.99, tauSampleMod: Long = 1L): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.floatDot
     val e = emb.withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
+    val tauDf =
+      if (!tau.isNaN) e.sparkSession.range(1).select(lit(tau).as("tau_v"))
+      else e.as("a")
+        .join(e.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .where(pmod(col("a.vec_id"), lit(tauSampleMod)) === 0)
+        .select((floatDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .agg(round(expr(s"percentile(cos, $tauQuantile)"), 4).as("tau_v"))
     val nc = if (nCentroids > 0) nCentroids else Similarity.centroidCount(e.count())
     val assigned = Similarity.splitOversized(
       Similarity.assignToNearestCentroid(e, nc), maxBucket).cache()
@@ -448,9 +471,11 @@ object Dedup {
             && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
           floatDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
-        .where(col("cos") >= tau)
+        .crossJoin(broadcast(tauDf))
+        .where(col("cos") >= col("tau_v"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.bucket").as("bucket"), round(col("cos"), 4).as("sim"))
+          col("a.bucket").as("bucket"), round(col("cos"), 4).as("sim"),
+          col("tau_v").as("tau"))
         .localCheckpoint(true)
     } finally assigned.unpersist()
   }
