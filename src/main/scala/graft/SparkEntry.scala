@@ -87,6 +87,13 @@ object SparkEntry {
     "q_merge_upsert"   -> (graft.operators.Analytics.mergeUpsert _),
     // deterministic per-key LCG sampling (oracle-able, WindowGroupLimit)
     "q_per_key_sample" -> ((s: SparkSession, d: String) => Relational.perKeySample(s, d)),
+    // deterministic stratified train/val/test split report (LCG bucket —
+    // identical integer math on both engines, fully oracled)
+    "q_stratified_split" -> (Relational.stratifiedSplit _),
+    // HLL sketch twin of q_profile (no oracle: JVM-hashed HLL buckets;
+    // ProfileSketchSpec pins the rsd envelope vs the exact profile)
+    "q_profile_sketch" -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.profileSketch(s, d)),
     // windows / time series (W1-W6, A7)
     "q_lead_window"    -> (TimeWindows.leadWindow _),
     "q_lead_global"    -> (TimeWindows.leadGlobal _),
@@ -194,6 +201,10 @@ object SparkEntry {
     // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
     // variant but was 60-120 s at sf0.1 vs seconds for the banded form
     "q_minhash_lsh"    -> (Dedup.minhashBanded _),
+    // LSH-prefiltered EXACT jaccard — the posting-self-join-free scale
+    // path (no oracle: JVM minhash candidates; NgramBandedSpec measures
+    // recall vs the exact operator)
+    "q_ngram_jaccard_banded" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardBanded(s, d)),
     "q_simhash"        -> (Dedup.simhash _),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     // measured band-blocking recall vs exact-Hamming ground truth on a
@@ -244,6 +255,11 @@ object SparkEntry {
     // stream-STREAM inner interval join (click→purchase attribution);
     // drained inner join == batch interval join, which is the oracle
     "q_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
+    // streaming Misra-Gries via flatMapGroupsWithState (term-sharded
+    // keyed state across micro-batches) + exact candidate recount —
+    // equals the exact form, so it SHARES q_heavy_hitters' oracle
+    "q_stream_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.streamHeavyHitters(s, d)),
     // typed grouped forecasting kernel (U1/U2 replacement)
     "q_holt_prep"      -> ((s: SparkSession, d: String) => HoltForecast.prep(s, d)),
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
@@ -745,6 +761,26 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
         |    ORDER BY sample_key, event_id) AS INTEGER) AS rank FROM k) t
         |WHERE rank <= 2""".stripMargin,
+
+    // the LCG bucket is the q_per_key_sample mix mod 100 — pure integer
+    // ops, identical on both engines; window sum cast to BIGINT (HUGEINT
+    // hazard) and the fraction is the identical final IEEE divide
+    "q_stratified_split" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN ((event_id % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648 % 100 < 80 THEN 'train'
+        |      WHEN ((event_id % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648 % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM events),
+        |g AS (SELECT event_type, split, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT event_type, split, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS stratum_n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT), 6)
+        |    AS fraction
+        |FROM g""".stripMargin,
 
     "q_lead_window" ->
       """WITH daily AS (
@@ -1413,6 +1449,17 @@ object SparkEntry {
         |SELECT term, cnt, total FROM c, tot WHERE cnt * 30 >= total""".stripMargin,
 
     "q_heavy_hitters_sketch" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT term, cnt, total FROM c, tot WHERE cnt * 30 >= total""".stripMargin,
+
+    // the streaming MG + exact-recount path provably equals the exact
+    // form (see EventStreams.streamHeavyHitters) — third share of the
+    // same oracle
+    "q_stream_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
         |  FROM documents),

@@ -149,6 +149,31 @@ object Analytics {
       .toDF("column_name", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** Sketch twin of [[profile]] — the shape [[profile]]'s own scaladoc
+    * promises for 100 TB: approx_count_distinct (HyperLogLog++) instead
+    * of exact count_distinct, which collapses the per-distinct-column-set
+    * Expand + shuffle into ONE partial-aggregated pass whose state is a
+    * fixed-size sketch per column (no key ever shuffles). No oracle —
+    * HLL buckets come from JVM-side hashing — so the contract is pinned
+    * by ProfileSketchSpec instead: every column's estimate within the
+    * configured rsd envelope of the exact profile, null counts exact
+    * (they are plain sums, shared with the exact form). */
+  def profileSketch(s: SparkSession, d: String, rsd: Double = 0.02): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__distinct")))
+    val row = ev.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nRows = row.getAs[Long]("n_rows")
+    cols.map(c => (c, nRows, row.getAs[Long](s"${c}__nulls"),
+        row.getAs[Long](s"${c}__distinct")))
+      .toDF("column_name", "n_rows", "n_nulls", "n_distinct_approx")
+  }
+
   /** Pearson correlation matrix over the wide daily features — computed
     * from EXACT DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²) rather
     * than ml.stat.Correlation's float accumulators, so the result is

@@ -322,6 +322,33 @@ object Relational {
       .select("user_id", "rank", "event_id", "event_type", "value", "sample_key")
   }
 
+  /** Deterministic STRATIFIED train/val/test split — the
+    * every-training-pipeline primitive: each row lands in a split by the
+    * same LCG mix as [[perKeySample]] (pure integer arithmetic — both
+    * engines compute it identically, unlike rand() or a JVM hash), with
+    * cut points at 80/90 of the mix mod 100, and the report shape is
+    * per-(stratum, split) counts with the within-stratum fraction. The
+    * split is REPRODUCIBLE (reruns and both engines agree row-for-row),
+    * stratified by construction (the mix is independent of event_type,
+    * so each stratum splits ~80/10/10), and auditable (this query IS
+    * the audit). One partial-aggregated groupBy — scan-speed at any
+    * scale; the assignment itself costs three integer ops per row. */
+  def stratifiedSplit(s: SparkSession, d: String): DataFrame = {
+    val mix = pmod(
+      pmod(col("event_id"), lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L))
+    val bucket = pmod(mix, lit(100L))
+    Tables.events(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("event_type", "split")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("stratum_n", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .withColumn("fraction",
+        round(col("n").cast("double") / col("stratum_n"), 6))
+  }
+
   /** Semi-structured extension — typed JSON extraction from the `props`
     * column. ONE `from_json` with an explicit schema (a single codegen'd
     * JsonToStructs parse per row); repeated `get_json_object` calls on

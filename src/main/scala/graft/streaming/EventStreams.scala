@@ -474,4 +474,84 @@ object EventStreams {
     q.stop()
     s.table(queryName)
   }
+
+  case class MgState(terms: Array[String], counts: Array[Long])
+  case class MgCandidate(term: String)
+
+  /** Streaming Misra-Gries heavy hitters over the documents TEXT stream
+    * — the streaming form of `TextAnalytics.heavyHittersSketchDocs`:
+    * tokens shard by term hash (a term's whole stream lands in ONE
+    * shard), each shard keeps ≤ k Misra-Gries counters as keyed state
+    * that persists ACROSS micro-batches (flatMapGroupsWithState), and
+    * every batch emits the shard's current candidate set. After the
+    * drain, candidates (a superset: MG never evicts a term whose
+    * shard-count exceeds shardTotal/(k+1), and shardTotal ≤ total means
+    * every global φ = 1/k hitter survives; stale emissions from earlier
+    * batches only ADD candidates) are recounted EXACTLY against the
+    * batch table and thresholded — so the result equals the exact
+    * operator and SHARES q_heavy_hitters' DuckDB oracle, pinning the
+    * streaming-state path end to end. State: ≤ shards × k counters,
+    * independent of stream length. */
+  def streamHeavyHitters(s: SparkSession, d: String, k: Int = 30,
+      shards: Int = 16): DataFrame = {
+    import graft.functions.TextAnalytics
+    import s.implicits._
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    try {
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val terms = stream
+        .select(explode(TextAnalytics.tokens(col("text"))).as("term")).as[String]
+      val updates = terms
+        .groupByKey(t => math.floorMod(t.hashCode, shards))
+        .flatMapGroupsWithState[MgState, MgCandidate](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+          (_: Int, rows: Iterator[String], state: GroupState[MgState]) =>
+            val counters = scala.collection.mutable.HashMap.empty[String, Long]
+            state.getOption.foreach { st =>
+              st.terms.iterator.zip(st.counts.iterator)
+                .foreach { case (t, c) => counters(t) = c }
+            }
+            rows.foreach { t =>
+              counters.get(t) match {
+                case Some(c) => counters(t) = c + 1
+                case None if counters.size < k => counters(t) = 1L
+                case None =>
+                  val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+                  counters.foreach { case (key, c) =>
+                    if (c == 1L) dead += key else counters(key) = c - 1
+                  }
+                  dead.foreach(counters.remove)
+              }
+            }
+            val (ts, cs) = counters.toArray.unzip
+            state.update(MgState(ts, cs))
+            ts.iterator.map(MgCandidate)
+        }
+      val name = "graft_stream_hh"
+      val q = updates.writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Update())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val candidates = s.table(name).select("term").distinct()
+      val toks = graft.Tables.documents(s, d)
+        .select(explode(TextAnalytics.tokens(col("text"))).as("term"))
+      val recount = toks
+        .join(broadcast(candidates), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("total"))
+      recount.crossJoin(broadcast(tot))
+        .where(col("cnt") * k >= col("total"))
+        .select(col("term"), col("cnt"), col("total"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }
