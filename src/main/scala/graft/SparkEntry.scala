@@ -94,6 +94,9 @@ object SparkEntry {
     // ProfileSketchSpec pins the rsd envelope vs the exact profile)
     "q_profile_sketch" -> ((s: SparkSession, d: String) =>
       graft.operators.Analytics.profileSketch(s, d)),
+    // key-skew diagnostic (group-size distribution + straggler factor per
+    // candidate key) — exact integer sums, cross-engine percentiles
+    "q_key_skew" -> (graft.operators.Analytics.keySkew _),
     // windows / time series (W1-W6, A7)
     "q_lead_window"    -> (TimeWindows.leadWindow _),
     "q_lead_global"    -> (TimeWindows.leadGlobal _),
@@ -197,6 +200,11 @@ object SparkEntry {
     "q_media_resize"   -> (graft.multimodal.Media.mediaResize _),
     // frame-sampling fan-out summary (count + sampled bytes per media)
     "q_media_frames"   -> (graft.multimodal.Media.mediaFrames _),
+    // perceptual-hash (aHash) media near-dup — the multimodal dedup leg,
+    // banded-Hamming blocked (no oracle: PRNG payloads; MediaPhashSpec
+    // pins planted-near-copy recovery)
+    "q_media_phash_neardup" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Media.mediaPhashNearDup(s, d)),
     // native banded minhash (Dedup.minhashBanded); the spark.ml
     // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
     // variant but was 60-120 s at sf0.1 vs seconds for the banded form
@@ -761,6 +769,34 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
         |    ORDER BY sample_key, event_id) AS INTEGER) AS rank FROM k) t
         |WHERE rank <= 2""".stripMargin,
+
+    // mean/skew from exact integer sums; percentiles are the same
+    // interpolated quantile on identical integer-valued doubles
+    "q_key_skew" ->
+      """WITH cu AS (SELECT user_id AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |ce AS (SELECT event_type AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1)
+        |SELECT 'user_id' AS key_col, count(*) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_n,
+        |  round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_n,
+        |  round(quantile_cont(cnt, 0.5), 6) AS p50,
+        |  round(quantile_cont(cnt, 0.9), 6) AS p90,
+        |  round(quantile_cont(cnt, 0.99), 6) AS p99,
+        |  round(CAST(max(cnt) AS DOUBLE) * count(*)
+        |    / CAST(sum(cnt) AS DOUBLE), 6) AS skew
+        |FROM cu
+        |UNION ALL
+        |SELECT 'event_type', count(*), CAST(sum(cnt) AS BIGINT),
+        |  CAST(max(cnt) AS BIGINT),
+        |  round(CAST(sum(cnt) AS DOUBLE) / count(*), 6),
+        |  round(quantile_cont(cnt, 0.5), 6),
+        |  round(quantile_cont(cnt, 0.9), 6),
+        |  round(quantile_cont(cnt, 0.99), 6),
+        |  round(CAST(max(cnt) AS DOUBLE) * count(*)
+        |    / CAST(sum(cnt) AS DOUBLE), 6)
+        |FROM ce""".stripMargin,
 
     // the LCG bucket is the q_per_key_sample mix mod 100 — pure integer
     // ops, identical on both engines; window sum cast to BIGINT (HUGEINT

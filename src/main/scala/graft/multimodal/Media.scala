@@ -66,9 +66,26 @@ object Media {
       import s.implicits._
       graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
-          val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
+          // PLANTED NEAR-DUPS for the perceptual-hash gate: every id with
+          // id % 10 == 1 draws from its PREDECESSOR's PRNG stream (same
+          // first bytes) at its OWN formula length, then 3 low bits flip
+          // — a visually-near, not byte-identical, neighbor. Lengths
+          // stay payloadLen(id), so every length-derived oracle is
+          // untouched. (id % 300 == 0 can't occur here, so the
+          // predecessor length is always exactly one byte shorter —
+          // no wrap in the length formula.)
+          val srcId = if (id % 10 == 1 && id > 0) id - 1 else id
+          val rnd = new java.util.Random(srcId * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
           val b = new Array[Byte](payloadLen(id))
           rnd.nextBytes(b)
+          if (srcId != id) {
+            var j = 0
+            while (j < 3 && j < b.length) {
+              val p = (j * 7) % b.length
+              b(p) = (b(p) ^ 0x01).toByte
+              j += 1
+            }
+          }
           MediaRow(id, if (id % 2 == 0) "image" else "audio",
             (id % 640 + 1).toInt, (id % 480 + 1).toInt, b)
         }
@@ -102,6 +119,45 @@ object Media {
       }
     }
   }
+
+  /** Average-hash (aHash) perceptual fingerprint: decode to a 64-cell
+    * feature grid (the stub codec's byte-histogram cells — a real codec
+    * would produce an 8×8 downscaled luma grid at the same signature),
+    * then one bit per cell: 1 iff the cell exceeds the grid mean. Two
+    * media whose DECODED content is close get close hashes regardless of
+    * container-level byte differences — which is why image dedup hashes
+    * pixels, not files. Runs in the same typed mapPartitions shape as
+    * [[extractFeatures]]. */
+  def phash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val g = decodeStub(r.content, 64)
+        var mean = 0.0f
+        var i = 0
+        while (i < 64) { mean += g(i); i += 1 }
+        mean /= 64
+        var h = 0L
+        var b = 0
+        while (b < 64) { if (g(b) > mean) h |= (1L << b); b += 1 }
+        (r.media_id, h)
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Gate query: perceptual-hash near-dup pairs over the media table —
+    * the multimodal leg of the dedup family (exact/minhash/simhash text
+    * dedup ⟶ aHash media dedup), sharing `Dedup.bandedHammingPairs`'
+    * 4×16-band blocking and its recall contract (exhaustive at Hamming
+    * ≤ 3). The fixture plants a near-copy at every id ≡ 1 (mod 10)
+    * (predecessor's byte stream, 3 low-bit flips, own formula length),
+    * so the pair set is non-empty by construction and MediaPhashSpec
+    * pins recovery. No DuckDB oracle — payloads are JVM-PRNG bytes. */
+  def mediaPhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.bandedHammingPairs(
+      phash(mediaTable(s, d))
+        .select(col("media_id").as("id"), col("phash").as("sig")),
+      maxHamming)
 
   /** Resize analog: deterministic payload subsampling to the target
     * dimension ratio (every k-th byte for a k× area reduction) with the

@@ -149,6 +149,37 @@ object Analytics {
       .toDF("column_name", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** Key-skew diagnostic — the "will this groupBy/join skew?" report
+    * every scale-out plan review starts with: per candidate key column,
+    * the key count, row count, max/mean group size, interpolated
+    * p50/p90/p99 of the group-size distribution, and the skew factor
+    * (max/mean — the straggler multiplier a co-partitioned shuffle on
+    * that key would suffer). Two partial-aggregated passes per key
+    * (counts, then a percentile aggregate over |keys| rows); the
+    * percentile interpolation and final divides are the identical IEEE
+    * trees DuckDB's quantile_cont computes, so the report is
+    * hash-exact cross-engine (the q_embed_neardup τ precedent). */
+  def keySkew(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def forKey(k: String): DataFrame =
+      ev.groupBy(k).agg(count(lit(1)).as("cnt"))
+        .agg(
+          lit(k).as("key_col"),
+          count(lit(1)).as("n_keys"),
+          sum("cnt").as("n_rows"),
+          max("cnt").as("max_n"),
+          // mean/skew from EXACT integer sums (sum/count, max·count/sum)
+          // — never an engine's incremental avg accumulator, whose float
+          // order differs between engines
+          round(sum("cnt").cast("double") / count(lit(1)), 6).as("mean_n"),
+          round(expr("percentile(cnt, 0.5)"), 6).as("p50"),
+          round(expr("percentile(cnt, 0.9)"), 6).as("p90"),
+          round(expr("percentile(cnt, 0.99)"), 6).as("p99"),
+          round(max("cnt").cast("double") * count(lit(1)) / sum("cnt"), 6)
+            .as("skew"))
+    forKey("user_id").unionByName(forKey("event_type"))
+  }
+
   /** Sketch twin of [[profile]] — the shape [[profile]]'s own scaladoc
     * promises for 100 TB: approx_count_distinct (HyperLogLog++) instead
     * of exact count_distinct, which collapses the per-distinct-column-set

@@ -896,15 +896,29 @@ object Dedup {
     * and the planted >3 misses). Callers wanting h > 3 must pass
     * `maxHamming` explicitly and accept the measured recall, or add
     * permuted band tables. */
-  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    // own + release (VERDICT r5 #3): the signature cache feeds 8 scans
-    // (4 band branches × 2 join sides); the (small) pair result is
-    // materialized eagerly so the cache never escapes into a lazy plan
-    // without an unpersist handle
-    val sh = simhash(s, d).cache()
+  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      simhash(s, d).select(col("doc_id").as("id"), col("simhash").as("sig")),
+      maxHamming)
+
+  /** GENERIC 4×16-band blocked Hamming near-dup over any (id, sig)
+    * 64-bit signature frame — the shared engine behind [[simhashNearDup]]
+    * (text) and `Media.mediaPhashNearDup` (perceptual hashes). Same
+    * recall contract: exhaustive for Hamming ≤ 3 (pigeonhole), measured
+    * via [[simhashBandRecall]] above that. Own + release (VERDICT r5
+    * #3): the signature cache feeds 8 scans (4 band branches × 2 join
+    * sides); the (small) pair result is materialized eagerly so the
+    * cache never escapes into a lazy plan without an unpersist handle. */
+  def bandedHammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = sigs.select(col("id"), col("sig"),
+      col("sig").bitwiseAND(lit(0xFFFFL)).as("band0"),
+      shiftrightunsigned(col("sig"), 16).bitwiseAND(lit(0xFFFFL)).as("band1"),
+      shiftrightunsigned(col("sig"), 32).bitwiseAND(lit(0xFFFFL)).as("band2"),
+      shiftrightunsigned(col("sig"), 48).bitwiseAND(lit(0xFFFFL)).as("band3"))
+      .cache()
     try {
       val byBand = (0 to 3).map { b =>
-        sh.select(col("doc_id"), col("simhash"), col(s"band$b").as("band"), lit(b).as("band_idx"))
+        sh.select(col("id"), col("sig"), col(s"band$b").as("band"), lit(b).as("band_idx"))
       }.reduce(_.unionAll(_))
       // bit_count is a single codegen'd popcount — never an interpreted
       // 64-step HOF fold
@@ -915,9 +929,9 @@ object Dedup {
       byBand.as("a")
         .join(byBand.as("b"),
           col("a.band") === col("b.band") && col("a.band_idx") === col("b.band_idx")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.simhash").as("a_sim"), col("b.simhash").as("b_sim"))
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          col("a.sig").as("a_sim"), col("b.sig").as("b_sim"))
         .withColumn("hamming", hamming)
         .where(col("hamming") <= maxHamming)
         .select("a_id", "b_id", "hamming")
