@@ -248,6 +248,9 @@ object SparkEntry {
     // τ is DATA-DERIVED (p99 of the id-successor background-pair
     // cosines), not a magic constant — emitted as a `tau` column
     "q_embed_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    // embedding-side transitive closure: CC over the same pair graph,
+    // canonical = min vec_id (recursive-CTE oracle)
+    "q_embed_clusters" -> (Dedup.embedDedupClusters _),
     // streaming (extension): windowed means via Structured Streaming,
     // oracle-checked against the SAME SQL as the batch resample
     "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
@@ -374,6 +377,40 @@ object SparkEntry {
       |${ngramPairCtes("base")},
       |${ngramReachCtes("base")},
       |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)""".stripMargin
+
+  /** The deterministic embedding near-dup pair CTEs (norms, id-successor
+    * τ sample, √N centroids, nearest-bucket assignment, within-bucket
+    * pair cosines) — shared by the q_embed_neardup and q_embed_clusters
+    * oracles so the edge set can never drift between them. */
+  private val EmbedPairCtes: String =
+    """n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |succ AS (
+      |  SELECT list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
+      |tq AS (SELECT round(quantile_cont(cos, 0.99), 4) AS tau_v FROM succ),
+      |c AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+      |  WHERE vec_id < LEAST(4096, GREATEST(4,
+      |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+      |a AS (
+      |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
+      |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64),
+      |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+      |        c.c_id) AS rn
+      |    FROM n, c) t
+      |  WHERE rn = 1),
+      |p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+      |  FROM a JOIN a b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
   /** DuckDB oracles; keys absent here (ML fits, LSH, simhash, Holt, IVF)
     * get the driver's weaker rows-only check — they are either seeded
@@ -1875,36 +1912,24 @@ object SparkEntry {
     // = Spark's interpolated percentile on identical doubles), rounded
     // to 4 dp on both engines before the compare.
     "q_embed_neardup" ->
-      """WITH n AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |succ AS (
-        |  SELECT list_sum(list_transform(generate_series(1, 64),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
-        |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
-        |tq AS (SELECT round(quantile_cont(cos, 0.99), 4) AS tau_v FROM succ),
-        |c AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
-        |  WHERE vec_id < LEAST(4096, GREATEST(4,
-        |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
-        |a AS (
-        |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
-        |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
-        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, 64),
-        |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
-        |        c.c_id) AS rn
-        |    FROM n, c) t
-        |  WHERE rn = 1),
-        |p AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
-        |  FROM a JOIN a b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      s"""WITH $EmbedPairCtes
         |SELECT a_id, b_id, bucket, round(cos, 4) AS sim, tq.tau_v AS tau
         |FROM p, tq WHERE cos >= tq.tau_v""".stripMargin,
+
+    // the embedding-side transitive closure: recursive reachability over
+    // the SAME thresholded pair graph, canonical = min vec_id
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE $EmbedPairCtes,
+        |ep AS (SELECT a_id, b_id FROM p, tq WHERE cos >= tq.tau_v),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM ep
+        |  UNION ALL SELECT b_id, a_id FROM ep),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+        |SELECT id AS vec_id, min(r) AS cluster, min(r) = id AS keep
+        |FROM reach GROUP BY id""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH n AS (

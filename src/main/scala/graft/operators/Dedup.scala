@@ -530,6 +530,23 @@ object Dedup {
     } finally assigned.unpersist()
   }
 
+  /** Embedding near-dup CLUSTERS — the transitive-closure step the text
+    * dedup family has ([[dedupClusters]]), applied to the
+    * [[embeddingNearDup]] pair graph: connected components by min-label
+    * propagation, canonical = min vec_id per component, `keep` flags the
+    * canonicals. Same scale shape as the text side: per-round
+    * co-partitioned join + partial agg, rounds = component diameter
+    * (near-dup components are near-cliques). Fully oracle-able — the
+    * pair graph is deterministic SQL (see q_embed_neardup) and the
+    * closure is a recursive CTE. */
+  def embedDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = embeddingNearDup(s, d).select("a_id", "b_id")
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    connectedComponents(pairs, nodes)
+      .select(col("id").as("vec_id"), col("comp").as("cluster"),
+        (col("id") === col("comp")).as("keep"))
+  }
+
   /** 64-bit SimHash per document from token hashes (sign-aggregated bit
     * votes), plus 4×16-bit band keys for bucketed near-dup grouping.
     * Pure expression pipeline: per-token 64-bit hash (xxhash64), per-bit
