@@ -193,6 +193,14 @@ object SparkEntry {
     // prefix sum) + greedy per-shard packing (bounded sequential kernel)
     "q_pack_shards"    -> (graft.etl.Packing.shards _),
     "q_pack_greedy"    -> (graft.etl.Packing.greedy _),
+    // per-language pack-utilization audit (chained through the same
+    // recursive greedy CTE as q_pack_greedy)
+    "q_pack_efficiency" -> ((s: SparkSession, d: String) =>
+      graft.etl.Packing.packEfficiency(s, d)),
+    // length-bucketed inference batching (chunk-local batch ids — every
+    // window partition bounded by chunkDocs)
+    "q_length_batches" -> ((s: SparkSession, d: String) =>
+      graft.etl.Packing.lengthBatches(s, d)),
     // multimodal: typed mapPartitions feature pass over opaque binary
     // payloads (SQL-expressible projection; floats stay spec-tested)
     "q_media_features" -> (graft.multimodal.Media.mediaFeatures _),
@@ -1840,6 +1848,62 @@ object SparkEntry {
         |  FROM st JOIN sd ON sd.lang = st.lang AND sd.shard = st.shard
         |    AND sd.rn = st.rn + 1)
         |SELECT doc_id, lang, shard, pack, n_tokens FROM st""".stripMargin,
+
+    // the same recursive greedy chain, aggregated to the utilization
+    // report — exact integer sums, one final divide per row
+    "q_pack_efficiency" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |sd AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY lang, (cum - n_tokens) // 2048
+        |      ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM c),
+        |st AS (
+        |  SELECT doc_id, lang, shard, rn, n_tokens, n_tokens AS acc,
+        |    CAST(0 AS BIGINT) AS pack
+        |  FROM sd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT sd.doc_id, sd.lang, sd.shard, sd.rn, sd.n_tokens,
+        |    CASE WHEN st.acc + sd.n_tokens <= 2048 THEN st.acc + sd.n_tokens
+        |         ELSE sd.n_tokens END,
+        |    CASE WHEN st.acc + sd.n_tokens <= 2048 THEN st.pack
+        |         ELSE st.pack + 1 END
+        |  FROM st JOIN sd ON sd.lang = st.lang AND sd.shard = st.shard
+        |    AND sd.rn = st.rn + 1),
+        |pk AS (
+        |  SELECT lang, shard, pack, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |    count(*) AS n_docs
+        |  FROM st GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_packs,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(pack_tokens) AS DOUBLE) / (count(*) * 2048), 6)
+        |    AS mean_util,
+        |  CAST(sum(CASE WHEN pack_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overflow
+        |FROM pk GROUP BY 1""".stripMargin,
+
+    "q_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  n_tokens // 64 AS len_bucket, doc_id // 1024 AS chunk,
+        |  (row_number() OVER (PARTITION BY n_tokens // 64, doc_id // 1024
+        |    ORDER BY doc_id) - 1) // 16 AS batch_idx
+        |FROM t""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (

@@ -154,6 +154,46 @@ object Packing {
       .select(col("z.ds.doc_id").as("doc_id"), col("lang"), col("shard"),
         col("z.packs").as("pack"), col("z.ds.n_tokens").as("n_tokens"))
 
+  /** Packing-efficiency report — the utilization audit a training-data
+    * team runs after any packing change: per language, the pack count,
+    * doc count, token total, MEAN UTILIZATION (total tokens / packs ×
+    * budget — exact integer sums, one final divide) and the count of
+    * over-budget packs (single documents larger than the budget, the
+    * greedy contract's only overflow case). Two partial-aggregated
+    * groupBys on top of [[packGreedyDocs]]; chain-oracled through the
+    * same recursive CTE as q_pack_greedy. */
+  def packEfficiency(s: SparkSession, d: String, budget: Long = 2048L): DataFrame =
+    packGreedyDocs(packShards(Tables.documents(s, d)), budget)
+      .groupBy("lang", "shard", "pack")
+      .agg(sum("n_tokens").as("pack_tokens"), count(lit(1)).as("n_docs"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum("n_docs").as("n_docs"),
+        sum("pack_tokens").as("total_tokens"),
+        round(sum("pack_tokens").cast("double") / (count(lit(1)) * budget), 6)
+          .as("mean_util"),
+        sum(when(col("pack_tokens") > budget, 1L).otherwise(0L)).as("n_overflow"))
+
+  /** Length-bucketed inference batching — group docs of similar token
+    * length into fixed-size batches (the padding-waste killer for any
+    * batched tokenizer/embedder). Buckets are n_tokens div bucketTokens;
+    * batch ids are assigned WITHIN (bucket, id-chunk) so every
+    * row_number partition is bounded by chunkDocs — never a corpus-sized
+    * per-bucket window (the same discipline as [[packShards]]'s prefix
+    * sum; the cost is at most one ragged batch per (bucket, chunk),
+    * which the efficiency report above would surface if it mattered). */
+  def lengthBatches(s: SparkSession, d: String, bucketTokens: Long = 64L,
+      batchSize: Long = 16L, chunkDocs: Long = 1024L): DataFrame = {
+    val w = Window.partitionBy("len_bucket", "chunk").orderBy("doc_id")
+    tokenCounts(Tables.documents(s, d))
+      .withColumn("len_bucket", expr(s"n_tokens div $bucketTokens"))
+      .withColumn("chunk", expr(s"doc_id div $chunkDocs"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_idx", expr(s"(rn - 1) div $batchSize"))
+      .select("doc_id", "lang", "n_tokens", "len_bucket", "chunk", "batch_idx")
+  }
+
   /** Gate query: token-budget shards over the documents table. */
   def shards(s: SparkSession, d: String): DataFrame =
     packShards(Tables.documents(s, d))
