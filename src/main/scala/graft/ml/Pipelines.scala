@@ -225,19 +225,43 @@ object Pipelines {
   /** M-family extension — Word2Vec (skip-gram) trained on the document
     * tokens, probed for nearest neighbors of a vocabulary word: the
     * train-embeddings-inside-the-engine block (the same shape feeds the
-    * `embeddings` table of a real pipeline). setNumPartitions(1) +
-    * seed makes the Hogwild-style fit bit-reproducible (the distributed
-    * form trades that for throughput — documented, not hidden); output
-    * similarities are seeded-JVM floats → spec-pinned, not oracled. */
+    * `embeddings` table of a real pipeline).
+    *
+    * The DEFAULT fit is distributed (`numPartitions = 0` resolves to
+    * `defaultParallelism`): Spark's Word2Vec averages per-partition
+    * Hogwild updates each iteration, so the fit parallelizes across the
+    * corpus — the plan you'd run at 100 TB. The trade is bit-determinism:
+    * partition boundaries shape the averaged gradients and the
+    * cross-partition float reduction order is not fixed, so two
+    * distributed fits can differ at tie margins even on the same layout
+    * (measured in CrossValAlsSpec: one tie-margin neighbor swap, both
+    * in-topic). Pass `numPartitions = 1` to get the serial,
+    * bit-reproducible fit — the determinism spec uses that form, and the
+    * planted-structure spec (CrossValAlsSpec "planted synonym structure")
+    * gates that the distributed default preserves the learned synonym
+    * structure the serial fit finds. Output similarities are seeded-JVM
+    * floats → spec-pinned, not oracled. */
   def word2vec(s: SparkSession, d: String, probe: String = "spark",
-      topK: Int = 5): DataFrame = {
-    import org.apache.spark.ml.feature.Word2Vec
+      topK: Int = 5, numPartitions: Int = 0): DataFrame = {
     val docs = graft.Tables.documents(s, d)
       .select(split(lower(trim(col("text"))), "\\s+").as("tokens"))
+    word2vecSynonyms(s, docs, probe, topK, numPartitions)
+  }
+
+  /** Core of [[word2vec]] over an arbitrary `tokens: array<string>` frame —
+    * exposed so specs can fit on a planted-structure corpus (the driver
+    * testdata's document text is a near-uniform 31-word bag, where synonym
+    * neighborhoods are chance-level no matter how the fit is partitioned). */
+  def word2vecSynonyms(s: SparkSession, docs: DataFrame, probe: String,
+      topK: Int, numPartitions: Int = 0, minCount: Int = 5): DataFrame = {
+    import org.apache.spark.ml.feature.Word2Vec
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else s.sparkContext.defaultParallelism
     val model = new Word2Vec()
       .setInputCol("tokens").setOutputCol("vec")
-      .setVectorSize(16).setSeed(42L).setMinCount(5)
-      .setMaxIter(1).setNumPartitions(1)
+      .setVectorSize(16).setSeed(42L).setMinCount(minCount)
+      .setMaxIter(1).setNumPartitions(parts)
       .fit(docs)
     model.findSynonyms(probe, topK)
       .select(lit(probe).as("probe"), col("word"),
