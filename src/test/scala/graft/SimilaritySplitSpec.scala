@@ -111,4 +111,31 @@ class SimilaritySplitSpec extends SparkTestBase {
     // and no cross-sub-cluster pair sneaks in (cos ≈ 0.7 < 0.95)
     assert(!split.exists(p => Set(0L, 3L).contains(p._1) && Set(2L, 22L).contains(p._2)))
   }
+
+  test("derived-tau default margin emits nothing on a background-only corpus; margin 0 is calibration mode") {
+    // ADVICE r8 (medium): at tauMargin = 0 the derived τ is the raw p99
+    // of background cosines, so ~1% of UNRELATED pairs exceed it by
+    // construction — a corpus with no true near-dups still emits pairs.
+    // Fixture: every vector shares a unit common axis plus its own
+    // private axis (weight 0.50..0.56 by deterministic jitter), so ALL
+    // pairwise cosines live in a narrow background band [0.76, 0.80]
+    // and none is a near-duplicate.
+    val n = 120
+    val rows = (0L until n.toLong).map { i =>
+      val v = new Array[Float]((n + 1).toInt)
+      v(0) = 1.0f
+      v(i.toInt + 1) = 0.5f + 0.01f * (i % 7)
+      i -> v
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val calib = Dedup.embeddingNearDupVecs(emb, tauMargin = 0.0)
+      .select("a_id", "b_id").collect()
+    val deflt = Dedup.embeddingNearDupVecs(emb)
+      .select("a_id", "b_id").collect()
+    info(s"margin-0 calibration pairs: ${calib.length}, default-margin pairs: ${deflt.length}")
+    assert(calib.nonEmpty,
+      "calibration mode must flag the >p99 background tail (gate-coverage semantics)")
+    assert(deflt.isEmpty,
+      s"default margin must clear the background band, got ${deflt.length} false pairs")
+  }
 }
