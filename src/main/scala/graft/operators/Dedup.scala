@@ -420,25 +420,35 @@ object Dedup {
 
   /** Banded-minhash PREFILTERED exact n-gram Jaccard — the scale-path
     * variant of [[ngramJaccardDocs]] (VERDICT r7 #6's alternative): LSH
-    * band buckets (b=64, r=2 → S-curve threshold (1/64)^(1/2) ≈ 0.125,
-    * tuned to the 0.12 gate threshold) generate the candidate pairs, and
-    * EXACT Jaccard is then computed only for candidates by joining them
-    * back to the capped posting list — so the posting self-join (the
-    * Σ min(df,cap)² term) disappears entirely, replaced by
-    * candidates × doc-shingles join rows. The trade is recall at the
-    * threshold edge: P(candidate | j) = 1 − (1 − j²)^64 (≈ 0.60 at
-    * j = 0.12, ≈ 0.93 at 0.2, ≈ 0.998 at 0.3); NgramBandedSpec measures
-    * it against the exact operator and SCALE.md records the cost side.
+    * band buckets (b=64, r=2 → S-curve midpoint (1/64)^(1/2) ≈ 0.125)
+    * generate the candidate pairs, and EXACT Jaccard is then computed
+    * only for candidates by joining them back to the capped posting
+    * list — so the posting self-join (the Σ min(df,cap)² term)
+    * disappears entirely, replaced by candidates × doc-shingles join
+    * rows.
+    *
+    * The DEFAULT threshold is 0.2, deliberately ABOVE the band
+    * midpoint: P(candidate | j) = 1 − (1 − j²)^64 ≈ 0.93 at j = 0.2 and
+    * ≥ 0.998 at j ≥ 0.3, so the shipped defaults sit on the steep side
+    * of the S-curve — recall floor ≥ 0.9 overall and ≥ 0.95 at
+    * j ≥ 0.3, asserted against the exact operator in NgramBandedSpec.
+    * Thresholds down in the 0.12–0.2 band remain accepted arguments but
+    * are the curve's lossy zone (≈ 0.60 at 0.12) — use the exact
+    * [[ngramJaccardDocs]] there. Widening the bands instead (r = 1,
+    * b = 128) would make the 0.12 edge near-lossless in theory but
+    * admits any pair sharing ONE minhash: at background overlap j ≈
+    * 0.01 that is 1 − 0.99^128 ≈ 72 % of ALL pairs — the prefilter
+    * collapses to all-pairs, so it is not offered as a default.
     * Output schema matches [[ngramJaccardFromPostings]] (jaccard is the
     * exact value, not the signature estimate). No DuckDB oracle — the
     * candidate set depends on JVM minhash — so the gate row is
     * rows-only, with the spec pinning agreement. */
   def ngramJaccardBanded(s: SparkSession, d: String,
-      threshold: Double = 0.12, maxDf: Long = 100L): DataFrame =
+      threshold: Double = 0.2, maxDf: Long = 100L): DataFrame =
     ngramJaccardBandedDocs(Tables.documents(s, d), threshold, maxDf)
 
   def ngramJaccardBandedDocs(docs: DataFrame,
-      threshold: Double = 0.12, maxDf: Long = 100L,
+      threshold: Double = 0.2, maxDf: Long = 100L,
       k: Int = 128, bands: Int = 64): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val cand = bandCandidatesFromSigs(minhashSignatures(docs, k), bands, k / bands)

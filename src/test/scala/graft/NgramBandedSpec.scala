@@ -9,8 +9,10 @@ import graft.operators.Dedup
 class NgramBandedSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("banded pairs are a subset of exact pairs with identical jaccard values") {
-    val exact = Dedup.ngramJaccard(spark, sf).collect()
+  test("shipped defaults sit on the steep S-curve side: recall floor vs exact at j >= 0.2") {
+    // exact operator at the banded variant's SHIPPED default threshold
+    // (0.2) — the floor asserted here is the one the scaladoc states
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.2).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
     val banded = Dedup.ngramJaccardBanded(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
@@ -21,18 +23,33 @@ class NgramBandedSpec extends SparkTestBase {
       assert(exact.contains(pair), s"banded-only pair $pair")
       assert(exact(pair) == j, s"$pair: banded $j vs exact ${exact(pair)}")
     }
-    // measured recall: with b=64, r=2 the S-curve gives ~0.60 at the
-    // 0.12 edge and >0.99 by 0.3 — require the floor only when the
-    // exact set is non-empty at this SF
     if (exact.nonEmpty) {
       val recall = banded.size.toDouble / exact.size
-      assert(recall >= 0.5, s"recall $recall (${banded.size}/${exact.size})")
-      // high-similarity pairs must essentially never be missed
+      info(s"recall at shipped defaults (j >= 0.2): $recall (${banded.size}/${exact.size})")
+      // the scaladoc's stated floor: P(candidate) ≈ 0.93 at the 0.2
+      // edge, rising steeply — require ≥ 0.9 overall at the defaults
+      assert(recall >= 0.9, s"recall $recall (${banded.size}/${exact.size})")
+      // and ≥ 0.95 where the curve says ≥ 0.998
       val hi = exact.filter(_._2 >= 0.3)
       val hiFound = hi.keys.count(banded.contains)
+      info(s"recall at j >= 0.3: $hiFound/${hi.size}")
       if (hi.nonEmpty)
-        assert(hiFound.toDouble / hi.size >= 0.9,
+        assert(hiFound.toDouble / hi.size >= 0.95,
           s"high-sim recall $hiFound/${hi.size}")
+    }
+  }
+
+  test("the documented lossy zone is real: recall at j = 0.12 is partial, not silent-zero") {
+    // 0.12 remains an accepted argument; its measured recall (~0.6-0.8
+    // here) is the reason it is no longer the default — pin both sides
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.ngramJaccardBanded(spark, sf, threshold = 0.12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = banded.size.toDouble / exact.size
+      info(s"recall at j >= 0.12 (lossy zone): $recall (${banded.size}/${exact.size})")
+      assert(recall >= 0.5 && banded.subsetOf(exact))
     }
   }
 
