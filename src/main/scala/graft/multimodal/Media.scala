@@ -67,14 +67,17 @@ object Media {
       graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
           // PLANTED NEAR-DUPS for the perceptual-hash gate: every id with
-          // id % 10 == 1 draws from its PREDECESSOR's PRNG stream (same
-          // first bytes) at its OWN formula length, then 3 low bits flip
-          // — a visually-near, not byte-identical, neighbor. Lengths
-          // stay payloadLen(id), so every length-derived oracle is
-          // untouched. (id % 300 == 0 can't occur here, so the
-          // predecessor length is always exactly one byte shorter —
-          // no wrap in the length formula.)
-          val srcId = if (id % 10 == 1 && id > 0) id - 1 else id
+          // id % 10 == 2 draws from id-2's PRNG stream (same first
+          // bytes) at its OWN formula length, then 3 low bits flip — a
+          // visually-near, not byte-identical, neighbor. Both members
+          // are EVEN, i.e. the SAME kind ("image"), so a realistic
+          // kind-partitioned dedup pass still finds every plant
+          // (r8 ADVICE: the old id-1 pairing was always cross-kind).
+          // Lengths stay payloadLen(id), so every length-derived oracle
+          // is untouched. (id % 300 ∈ {0, 1} implies id % 10 ∈ {0, 1},
+          // never 2, so the source length is always exactly two bytes
+          // shorter — no wrap in the length formula.)
+          val srcId = if (id % 10 == 2 && id > 1) id - 2 else id
           val rnd = new java.util.Random(srcId * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL)
           val b = new Array[Byte](payloadLen(id))
           rnd.nextBytes(b)
@@ -120,44 +123,66 @@ object Media {
     }
   }
 
-  /** Average-hash (aHash) perceptual fingerprint: decode to a 64-cell
-    * feature grid (the stub codec's byte-histogram cells — a real codec
-    * would produce an 8×8 downscaled luma grid at the same signature),
-    * then one bit per cell: 1 iff the cell exceeds the grid mean. Two
-    * media whose DECODED content is close get close hashes regardless of
+  /** Average-hash (aHash) of one payload: decode to a 64-cell feature
+    * grid (the stub codec's byte-histogram cells — a real codec would
+    * produce an 8×8 downscaled luma grid at the same signature), then
+    * one bit per cell: 1 iff the cell exceeds the grid mean.
+    *
+    * What byte perturbations the hash ABSORBS (MediaPhashSpec pins both
+    * directions adversarially): a cell only changes its bit when its
+    * normalized histogram value crosses the grid mean, so small-magnitude
+    * flips (low-bit XOR: ±1/255 per byte before the 1/len normalization)
+    * and perturbations SPREAD across many cells are absorbed — each cell
+    * moves by ~1/(255·len). Concentrated large-magnitude damage (driving
+    * the bytes of ONE cell, i.e. positions congruent mod 64, toward an
+    * extreme) forces that cell's bit by construction — a maxed cell sits
+    * above any grid mean, a zeroed cell below it — while the grid-mean
+    * coupling (mean moves by cellDelta/64) may flip a few borderline
+    * cells, keeping the total within the near-dup Hamming radius. That is
+    * the aHash trade: robust to low-amplitude/diffuse noise, sensitive to
+    * localized content change. */
+  def aHash64(content: Array[Byte]): Long = {
+    val g = decodeStub(content, 64)
+    var mean = 0.0f
+    var i = 0
+    while (i < 64) { mean += g(i); i += 1 }
+    mean /= 64
+    var h = 0L
+    var b = 0
+    while (b < 64) { if (g(b) > mean) h |= (1L << b); b += 1 }
+    h
+  }
+
+  /** Perceptual fingerprint per media row ([[aHash64]]): two media whose
+    * DECODED content is close get close hashes regardless of
     * container-level byte differences — which is why image dedup hashes
     * pixels, not files. Runs in the same typed mapPartitions shape as
-    * [[extractFeatures]]. */
+    * [[extractFeatures]]; carries `kind` so downstream dedup can block
+    * per media type. */
   def phash(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val g = decodeStub(r.content, 64)
-        var mean = 0.0f
-        var i = 0
-        while (i < 64) { mean += g(i); i += 1 }
-        mean /= 64
-        var h = 0L
-        var b = 0
-        while (b < 64) { if (g(b) > mean) h |= (1L << b); b += 1 }
-        (r.media_id, h)
-      }
-    }.toDF("media_id", "phash")
+      rows.map(r => (r.media_id, r.kind, aHash64(r.content)))
+    }.toDF("media_id", "kind", "phash")
   }
 
   /** Gate query: perceptual-hash near-dup pairs over the media table —
     * the multimodal leg of the dedup family (exact/minhash/simhash text
     * dedup ⟶ aHash media dedup), sharing `Dedup.bandedHammingPairs`'
     * 4×16-band blocking and its recall contract (exhaustive at Hamming
-    * ≤ 3). The fixture plants a near-copy at every id ≡ 1 (mod 10)
-    * (predecessor's byte stream, 3 low-bit flips, own formula length),
-    * so the pair set is non-empty by construction and MediaPhashSpec
-    * pins recovery. No DuckDB oracle — payloads are JVM-PRNG bytes. */
+    * ≤ 3), BLOCKED BY `kind`: near-dup candidates only form within one
+    * media type, the way a production image-dedup pass partitions its
+    * corpus (an image and an audio clip are never dedup candidates even
+    * if their byte histograms collide). The fixture plants a near-copy at
+    * every id ≡ 2 (mod 10) (id-2's byte stream, 3 low-bit flips, own
+    * formula length — both members even ⇒ same kind), so the pair set is
+    * non-empty by construction WITHIN a block and MediaPhashSpec pins
+    * recovery. No DuckDB oracle — payloads are JVM-PRNG bytes. */
   def mediaPhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
     graft.operators.Dedup.bandedHammingPairs(
       phash(mediaTable(s, d))
-        .select(col("media_id").as("id"), col("phash").as("sig")),
-      maxHamming)
+        .select(col("media_id").as("id"), col("phash").as("sig"), col("kind")),
+      maxHamming, blockCols = Seq("kind"))
 
   /** Resize analog: deterministic payload subsampling to the target
     * dimension ratio (every k-th byte for a k× area reduction) with the
