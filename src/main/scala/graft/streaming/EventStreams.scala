@@ -33,10 +33,73 @@ object EventStreams {
     * production this is sized to state volume and pinned by the
     * checkpoint at the stream's FIRST start — changing it later
     * requires a new checkpoint, which is why it must never be derived
-    * from anything that varies across restarts of the same stream. */
+    * from anything that varies across restarts of the same stream:
+    * every query whose checkpoint can outlive this session goes through
+    * [[streamPartsPinned]], which records the derived value IN the
+    * checkpoint dir and reads it back on every later start. The derived
+    * form below is only for ephemeral-checkpoint streams (memory sinks,
+    * per-run scratch dirs). */
   private def streamParts(s: SparkSession): String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
       (s.sparkContext.defaultParallelism / 2).max(8).min(32).toString)
+
+  /** Checkpoint-pinned state-store count: state stores are sharded by
+    * `shuffle.partitions` at the stream's FIRST start, and a checkpoint
+    * can only ever be resumed at that exact count — while [[streamParts]]
+    * varies with the session's core count. So for any checkpoint that may
+    * outlive the session, the chosen count rides in a one-line sidecar
+    * file inside the checkpoint dir: written (create-exclusive, first
+    * writer wins) before the stream's first start, and read IN PREFERENCE
+    * to any derived or env value on every restart — a resume on a
+    * different machine/core-count reuses the count the state was sharded
+    * with instead of failing state restore (r8 ADVICE). Hadoop FS API, so
+    * the pin works on any checkpoint scheme (local, HDFS, S3A). */
+  private[streaming] def streamPartsPinned(s: SparkSession, checkpointDir: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pin = new org.apache.hadoop.fs.Path(dir, "graft_stream_parts")
+    def read(): String = {
+      val in = fs.open(pin)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    if (fs.exists(pin)) read()
+    else {
+      fs.mkdirs(dir)
+      val v = streamParts(s)
+      try {
+        val out = fs.create(pin, false) // exclusive — a concurrent first start loses cleanly
+        try out.write(v.getBytes("UTF-8")) finally out.close()
+        v
+      } catch { case _: java.io.IOException => read() } // lost the race: use the winner's pin
+    }
+  }
+
+  /** Drain a finite stream (`processAllAvailable` + stop) and emit its
+    * micro-batch cost profile to stderr: batch count and the per-phase
+    * totals (triggerExecution = whole batch; addBatch = sink+exec;
+    * getBatch/latestOffset = source; walCommit/commitOffsets = offset
+    * log; queryPlanning = incremental planner), plus summed state-store
+    * commit time. This is the r8 #6 fixed-cost audit instrumented at the
+    * source: the streaming family's sf1 cost is dominated by per-batch
+    * constants, so the audit needs batches-drained and where each ms
+    * went, not just wall clock. Diagnostic stderr only — never part of a
+    * gate result. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery, tag: String): Unit = {
+    q.processAllAvailable()
+    val prog = q.recentProgress
+    def tot(key: String): Long =
+      prog.map(p => Option(p.durationMs.get(key)).map(_.longValue).getOrElse(0L)).sum
+    val stateCommit = prog.flatMap(_.stateOperators)
+      .map(o => o.allUpdatesTimeMs + o.commitTimeMs).sum
+    val rows = prog.map(_.numInputRows).sum
+    System.err.println(s"[stream-audit] $tag batches=${prog.length} rows=$rows " +
+      s"trigger=${tot("triggerExecution")}ms addBatch=${tot("addBatch")}ms " +
+      s"getBatch=${tot("getBatch") + tot("latestOffset")}ms " +
+      s"offsetLog=${tot("walCommit") + tot("commitOffsets")}ms " +
+      s"planning=${tot("queryPlanning")}ms stateUpdateCommit=${stateCommit}ms")
+    q.stop()
+  }
 
   /** The events schema as a streaming source schema (file sources require
     * a user-supplied schema). ts arrives as epoch micros here — streaming
@@ -95,8 +158,7 @@ object EventStreams {
     val q = windowedMeans(stream).writeStream
       .format("memory").queryName(name).outputMode(OutputMode.Complete())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    drain(q, "resample")
     s.table(name)
   }
 
@@ -141,8 +203,7 @@ object EventStreams {
       val q = dedupStream(src.unionAll(src)).writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Append())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      drain(q, "dedup")
       s.table(name)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -164,7 +225,10 @@ object EventStreams {
   def streamSink(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
+    // this is the one query whose checkpoint persists (and is resumed
+    // by repeat reps), so the store count is read from / pinned to it
+    val base = graft.Scratch.dir(s"streamsink_$d")
+    s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try {
       val rawSchema = StructType(Seq(
         StructField("event_id", LongType),
@@ -177,15 +241,13 @@ object EventStreams {
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val base = graft.Scratch.dir(s"streamsink_$d")
       val q = windowedMeans(stream).writeStream
         .format("parquet")
         .option("path", s"$base/out")
         .option("checkpointLocation", s"$base/ckpt")
         .outputMode(OutputMode.Append())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      drain(q, "sink")
       s.read.parquet(s"$base/out")
         .select("user_id", "bucket", "avg_value", "n", "max_value")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -238,8 +300,7 @@ object EventStreams {
       val q = joined.writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Append())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      drain(q, "stream_join")
       s.table(name)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -292,8 +353,7 @@ object EventStreams {
       val q = sessionWindows(stream).writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Complete())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      drain(q, "sessionize")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("s_start")
       s.table(name)
@@ -362,8 +422,7 @@ object EventStreams {
       val q = kept.writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Append())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      drain(q, "ingest_dedup")
       s.table(name)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
@@ -470,8 +529,7 @@ object EventStreams {
     val q = windowedMeans(stream).writeStream
       .format("memory").queryName(queryName).outputMode(OutputMode.Complete())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    drain(q, "windowed_once")
     s.table(queryName)
   }
 
@@ -540,8 +598,7 @@ object EventStreams {
       val q = updates.writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Update())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      drain(q, "heavy_hitters")
       val candidates = s.table(name).select("term").distinct()
       val toks = graft.Tables.documents(s, d)
         .select(explode(TextAnalytics.tokens(col("text"))).as("term"))
