@@ -130,24 +130,14 @@ object Analytics {
     * shuffle per distinct column set, one scan total — at 100 TB swap
     * exact for approx_count_distinct and it collapses to one partial-agg
     * pass; exact is kept here because the oracle can check it). The
-    * 1-row aggregate result is reshaped to long form driver-side (six
-    * longs — not a collect() of data). `ts` profiles its epoch-micros
-    * projection so both engines count the same precision. */
-  def profile(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ev = Tables.events(s, d)
-      .withColumn("ts_us", unix_micros(col("ts")))
-    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct")))
-    val row = ev.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val nRows = row.getAs[Long]("n_rows")
-    cols.map(c => (c, nRows, row.getAs[Long](s"${c}__nulls"),
-        row.getAs[Long](s"${c}__distinct")))
-      .toDF("column_name", "n_rows", "n_nulls", "n_distinct")
-  }
+    * 1-row aggregate is reshaped to long form LAZILY by a `stack`
+    * generator over that row — no collect, nothing executes until the
+    * report is acted on, and the reshape costs one Generate over one
+    * row. `ts` profiles its epoch-micros projection so both engines
+    * count the same precision. */
+  def profile(s: SparkSession, d: String): DataFrame =
+    profileAgg(s, d, "n_distinct",
+      c => count_distinct(col(c)).as(s"${c}__distinct"))
 
   /** Key-skew diagnostic — the "will this groupBy/join skew?" report
     * every scale-out plan review starts with: per candidate key column,
@@ -189,20 +179,33 @@ object Analytics {
     * by ProfileSketchSpec instead: every column's estimate within the
     * configured rsd envelope of the exact profile, null counts exact
     * (they are plain sums, shared with the exact form). */
-  def profileSketch(s: SparkSession, d: String, rsd: Double = 0.02): DataFrame = {
-    import s.implicits._
+  def profileSketch(s: SparkSession, d: String, rsd: Double = 0.02): DataFrame =
+    profileAgg(s, d, "n_distinct_approx",
+      c => approx_count_distinct(col(c), rsd).as(s"${c}__distinct"))
+
+  /** Shared lazy body of [[profile]] / [[profileSketch]]: ONE aggregate
+    * over the events table (n_rows + per-column null and distinct
+    * counts), reshaped to the one-row-per-column report by a `stack`
+    * generator over the single aggregate row. Fully lazy end to end —
+    * the earlier driver-side reshape ran the aggregate at
+    * DataFrame-construction time (r8 ADVICE), which both wasted the work
+    * when the report was never acted on and broke the no-eager-collect
+    * discipline the rest of the module keeps. */
+  private def profileAgg(s: SparkSession, d: String, distinctName: String,
+      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     val ev = Tables.events(s, d)
       .withColumn("ts_us", unix_micros(col("ts")))
     val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__distinct")))
-    val row = ev.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val nRows = row.getAs[Long]("n_rows")
-    cols.map(c => (c, nRows, row.getAs[Long](s"${c}__nulls"),
-        row.getAs[Long](s"${c}__distinct")))
-      .toDF("column_name", "n_rows", "n_nulls", "n_distinct_approx")
+        distinctAgg(c)))
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__nulls`, `${c}__distinct`").mkString(", ")
+    ev.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) as (column_name, n_nulls, $distinctName)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col(distinctName))
   }
 
   /** Pearson correlation matrix over the wide daily features — computed
