@@ -42,7 +42,14 @@ object Bench {
     // decorrelates neighbors, so a contended neighbor inflates at most
     // one rep and the per-query MEDIAN of interleaved reps is robust to
     // it. The seed is fixed: artifacts are reproducible run to run.
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query keys — restricts a
+    // run to a target subset (the sf10 top-absolute sweeps and per-query
+    // receipt hunts). Absent → the full suite, which is what every
+    // committed BENCH_r*.json artifact runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val order = new scala.util.Random(8675309L)
     val execs = order.shuffle(
       for { (name, fn) <- queryList; rep <- 1 to reps } yield (name, fn, rep))

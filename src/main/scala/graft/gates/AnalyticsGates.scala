@@ -1,0 +1,247 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.SensorEtl
+import graft.functions.TextAnalytics
+import graft.ml.Pipelines
+import graft.operators.{Dedup, Relational, Similarity, TemporalJoins, TimeWindows}
+import graft.timeseries.HoltForecast
+import OracleCtes._
+
+/** Event-analytics reports: funnel, cohort, histogram, profile,
+  * correlation, entropy, key-skew — gate rows: `queries` entries + their DuckDB
+  * oracles (keys without an oracle are spec-pinned; see SparkEntry
+  * scaladoc for the determinism contract). */
+object AnalyticsGates {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // click→purchase conversion funnel (first-touch attribution report)
+    "q_funnel"         -> (graft.operators.Analytics.funnel _),
+    // signup-cohort retention triangle (distinct active users per offset)
+    "q_cohort"         -> (graft.operators.Analytics.cohortRetention _),
+    // per-type equi-width value histogram (bit-exact bin arithmetic)
+    "q_histogram"      -> ((s: SparkSession, d: String) => graft.operators.Analytics.histogram(s, d)),
+    // ANALYZE-style column profile (one-pass multi-distinct aggregate)
+    "q_profile"        -> (graft.operators.Analytics.profile _),
+    // per-user cumulative balance (DECIMAL-exact running window)
+    "q_running_total"  -> (graft.operators.Analytics.runningTotal _),
+    // weekly totals + lag + growth (trend report, epoch-week buckets)
+    "q_wow_growth"     -> (graft.operators.Analytics.wowGrowth _),
+    // first-k event-type paths per user, counted per distinct journey
+    "q_journeys"       -> ((s: SparkSession, d: String) => graft.operators.Analytics.journeys(s, d)),
+    // Pearson matrix from exact integer moment sums (one aggregate pass)
+    "q_correlation"    -> (graft.operators.Analytics.correlationMatrix _),
+    // per-user Shannon entropy of the type distribution (fixed-order sum)
+    "q_type_entropy"   -> (graft.operators.Analytics.typeEntropy _),
+    // HLL sketch twin of q_profile (no oracle: JVM-hashed HLL buckets;
+    // ProfileSketchSpec pins the rsd envelope vs the exact profile)
+    "q_profile_sketch" -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.profileSketch(s, d)),
+    // key-skew diagnostic (group-size distribution + straggler factor per
+    // candidate key) — exact integer sums, cross-engine percentiles
+    "q_key_skew" -> (graft.operators.Analytics.keySkew _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // comparisons run on epoch MICROS (Spark's ts is µs-truncated, and
+    // trunc commutes with min); lag floors both ends to whole seconds
+    "q_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(ts) AS first_click_ts FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (
+        |  SELECT fc.user_id, min(p.ts) AS first_purchase_ts
+        |  FROM fc JOIN events p ON p.user_id = fc.user_id
+        |    AND p.event_type = 'purchase'
+        |    AND epoch_us(p.ts) >= epoch_us(fc.first_click_ts)
+        |  GROUP BY 1)
+        |SELECT fc.user_id, fc.first_click_ts, fp.first_purchase_ts,
+        |  fp.first_purchase_ts IS NOT NULL AS converted,
+        |  CASE WHEN fp.first_purchase_ts IS NOT NULL
+        |    THEN CAST(floor(epoch(fp.first_purchase_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(fc.first_click_ts)) AS BIGINT) END AS lag_secs
+        |FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id""".stripMargin,
+
+    "q_cohort" ->
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT cohort_day, CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c JOIN a USING (user_id)
+        |WHERE a.day >= c.cohort_day
+        |GROUP BY 1, 2""".stripMargin,
+
+    // identical IEEE expression tree on both engines → bit-exact bins;
+    // degenerate mx = mn range pinned to bin 0 (mirrors the Spark guard
+    // — unguarded it is NaN, which ANSI CAST rejects)
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CASE WHEN b.mx = b.mn THEN 0 ELSE
+        |    LEAST(CAST(floor((e.value - b.mn) / ((b.mx - b.mn) / 10.0)) AS BIGINT),
+        |      9) END AS bin,
+        |  b.mn, b.mx, count(*) AS n
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'event_id' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct FROM events
+        |UNION ALL SELECT 'ts_us', count(*), count(*) - count(ts),
+        |  count(DISTINCT epoch_us(ts)) FROM events
+        |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value) FROM events
+        |UNION ALL SELECT 'props', count(*), count(*) - count(props),
+        |  count(DISTINCT props) FROM events""".stripMargin,
+
+    // moment sums are exact BIGINTs (integer cells, < 2^53), so the only
+    // float ops are the final divide + sqrt — identical IEEE trees, raw
+    // doubles compare bit-exact with no rounding key
+    "q_correlation" ->
+      """WITH wide AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    count(*) FILTER (WHERE event_type = 'click') AS click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS "error",
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(click) AS s_c, sum("error") AS s_e,
+        |    sum(purchase) AS s_p, sum("view") AS s_v,
+        |    sum(click*click) AS ss_c, sum("error"*"error") AS ss_e,
+        |    sum(purchase*purchase) AS ss_p, sum("view"*"view") AS ss_v,
+        |    sum(click*"error") AS sp_ce, sum(click*purchase) AS sp_cp,
+        |    sum(click*"view") AS sp_cv, sum("error"*purchase) AS sp_ep,
+        |    sum("error"*"view") AS sp_ev, sum(purchase*"view") AS sp_pv
+        |  FROM wide)
+        |SELECT feature_x, feature_y,
+        |  CAST(n*sp - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(n*ssx - sx*sx AS DOUBLE) * CAST(n*ssy - sy*sy AS DOUBLE))
+        |    AS pearson_r
+        |FROM (
+        |  SELECT 'click' AS feature_x, 'error' AS feature_y,
+        |    n, CAST(sp_ce AS BIGINT) AS sp, CAST(s_c AS BIGINT) AS sx,
+        |    CAST(s_e AS BIGINT) AS sy, CAST(ss_c AS BIGINT) AS ssx,
+        |    CAST(ss_e AS BIGINT) AS ssy FROM m
+        |  UNION ALL SELECT 'click', 'purchase', n, CAST(sp_cp AS BIGINT),
+        |    CAST(s_c AS BIGINT), CAST(s_p AS BIGINT),
+        |    CAST(ss_c AS BIGINT), CAST(ss_p AS BIGINT) FROM m
+        |  UNION ALL SELECT 'click', 'view', n, CAST(sp_cv AS BIGINT),
+        |    CAST(s_c AS BIGINT), CAST(s_v AS BIGINT),
+        |    CAST(ss_c AS BIGINT), CAST(ss_v AS BIGINT) FROM m
+        |  UNION ALL SELECT 'error', 'purchase', n, CAST(sp_ep AS BIGINT),
+        |    CAST(s_e AS BIGINT), CAST(s_p AS BIGINT),
+        |    CAST(ss_e AS BIGINT), CAST(ss_p AS BIGINT) FROM m
+        |  UNION ALL SELECT 'error', 'view', n, CAST(sp_ev AS BIGINT),
+        |    CAST(s_e AS BIGINT), CAST(s_v AS BIGINT),
+        |    CAST(ss_e AS BIGINT), CAST(ss_v AS BIGINT) FROM m
+        |  UNION ALL SELECT 'purchase', 'view', n, CAST(sp_pv AS BIGINT),
+        |    CAST(s_p AS BIGINT), CAST(s_v AS BIGINT),
+        |    CAST(ss_p AS BIGINT), CAST(ss_v AS BIGINT) FROM m) t""".stripMargin,
+
+    // entropy terms pivot into fixed columns and sum left-to-right —
+    // the same float-order discipline as q_bm25
+    "q_type_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |    count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events, round(
+        |  (CASE WHEN n_click > 0 THEN -(CAST(n_click AS DOUBLE) / n_events)
+        |    * ln(CAST(n_click AS DOUBLE) / n_events) ELSE 0.0 END)
+        |  + (CASE WHEN n_error > 0 THEN -(CAST(n_error AS DOUBLE) / n_events)
+        |    * ln(CAST(n_error AS DOUBLE) / n_events) ELSE 0.0 END)
+        |  + (CASE WHEN n_purchase > 0 THEN -(CAST(n_purchase AS DOUBLE) / n_events)
+        |    * ln(CAST(n_purchase AS DOUBLE) / n_events) ELSE 0.0 END)
+        |  + (CASE WHEN n_signup > 0 THEN -(CAST(n_signup AS DOUBLE) / n_events)
+        |    * ln(CAST(n_signup AS DOUBLE) / n_events) ELSE 0.0 END)
+        |  + (CASE WHEN n_view > 0 THEN -(CAST(n_view AS DOUBLE) / n_events)
+        |    * ln(CAST(n_view AS DOUBLE) / n_events) ELSE 0.0 END), 6)
+        |  AS entropy
+        |FROM c""".stripMargin,
+
+    // running DECIMAL sums are exact at every prefix on both engines
+    "q_running_total" ->
+      """SELECT user_id, event_id, ts, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running_value,
+        |  count(*) OVER w AS running_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // epoch-week = true FLOOR(epoch_us / week_us): the non-negative
+    // remainder is subtracted first so the division is an exact multiple
+    // — sign-correct on both engines even for pre-1970 timestamps
+    "q_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 604800000000 + 604800000000)
+        |      % 604800000000)) // 604800000000 AS week,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, week, n, value_sum,
+        |  lag(n, 1) OVER w AS prev_n,
+        |  n - lag(n, 1) OVER w AS n_delta,
+        |  round((n - lag(n, 1) OVER w) / CAST(lag(n, 1) OVER w AS DOUBLE)
+        |    * 100.0, 6) AS pct_change
+        |FROM wk
+        |WINDOW w AS (PARTITION BY event_type ORDER BY week)""".stripMargin,
+
+    // string_agg ORDER BY (ts, event_id) within the per-user top-5 rank
+    "q_journeys" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rank
+        |  FROM events),
+        |j AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rank) AS journey
+        |  FROM r WHERE rank <= 5 GROUP BY 1)
+        |SELECT journey, count(*) AS n_users FROM j GROUP BY 1""".stripMargin,
+
+    // mean/skew from exact integer sums; percentiles are the same
+    // interpolated quantile on identical integer-valued doubles
+    "q_key_skew" ->
+      """WITH cu AS (SELECT user_id AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |ce AS (SELECT event_type AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1)
+        |SELECT 'user_id' AS key_col, count(*) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_n,
+        |  round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_n,
+        |  round(quantile_cont(cnt, 0.5), 6) AS p50,
+        |  round(quantile_cont(cnt, 0.9), 6) AS p90,
+        |  round(quantile_cont(cnt, 0.99), 6) AS p99,
+        |  round(CAST(max(cnt) AS DOUBLE) * count(*)
+        |    / CAST(sum(cnt) AS DOUBLE), 6) AS skew
+        |FROM cu
+        |UNION ALL
+        |SELECT 'event_type', count(*), CAST(sum(cnt) AS BIGINT),
+        |  CAST(max(cnt) AS BIGINT),
+        |  round(CAST(sum(cnt) AS DOUBLE) / count(*), 6),
+        |  round(quantile_cont(cnt, 0.5), 6),
+        |  round(quantile_cont(cnt, 0.9), 6),
+        |  round(quantile_cont(cnt, 0.99), 6),
+        |  round(CAST(max(cnt) AS DOUBLE) * count(*)
+        |    / CAST(sum(cnt) AS DOUBLE), 6)
+        |FROM ce""".stripMargin,
+  )
+}

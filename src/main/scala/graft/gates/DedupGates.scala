@@ -1,0 +1,249 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.SensorEtl
+import graft.functions.TextAnalytics
+import graft.ml.Pipelines
+import graft.operators.{Dedup, Relational, Similarity, TemporalJoins, TimeWindows}
+import graft.timeseries.HoltForecast
+import OracleCtes._
+
+/** Dedup family: exact, n-gram Jaccard, clusters, simhash, minhash,
+  * decontamination, embedding near-dup — gate rows: `queries` entries + their DuckDB
+  * oracles (keys without an oracle are spec-pinned; see SparkEntry
+  * scaladoc for the determinism contract). */
+object DedupGates {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LLM-pipeline: dedup
+    "q_dedup_exact"    -> (Dedup.exact _),
+    "q_ngram_jaccard"  -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    // transitive closure of the near-dup pair graph (connected
+    // components) and the cleaned corpus it induces
+    "q_dedup_clusters" -> (Dedup.dedupClusters _),
+    // same clusters through O(log n) large-star/small-star rounds (the
+    // giant-component path); must agree exactly with the min-label form
+    "q_dedup_clusters_ls" -> (Dedup.dedupClustersLogRounds _),
+    "q_dedup_clean"    -> (Dedup.dedupClean _),
+    // PageRank centrality over the same memoized near-dup pair graph
+    // (no oracle: float iterations; PagerankSpec pins closed forms)
+    "q_doc_pagerank"   -> ((s: SparkSession, d: String) => Dedup.docPagerank(s, d)),
+    // per-node triangles + clustering coefficient over the pair graph
+    // (oriented-join count — exact integer ratios, fully oracled)
+    "q_triangles"      -> (Dedup.triangleCounts _),
+    // train/eval n-gram containment (test-set-leakage guard)
+    "q_decontaminate"  -> (Dedup.decontaminate _),
+    // Bloom-filter decontamination (bounded-broadcast scale path; no
+    // oracle — spark.util.sketch bit layout — BloomDecontaminateSpec
+    // pins the no-false-negative + fpp contracts)
+    "q_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
+    // duplicated w-token span report (exact-substring-dedup half of
+    // Lee et al. 2022; catches boilerplate whole-doc Jaccard misses)
+    "q_dup_spans"      -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    // incremental-ingest dedup triage (batch vs existing corpus)
+    "q_incremental_dedup" -> (Dedup.incrementalStatus _),
+    // native banded minhash (Dedup.minhashBanded); the spark.ml
+    // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
+    // variant but was 60-120 s at sf0.1 vs seconds for the banded form
+    "q_minhash_lsh"    -> (Dedup.minhashBanded _),
+    // LSH-prefiltered EXACT jaccard — the posting-self-join-free scale
+    // path (no oracle: JVM minhash candidates; NgramBandedSpec measures
+    // recall vs the exact operator)
+    "q_ngram_jaccard_banded" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardBanded(s, d)),
+    "q_simhash"        -> (Dedup.simhash _),
+    "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
+    // measured band-blocking recall vs exact-Hamming ground truth on a
+    // broadcast probe set (no oracle: xxhash64 signatures;
+    // SimhashRecallSpec pins recall(<=3) = 1 and the planted losses)
+    "q_simhash_recall" -> (Dedup.simhashRecall _),
+    // τ = 0.4 at the gate: the driver's synthetic embeddings carry no
+    // planted near-identical pairs (max pairwise cos ≈ 0.51), so the
+    // near-dup in margin-0 CALIBRATION mode (τ = raw p99 of the
+    // id-successor background-pair cosines): a fixed 0.95 would exercise
+    // nothing on the synthetic corpus (VERDICT r2 item 5), and the
+    // library default margin (+0.05) would correctly emit zero pairs
+    // here. Margin 0 is explicit because ~1% of unrelated pairs exceed
+    // the raw p99 by construction — gate-coverage semantics, not a
+    // dedup recommendation (see embeddingNearDup scaladoc).
+    "q_embed_neardup"  -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingNearDup(s, d, tauMargin = 0.0)),
+    // embedding-side transitive closure: CC over the same margin-0 pair
+    // graph, canonical = min vec_id (recursive-CTE oracle)
+    "q_embed_clusters" -> ((s: SparkSession, d: String) =>
+      Dedup.embedDedupClusters(s, d, tauMargin = 0.0)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, text_hash, lang, n_chars FROM (
+        |  SELECT doc_id, sha256(text) AS text_hash, lang, n_chars,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $NgramPairCtes
+        |SELECT p.a_id, p.b_id, p.shared, sa.n_sh AS a_n, sb.n_sh AS b_n,
+        |  CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON p.a_id = sa.doc_id
+        |JOIN sizes sb ON p.b_id = sb.doc_id
+        |WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12""".stripMargin,
+
+    // oriented triangle join over the SAME thresholded edge set (the
+    // shared JpairsCte keeps it in lockstep with the cluster oracles);
+    // clustering = 2T/(deg(deg-1)) is an exact integer-ratio double
+    "q_triangles" ->
+      s"""WITH $NgramPairCtes,
+        |$JpairsCte,
+        |tri AS (
+        |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+        |  FROM jpairs e1
+        |  JOIN jpairs e2 ON e2.a_id = e1.a_id AND e2.b_id > e1.b_id
+        |  JOIN jpairs e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id),
+        |pern AS (
+        |  SELECT x AS doc_id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |tcount AS (SELECT doc_id, count(*) AS triangles FROM pern GROUP BY 1),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS deg FROM (
+        |    SELECT a_id AS doc_id FROM jpairs
+        |    UNION ALL SELECT b_id FROM jpairs) t GROUP BY 1)
+        |SELECT d.doc_id, d.deg,
+        |  COALESCE(t.triangles, 0) AS triangles,
+        |  CASE WHEN d.deg >= 2
+        |    THEN 2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
+        |    ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN tcount t ON d.doc_id = t.doc_id""".stripMargin,
+
+    // transitive closure of the same pair graph: reach(id, r) enumerates
+    // every node r reachable from id (components are near-dup clusters —
+    // tiny — so full reachability is cheap); cluster = min reachable id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+        |$NgramReachCtes
+        |SELECT id AS doc_id, min(r) AS cluster, (min(r) = id) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
+
+    // identical oracle: the log-round variant must produce the same
+    // transitive closure as min-label propagation
+    "q_dedup_clusters_ls" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+        |$NgramReachCtes
+        |SELECT id AS doc_id, min(r) AS cluster, (min(r) = id) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
+
+    "q_dedup_clean" ->
+      s"""WITH RECURSIVE $NgramPairCtes,
+        |$NgramReachCtes,
+        |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN keepers k ON d.doc_id = k.id""".stripMargin,
+
+    // containment is against the eval shingle SET (distinct), train docs
+    // with < 3 tokens have no shingles and no row — both sides agree
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |evalsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+        |trainsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_hit FROM trainsh t JOIN evalsh e USING (sh)
+        |  GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM trainsh GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_sh, COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh >= 0.5 AS contaminated
+        |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // 8-token sliding windows WITH positions (multiplicity counts);
+    // DuckDB list slices are inclusive-bounds like q_chunk's
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 7), i -> array_to_string(t[i:i+7], ' '))) AS win
+        |  FROM toks WHERE len(t) >= 8),
+        |wc AS (SELECT win, count(*) AS c FROM win GROUP BY 1)
+        |SELECT w.doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN wc.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN wc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio,
+        |  CAST(sum(CASE WHEN wc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5 AS flagged
+        |FROM win w JOIN wc USING (win)
+        |GROUP BY 1""".stripMargin,
+
+    // existing corpus = doc_id % 10 < 8; the batch carries synthesized
+    // exact re-arrivals (+100000 = corpus copies, +200000 = in-batch
+    // repeats) since the raw testdata has no byte-identical pair; 8-token
+    // shingles; statuses by the same precedence as the Spark CASE
+    "q_incremental_dedup" ->
+      """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+        |inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |    WHERE doc_id % 10 < 8 AND doc_id % 100 = 1
+        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |    WHERE doc_id % 10 >= 8 AND doc_id % 100 = 98),
+        |exh AS (SELECT DISTINCT sha256(text) AS h FROM ex),
+        |m AS (
+        |  SELECT doc_id, sha256(text) AS h,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM inc),
+        |extoks AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM ex),
+        |exsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 7), i -> array_to_string(t[i:i+7], ' ')))) AS sh
+        |  FROM extoks WHERE len(t) >= 8),
+        |intoks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM inc),
+        |insh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 7), i -> array_to_string(t[i:i+7], ' ')))) AS sh
+        |  FROM intoks WHERE len(t) >= 8),
+        |hits AS (SELECT i.doc_id, count(*) AS n_hit FROM insh i JOIN exsh USING (sh) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM insh GROUP BY 1),
+        |cont AS (
+        |  SELECT tot.doc_id, CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination
+        |  FROM tot LEFT JOIN hits h USING (doc_id))
+        |SELECT m.doc_id,
+        |  CASE WHEN m.h IN (SELECT h FROM exh) THEN 'exact_corpus'
+        |       WHEN m.rn > 1 THEN 'exact_batch'
+        |       WHEN COALESCE(c.contamination, 0) >= 0.5 THEN 'near_corpus'
+        |       ELSE 'kept' END AS status,
+        |  COALESCE(c.contamination, 0.0) AS contamination
+        |FROM m LEFT JOIN cont c USING (doc_id)""".stripMargin,
+
+    // IVF assignment is deterministic SQL: centroids = ⌊√N⌋-ish lowest
+    // vec_ids, nearest by exact cosine (ties → lowest c_id). Both engines
+    // accumulate the dot product left-to-right in double, so the sims —
+    // and therefore buckets, pairs, and ranks — hash-match bitwise. τ is
+    // the p99 of the id-successor background-pair cosines (quantile_cont
+    // = Spark's interpolated percentile on identical doubles), rounded
+    // to 4 dp on both engines before the compare.
+    "q_embed_neardup" ->
+      s"""WITH $EmbedPairCtes
+        |SELECT a_id, b_id, bucket, round(cos, 4) AS sim, tq.tau_v AS tau
+        |FROM p, tq WHERE cos >= tq.tau_v""".stripMargin,
+
+    // the embedding-side transitive closure: recursive reachability over
+    // the SAME thresholded pair graph, canonical = min vec_id
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE $EmbedPairCtes,
+        |ep AS (SELECT a_id, b_id FROM p, tq WHERE cos >= tq.tau_v),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM ep
+        |  UNION ALL SELECT b_id, a_id FROM ep),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id)
+        |SELECT id AS vec_id, min(r) AS cluster, min(r) = id AS keep
+        |FROM reach GROUP BY id""".stripMargin,
+  )
+}

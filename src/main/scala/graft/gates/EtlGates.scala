@@ -1,0 +1,288 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.SensorEtl
+import graft.functions.TextAnalytics
+import graft.ml.Pipelines
+import graft.operators.{Dedup, Relational, Similarity, TemporalJoins, TimeWindows}
+import graft.timeseries.HoltForecast
+import OracleCtes._
+
+/** ETL spine, corpus pipeline composition and sequence packing — gate rows: `queries` entries + their DuckDB
+  * oracles (keys without an oracle are spec-pinned; see SparkEntry
+  * scaladoc for the determinism contract). */
+object EtlGates {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the ETL spine, deterministic variant (flagship = entry())
+    "q_etl_wide"       -> (SensorEtl.wide _),
+    // composed flagship: quality gate -> exact dedup -> near-dup dedup
+    "q_corpus_clean"   -> (graft.etl.CorpusPipeline.corpusClean _),
+    // quality-tiered epoch mixing (upsampling weights before packing)
+    "q_corpus_mix"     -> (graft.etl.CorpusPipeline.mix _),
+    // corpus-composition report (docs/tokens per lang × quality tier)
+    "q_corpus_stats"   -> (graft.etl.CorpusPipeline.corpusStats _),
+    // same report with ROLLUP subtotals + grand total in one shuffle
+    "q_corpus_stats_rollup" -> (graft.etl.CorpusPipeline.corpusStatsRollup _),
+    // composed tail: clean -> pack (ragged doc_ids through the prefix sum)
+    "q_corpus_pack"    -> (graft.etl.CorpusPipeline.corpusPack _),
+    // α=0.5 temperature-resampled language mixing weights + keep rates
+    "q_lang_sample"    -> (graft.etl.CorpusPipeline.langSample _),
+    // sequence packing: token-budget shards (two-level distributed
+    // prefix sum) + greedy per-shard packing (bounded sequential kernel)
+    "q_pack_shards"    -> (graft.etl.Packing.shards _),
+    "q_pack_greedy"    -> (graft.etl.Packing.greedy _),
+    // per-language pack-utilization audit (chained through the same
+    // recursive greedy CTE as q_pack_greedy)
+    "q_pack_efficiency" -> ((s: SparkSession, d: String) =>
+      graft.etl.Packing.packEfficiency(s, d)),
+    // length-bucketed inference batching (chunk-local batch ids — every
+    // window partition bounded by chunkDocs)
+    "q_length_batches" -> ((s: SparkSession, d: String) =>
+      graft.etl.Packing.lengthBatches(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_etl_wide" ->
+      """WITH enriched AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+        |    CAST(json_extract_string(props, 'k') AS INTEGER) % 7 AS code_id
+        |  FROM events WHERE value >= 0.0),
+        |target AS (
+        |  SELECT user_id, day, max(code_id) AS code_id FROM enriched GROUP BY 1, 2),
+        |features AS (
+        |  SELECT user_id, day,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'click'), 0.0) AS click,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'error'), 0.0) AS "error",
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'purchase'), 0.0) AS purchase,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'view'), 21.0) AS "view"
+        |  FROM enriched GROUP BY 1, 2),
+        |codes(code_id, code_name) AS (
+        |  VALUES (0, 'Normal'), (1, 'GasHighAlarm'), (2, 'GasLowAlarm'), (3, 'GasAlarm'),
+        |         (4, 'Maintenance'), (5, 'Calibration'), (6, 'Offline'))
+        |SELECT t.code_id, f.user_id, f.day, f.click, f."error", f.purchase, f."view",
+        |  c.code_name
+        |FROM features f JOIN target t USING (user_id, day) JOIN codes c ON t.code_id = c.code_id""".stripMargin,
+
+    // composed training-data recipe: quality gate -> exact dedup ->
+    // near-dup components, all over the SAME base the Spark pipeline uses
+    "q_corpus_clean" ->
+      s"""WITH RECURSIVE $CorpusCleanCtes
+        |SELECT e.doc_id, e.lang, e.n_chars, e.n_tokens
+        |FROM exdedup e JOIN keepers k ON e.doc_id = k.id""".stripMargin,
+
+    // the composed recipe's tail: token-budget shards over the cleaned
+    // corpus (non-dense surviving doc_ids drive the chunked prefix sum)
+    "q_corpus_pack" ->
+      s"""WITH RECURSIVE $CorpusCleanCtes,
+        |surv AS (
+        |  SELECT e.doc_id, e.lang,
+        |    CAST(len(regexp_extract_all(e.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM exdedup e JOIN keepers k ON e.doc_id = k.id),
+        |cc AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM surv)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
+        |FROM cc""".stripMargin,
+
+    // share is one exact division of exact integer sums; weight is IEEE
+    // sqrt (correctly rounded on both engines) — both raw. target_share
+    // and keep_rate divide by sum(weight), a |langs|-double sum with
+    // engine-unspecified order, so they carry round(·, 6) keys — same
+    // accepted risk class as the round(cos, 6) rank keys
+    "q_lang_sample" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        |sh AS (
+        |  SELECT per.lang, per.n_docs, per.n_tokens,
+        |    CAST(per.n_tokens AS DOUBLE) / tot.tot_tokens AS share,
+        |    sqrt(CAST(per.n_tokens AS DOUBLE) / tot.tot_tokens) AS weight
+        |  FROM per CROSS JOIN tot),
+        |sw AS (SELECT sum(weight) AS sum_w FROM sh)
+        |SELECT lang, n_docs, n_tokens, share, weight,
+        |  round(weight / sum_w, 6) AS target_share,
+        |  round(LEAST(1.0, (weight / sum_w) / share), 6) AS keep_rate
+        |FROM sh CROSS JOIN sw""".stripMargin,
+
+    // epoch fan-out via generate_series; tier thresholds mirror the
+    // Spark-side CASE exactly (same token/alpha expressions as textStats)
+    "q_corpus_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio
+        |  FROM documents),
+        |tiers AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CASE WHEN alpha_ratio >= 0.7 AND n_tokens >= 20 THEN 'hi'
+        |         WHEN alpha_ratio >= 0.5 AND n_tokens >= 5 THEN 'mid'
+        |         ELSE 'low' END AS tier
+        |  FROM t),
+        |w AS (
+        |  SELECT *, CASE tier WHEN 'hi' THEN 2 WHEN 'mid' THEN 1 ELSE 0 END AS epochs
+        |  FROM tiers)
+        |SELECT doc_id, lang, tier, n_tokens,
+        |  CAST(unnest(generate_series(1, epochs)) AS INTEGER) AS epoch
+        |FROM w WHERE epochs >= 1""".stripMargin,
+
+    // same tier CASE as q_corpus_mix; sums/min/max BIGINT-cast, mean
+    // derived from the exact integer aggregates
+    "q_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio
+        |  FROM documents),
+        |tiers AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CASE WHEN alpha_ratio >= 0.7 AND n_tokens >= 20 THEN 'hi'
+        |         WHEN alpha_ratio >= 0.5 AND n_tokens >= 5 THEN 'mid'
+        |         ELSE 'low' END AS tier
+        |  FROM t)
+        |SELECT lang, tier, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM tiers GROUP BY 1, 2""".stripMargin,
+
+    // ROLLUP grouping sets match Spark's (lang, tier) → (lang) → ()
+    // levels; NULL keys mark subtotal rows identically on both engines
+    "q_corpus_stats_rollup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio
+        |  FROM documents),
+        |tiers AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CASE WHEN alpha_ratio >= 0.7 AND n_tokens >= 20 THEN 'hi'
+        |         WHEN alpha_ratio >= 0.5 AND n_tokens >= 5 THEN 'mid'
+        |         ELSE 'low' END AS tier
+        |  FROM t)
+        |SELECT lang, tier, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM tiers GROUP BY ROLLUP (lang, tier)""".stripMargin,
+
+    // running token total (HUGEINT in DuckDB) and its derived shard are
+    // cast to BIGINT to match Spark's long columns; `//`/div is integer
+    // division on both engines
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
+    // the greedy recurrence (new pack when the budget would overflow) as a
+    // recursive CTE advancing every (lang, shard) group in lockstep by
+    // per-group row_number; seed row = each group's first doc
+    "q_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |sd AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY lang, (cum - n_tokens) // 2048
+        |      ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM c),
+        |st AS (
+        |  SELECT doc_id, lang, shard, rn, n_tokens, n_tokens AS acc,
+        |    CAST(0 AS BIGINT) AS pack
+        |  FROM sd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT sd.doc_id, sd.lang, sd.shard, sd.rn, sd.n_tokens,
+        |    CASE WHEN st.acc + sd.n_tokens <= 2048 THEN st.acc + sd.n_tokens
+        |         ELSE sd.n_tokens END,
+        |    CASE WHEN st.acc + sd.n_tokens <= 2048 THEN st.pack
+        |         ELSE st.pack + 1 END
+        |  FROM st JOIN sd ON sd.lang = st.lang AND sd.shard = st.shard
+        |    AND sd.rn = st.rn + 1)
+        |SELECT doc_id, lang, shard, pack, n_tokens FROM st""".stripMargin,
+
+    // the same recursive greedy chain, aggregated to the utilization
+    // report — exact integer sums, one final divide per row
+    "q_pack_efficiency" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |sd AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard,
+        |    CAST(row_number() OVER (PARTITION BY lang, (cum - n_tokens) // 2048
+        |      ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM c),
+        |st AS (
+        |  SELECT doc_id, lang, shard, rn, n_tokens, n_tokens AS acc,
+        |    CAST(0 AS BIGINT) AS pack
+        |  FROM sd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT sd.doc_id, sd.lang, sd.shard, sd.rn, sd.n_tokens,
+        |    CASE WHEN st.acc + sd.n_tokens <= 2048 THEN st.acc + sd.n_tokens
+        |         ELSE sd.n_tokens END,
+        |    CASE WHEN st.acc + sd.n_tokens <= 2048 THEN st.pack
+        |         ELSE st.pack + 1 END
+        |  FROM st JOIN sd ON sd.lang = st.lang AND sd.shard = st.shard
+        |    AND sd.rn = st.rn + 1),
+        |pk AS (
+        |  SELECT lang, shard, pack, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |    count(*) AS n_docs
+        |  FROM st GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_packs,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(pack_tokens) AS DOUBLE) / (count(*) * 2048), 6)
+        |    AS mean_util,
+        |  CAST(sum(CASE WHEN pack_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overflow
+        |FROM pk GROUP BY 1""".stripMargin,
+
+    "q_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  n_tokens // 64 AS len_bucket, doc_id // 1024 AS chunk,
+        |  (row_number() OVER (PARTITION BY n_tokens // 64, doc_id // 1024
+        |    ORDER BY doc_id) - 1) // 16 AS batch_idx
+        |FROM t""".stripMargin,
+  )
+}

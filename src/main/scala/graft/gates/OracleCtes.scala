@@ -1,0 +1,109 @@
+package graft.gates
+
+/** Shared DuckDB oracle CTE blocks (n-gram pair graph, corpus-clean
+  * chain, embedding near-dup pairs) used by more than one gate family
+  * so the oracle edge sets can never drift between families. Split out
+  * of SparkEntry (r8 verdict #7). */
+object OracleCtes {
+
+  /** Shared CTE block: the n-gram Jaccard candidate-pair graph over
+    * `base` (3-token shingles, df-capped inverted index) — the common
+    * prefix of the `q_ngram_jaccard` / `q_dedup_clusters` /
+    * `q_dedup_clean` / `q_corpus_clean` oracles, so they stay in
+    * lockstep. `base` must expose (doc_id, text). */
+  private[gates] def ngramPairCtes(base: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM $base),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+      |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN df USING (sh) WHERE df.df <= 100),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private[gates] val NgramPairCtes: String = ngramPairCtes("documents")
+
+  /** The τ = 0.12 thresholded pair edges (same filter as
+    * `q_ngram_jaccard`'s output) — shared by the reachability and
+    * triangle oracles so the edge set can never drift between them. */
+  private[gates] val JpairsCte: String =
+    """jpairs AS (
+      |  SELECT p.a_id, p.b_id FROM pairs p
+      |  JOIN sizes sa ON p.a_id = sa.doc_id
+      |  JOIN sizes sb ON p.b_id = sb.doc_id
+      |  WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12)""".stripMargin
+
+  /** Symmetric edge list + recursive reachability over the thresholded
+    * pair graph; nodes come from the same `base` as [[ngramPairCtes]]. */
+  private[gates] def ngramReachCtes(base: String): String =
+    s"""$JpairsCte,
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM jpairs
+      |  UNION ALL SELECT b_id, a_id FROM jpairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM $base
+      |  UNION
+      |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id)""".stripMargin
+
+  private[gates] val NgramReachCtes: String = ngramReachCtes("documents")
+
+  /** The full corpus-clean CTE chain (quality gate → exact dedup →
+    * near-dup reachability → keepers) over `documents` — shared by the
+    * `q_corpus_clean` / `q_corpus_pack` oracles so the composed recipe's
+    * stages can never drift apart. */
+  private[gates] val CorpusCleanCtes: String =
+    s"""quality AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS alpha_ratio
+      |  FROM documents),
+      |exdedup AS (
+      |  SELECT doc_id, text, lang, n_chars, n_tokens FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |    FROM quality WHERE n_tokens >= 5 AND alpha_ratio >= 0.5) t
+      |  WHERE rn = 1),
+      |base AS (SELECT doc_id, text FROM exdedup),
+      |${ngramPairCtes("base")},
+      |${ngramReachCtes("base")},
+      |keepers AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)""".stripMargin
+
+  /** The deterministic embedding near-dup pair CTEs (norms, id-successor
+    * τ sample, √N centroids, nearest-bucket assignment, within-bucket
+    * pair cosines) — shared by the q_embed_neardup and q_embed_clusters
+    * oracles so the edge set can never drift between them. */
+  private[gates] val EmbedPairCtes: String =
+    """n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |succ AS (
+      |  SELECT list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
+      |tq AS (SELECT round(LEAST(0.95, quantile_cont(cos, 0.99) + 0.0), 4) AS tau_v FROM succ),
+      |c AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+      |  WHERE vec_id < LEAST(4096, GREATEST(4,
+      |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+      |a AS (
+      |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
+      |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        list_sum(list_transform(generate_series(1, 64),
+      |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+      |        c.c_id) AS rn
+      |    FROM n, c) t
+      |  WHERE rn = 1),
+      |p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+      |  FROM a JOIN a b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+}

@@ -1,0 +1,174 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.SensorEtl
+import graft.functions.TextAnalytics
+import graft.ml.Pipelines
+import graft.operators.{Dedup, Relational, Similarity, TemporalJoins, TimeWindows}
+import graft.timeseries.HoltForecast
+import OracleCtes._
+
+/** Similarity search: cosine top-k, IVF, PQ/IVFADC, MRL, int8 — gate rows: `queries` entries + their DuckDB
+  * oracles (keys without an oracle are spec-pinned; see SparkEntry
+  * scaladoc for the determinism contract). */
+object SimilarityGates {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LLM-pipeline: similarity search
+    "q_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    // measured recall@k of Lloyd-refined IVF vs brute-force ground truth
+    // (no oracle: float Lloyd means; AnnRecallSpec pins the floor)
+    "q_ann_recall"     -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    // measured recall@k of IVF-PQ ADC vs exact-dot ground truth — the
+    // number for the stacked IVF-pruning + non-residual-PQ trades
+    "q_ivf_pq_recall"  -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d)),
+    // the IVFADC residual-encoding composition (Jégou 2011 §IV) and its
+    // measured recall — the raw-vs-residual trade as numbers
+    "q_ivf_pq_topk_res" -> ((s: SparkSession, d: String) => Similarity.ivfPqResidualTopK(s, d)),
+    "q_ivf_pq_recall_res" -> ((s: SparkSession, d: String) => Similarity.ivfPqRecall(s, d, residual = true)),
+    // Matryoshka truncation trade: recall@5 of prefix-dim cosine search
+    // vs full-dim truth — exact math, so fully oracle-able
+    "q_mrl_recall"     -> ((s: SparkSession, d: String) => Similarity.mrlRecall(s, d)),
+    // symmetric int8 embedding quantization (scale, checksum, max error)
+    "q_quantize_int8"  -> (Similarity.quantizeInt8 _),
+    // product quantization: deterministic Lloyd codebooks + ADC top-k
+    // (no oracle — seeded JVM fits; PqSpec pins the contracts)
+    "q_pq_topk"        -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    // IVF-PQ composition: probe nprobe buckets, ADC over codes only
+    "q_ivf_pq_topk"    -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // reported doubles are RAW (bit-exact cross-engine: float→double is
+    // exact, and both engines evaluate the same IEEE ops in the same
+    // order); round(x, 6) would reintroduce the engine-specific
+    // decimal-rounding hazard ADVICE r5 flagged. round() inside the
+    // quantizer itself is half-away-from-zero on both engines.
+    "q_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) / scale * 127.0) AS BIGINT)) END AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CASE WHEN scale = 0.0 THEN 0.0
+        |    ELSE list_max(list_transform(generate_series(1, len(embedding)),
+        |      i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i] * scale / 127.0)))
+        |  END AS max_abs_err
+        |FROM q""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |x AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM x)
+        |SELECT q_id, vec_id, rank, round(cos, 4) AS sim FROM r WHERE rank <= 10""".stripMargin,
+
+    // prefix-dim cosine reproduces the Spark slice exactly (same
+    // left-to-right double accumulation as q_cosine_topk, over
+    // generate_series(1, trunc_dim)); recall = integer hit count / 5
+    "q_mrl_recall" ->
+      """WITH dims AS (SELECT unnest([8, 16, 32]) AS trunc_dim),
+        |q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id < 10),
+        |tx AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |truth AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM tx) t
+        |  WHERE rank <= 5),
+        |gx AS (
+        |  SELECT d.trunc_dim, q.q_id, e.vec_id,
+        |    list_sum(list_transform(generate_series(1, d.trunc_dim),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, d.trunc_dim),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, d.trunc_dim),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q, dims d WHERE e.vec_id <> q.q_id),
+        |got AS (
+        |  SELECT trunc_dim, q_id, vec_id FROM (
+        |    SELECT trunc_dim, q_id, vec_id, row_number() OVER (
+        |      PARTITION BY trunc_dim, q_id
+        |      ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM gx) t
+        |  WHERE rank <= 5)
+        |SELECT d.trunc_dim, t.q_id,
+        |  CAST(count(g.vec_id) AS DOUBLE) / 5 AS recall_at_k
+        |FROM dims d CROSS JOIN truth t
+        |LEFT JOIN got g ON g.trunc_dim = d.trunc_dim AND g.q_id = t.q_id
+        |  AND g.vec_id = t.vec_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+        |  WHERE vec_id < LEAST(4096, GREATEST(4,
+        |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |asg AS (
+        |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
+        |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+        |        c.c_id) AS rn
+        |    FROM n, c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, q_emb, q_nrm, c_id AS bucket FROM (
+        |    SELECT q.q_id, q.q_emb, q.q_nrm, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(q.q_emb[i] AS DOUBLE) * c.c_emb[i])) / (q.q_nrm * c.c_nrm), 6) DESC,
+        |        c.c_id) AS rn
+        |    FROM q, c) t
+        |  WHERE rn <= 2),
+        |x AS (
+        |  SELECT p.q_id, a.vec_id, a.bucket,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(p.q_emb[i] AS DOUBLE) * a.embedding[i])) / (p.q_nrm * a.nrm) AS cos
+        |  FROM asg a JOIN probes p USING (bucket)
+        |  WHERE a.vec_id <> p.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, bucket, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM x)
+        |SELECT q_id, vec_id, bucket, rank, round(cos, 4) AS sim FROM r WHERE rank <= 5""".stripMargin,
+  )
+}

@@ -1,0 +1,141 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.SensorEtl
+import graft.functions.TextAnalytics
+import graft.ml.Pipelines
+import graft.operators.{Dedup, Relational, Similarity, TemporalJoins, TimeWindows}
+import graft.timeseries.HoltForecast
+import OracleCtes._
+
+/** Structured Streaming family — gate rows: `queries` entries + their DuckDB
+  * oracles (keys without an oracle are spec-pinned; see SparkEntry
+  * scaladoc for the determinism contract). */
+object StreamingGates {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // streaming ingest gate: stream-static anti join vs the corpus hash
+    // index + within-stream dedup (watermark-bounded state)
+    "q_stream_ingest_dedup" -> (graft.streaming.EventStreams.streamIngestDedup _),
+    // streaming (extension): windowed means via Structured Streaming,
+    // oracle-checked against the SAME SQL as the batch resample
+    "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
+    // streaming exact dedup: events streamed twice (two unioned file
+    // sources), dropDuplicatesWithinWatermark must recover the table
+    "q_stream_dedup"   -> (graft.streaming.EventStreams.streamDedup _),
+    // production sink path: Append mode -> parquet files + checkpoint,
+    // read back; oracle = the watermark-closed window subset
+    "q_stream_sink"    -> (graft.streaming.EventStreams.streamSink _),
+    // streaming sessionization via native session_window (event-time gap
+    // sessions), oracled at full timestamp precision
+    "q_stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize _),
+    // stream-STREAM inner interval join (click→purchase attribution);
+    // drained inner join == batch interval join, which is the oracle
+    "q_stream_stream_join" -> (graft.streaming.EventStreams.streamStreamJoin _),
+    // streaming Misra-Gries via flatMapGroupsWithState (term-sharded
+    // keyed state across micro-batches) + exact candidate recount —
+    // equals the exact form, so it SHARES q_heavy_hitters' oracle
+    "q_stream_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.streamHeavyHitters(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // streaming result must equal the batch resample — same oracle
+    "q_stream_resample" ->
+      """SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |  count(*) AS n, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the streaming dedup saw every row twice; dropping duplicates by
+    // event_id must recover exactly the base table
+    "q_stream_dedup" ->
+      "SELECT event_id, ts, user_id, event_type, value FROM events",
+
+    // the parquet sink holds exactly the windows the final watermark
+    // (max event time - 10 min) closed: Append emits a window when
+    // watermark passes its END. Window ends sit on the 30-min grid and
+    // the cutoff carries the max ts's sub-second offset, so < vs <= at
+    // the boundary cannot matter
+    "q_stream_sink" ->
+      """WITH cutoff AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+        |agg AS (
+        |  SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |    count(*) AS n, max(value) AS max_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, bucket, avg_value, n, max_value
+        |FROM agg, cutoff
+        |WHERE bucket + INTERVAL 30 MINUTE <= wm""".stripMargin,
+
+    // session_window semantics: new session when ts > prev + gap at FULL
+    // timestamp precision — an event landing exactly on the gap boundary
+    // still merges (verified by spec). The batch q_sessionize oracle
+    // instead floors epochs to whole seconds (reference-lineage
+    // semantics); both use the strict > split.
+    "q_stream_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS new_sess FROM o),
+        |s AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // drained inner stream-stream join == the batch interval join; the
+    // join condition runs on epoch MICROS (Spark's ts is µs-truncated
+    // from the nanos file, epoch_us() floors the same way), and the lag
+    // floors both sides to whole seconds (floor composes: ns→µs→s)
+    "q_stream_stream_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, epoch_us(ts) AS c_us, user_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS p_us, user_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |  p.p_us // 1000000 - c.c_us // 1000000 AS lag_secs
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000""".stripMargin,
+
+    // the streaming MG + exact-recount path provably equals the exact
+    // form (see EventStreams.streamHeavyHitters) — third share of the
+    // same oracle
+    "q_stream_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT term, cnt, total FROM c, tot WHERE cnt * 30 >= total""".stripMargin,
+
+    // kept content after the stream-static anti join (corpus re-arrivals
+    // dropped) and within-stream hash dedup (rn = 1 picks one survivor
+    // per hash — which one is order-dependent in the stream, so the
+    // compared columns are all survivor-INdependent content aggregates)
+    "q_stream_ingest_dedup" ->
+      """WITH ex AS (SELECT text FROM documents WHERE doc_id % 10 < 8),
+        |inc AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 10 >= 8
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text, lang, n_chars FROM documents
+        |    WHERE doc_id % 10 < 8 AND doc_id % 100 = 1
+        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text, lang, n_chars FROM documents
+        |    WHERE doc_id % 10 >= 8 AND doc_id % 100 = 98),
+        |keep AS (
+        |  SELECT lang, n_chars, text,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM inc WHERE sha256(text) NOT IN (SELECT sha256(text) FROM ex))
+        |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  min(md5(text)) AS min_text_md5, max(md5(text)) AS max_text_md5
+        |FROM keep WHERE rn = 1 GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,335 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.SensorEtl
+import graft.functions.TextAnalytics
+import graft.ml.Pipelines
+import graft.operators.{Dedup, Relational, Similarity, TemporalJoins, TimeWindows}
+import graft.timeseries.HoltForecast
+import OracleCtes._
+
+/** Text-analysis family: stats, language id, LM scoring, quality
+  * pruning, heavy hitters, BM25, TF-IDF — gate rows: `queries` entries + their DuckDB
+  * oracles (keys without an oracle are spec-pinned; see SparkEntry
+  * scaladoc for the determinism contract). */
+object TextGates {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // LLM-pipeline: text analysis
+    "q_text_stats"     -> (TextAnalytics.textStats _),
+    "q_lang_id"        -> (TextAnalytics.langId _),
+    "q_token_count"    -> (TextAnalytics.tokenCount _),
+    // overlapping token-window chunking (doc -> training/embedding rows)
+    "q_chunk"          -> (TextAnalytics.chunk _),
+    "q_fingerprint"    -> (TextAnalytics.fingerprint _),
+    // Gopher-style repetition quality filters (top-bigram share +
+    // duplicate-trigram fraction)
+    "q_repetition"     -> ((s: SparkSession, d: String) => TextAnalytics.repetitionStats(s, d)),
+    // whitespace/case normalization + email/digit-run redaction over a
+    // deterministically synthesized noisy input
+    "q_normalize_redact" -> (TextAnalytics.normalizeRedact _),
+    // corpus-wide top-k n-gram vocabulary report
+    "q_topk_ngrams"    -> ((s: SparkSession, d: String) => TextAnalytics.topkNgrams(s, d)),
+    // corpus-unigram LM quality proxy (CCNet-style perplexity filter)
+    "q_unigram_logprob" -> (TextAnalytics.unigramLogProb _),
+    // bigram conditional-LM score (word-order-sensitive quality axis)
+    "q_bigram_logprob" -> (TextAnalytics.bigramLogProb _),
+    // percentile prune on the LM score (keep top 90%)
+    "q_quality_prune"  -> ((s: SparkSession, d: String) => TextAnalytics.qualityPrune(s, d)),
+    // 100 TB twin: threshold from approx_percentile broadcast as a scalar
+    // filter — no rank window anywhere (no oracle: GK sketch internals;
+    // QualityPruneSketchSpec pins >=99% keep-set agreement with the exact
+    // form)
+    "q_quality_prune_sketch" -> ((s: SparkSession, d: String) => TextAnalytics.qualityPruneSketch(s, d)),
+    // first-iteration BPE merge candidates (adjacent char-pair counts)
+    "q_bpe_merges"     -> ((s: SparkSession, d: String) => TextAnalytics.bpeMergeCandidates(s, d)),
+    // exact φ=1/30 heavy hitters (integer-threshold cut, no float share)
+    "q_heavy_hitters"  -> ((s: SparkSession, d: String) => TextAnalytics.heavyHitters(s, d)),
+    // Misra-Gries candidates + exact recount: provably EQUAL to the
+    // exact form, so it shares the same oracle — the vocabulary never
+    // shuffles, only ≤ k candidates per partition do
+    "q_heavy_hitters_sketch" -> ((s: SparkSession, d: String) => TextAnalytics.heavyHittersSketch(s, d)),
+    // Okapi BM25 against a fixed query term set (fixed-order term sum)
+    "q_bm25"           -> ((s: SparkSession, d: String) => TextAnalytics.bm25(s, d)),
+    "q_tfidf"          -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, tf, df, score FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id, len_chars, n_tokens, alpha_ratio, stop_ratio, mean_token_len,
+        |  (n_tokens >= 5 AND n_tokens <= 100000 AND alpha_ratio >= 0.5
+        |    AND stop_ratio >= 0.01) AS quality_ok
+        |FROM (
+        |  SELECT doc_id,
+        |    length(text) AS len_chars,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha_ratio,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS stop_ratio,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_token_len
+        |  FROM documents) t""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |       WHEN es_hits >= fr_hits THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  (CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |       WHEN es_hits >= fr_hits THEN 'es'
+        |       ELSE 'fr' END) = lang AS is_match
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS en_hits,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['der','die','das','und','ist','ein','nicht'], t))) AS de_hits,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['el','la','de','que','y','los','es'], t))) AS es_hits,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> list_contains(['le','la','les','et','des','un','est'], t))) AS fr_hits
+        |  FROM documents) t""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    // chunk 64 / overlap 16 / stride 48; DuckDB list slices are
+    // inclusive-bounds and clamp at the list end like Spark's slice()
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |n AS (
+        |  SELECT doc_id, t, len(t) AS nt,
+        |    GREATEST(1, (len(t) - 16 + 47) // 48) AS n_chunks
+        |  FROM toks WHERE len(t) >= 1),
+        |c AS (
+        |  SELECT doc_id, t, nt,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(64, nt - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> list_reduce(
+        |          list_prepend(CAST(7 AS BIGINT),
+        |            list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |          (a, b) -> (a * 131 + b) % 1000000007))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+        |FROM documents""".stripMargin,
+
+    // counts are BIGINT-cast (DuckDB HUGEINT sums degrade to float64 in
+    // the driver's pandas hash); ratio math is identical double division
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |bgc AS (SELECT doc_id, sh, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+        |    CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM bgc GROUP BY 1),
+        |tgc AS (SELECT doc_id, sh, count(*) AS c FROM tg GROUP BY 1, 2),
+        |tstat AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_trigrams,
+        |    CAST(sum(c) AS BIGINT) AS n_trigrams
+        |  FROM tgc GROUP BY 1)
+        |SELECT b.doc_id, top_bigram_n, n_bigrams,
+        |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_ratio,
+        |  1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams AS dup_trigram_ratio,
+        |  (CAST(top_bigram_n AS DOUBLE) / n_bigrams > 0.18
+        |    OR 1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams > 0.30) AS repetitive
+        |FROM bstat b JOIN tstat USING (doc_id)""".stripMargin,
+
+    // same synthesized noisy input on both sides; DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all default
+    "q_normalize_redact" ->
+      """WITH synth AS (
+        |  SELECT doc_id, concat(upper(text), '  Contact: user', CAST(doc_id AS VARCHAR),
+        |    '@example.com  call 555', CAST(doc_id AS VARCHAR), ' now') AS s0
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, CAST(length(s0) AS INTEGER) AS raw_len,
+        |    lower(trim(regexp_replace(s0, '\s+', ' ', 'g'))) AS n0
+        |  FROM synth)
+        |SELECT doc_id, raw_len,
+        |  regexp_replace(regexp_replace(n0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |    '[0-9]{3,}', '<num>', 'g') AS redacted
+        |FROM norm""".stripMargin,
+
+    // bigrams over the same >= 3-token domain as q_repetition; rank ties
+    // break on the gram string so the top-k is total-ordered
+    "q_topk_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |  FROM toks WHERE len(t) >= 3),
+        |c AS (SELECT gram, count(*) AS n FROM bg GROUP BY 1)
+        |SELECT rank, gram, n FROM (
+        |  SELECT gram, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, gram) AS INTEGER) AS rank
+        |  FROM c) ranked
+        |WHERE rank <= 20""".stripMargin,
+
+    // the mean sums ~doc-length ln() doubles (order unpinned on either
+    // engine) — round(·, 6) key, same accepted class as q_tfidf's scores
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(ln(CAST(c AS DOUBLE) / n)) / count(*), 6) AS avg_logprob
+        |FROM toks JOIN tc USING (term) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
+    // adjacent-pair zip via DuckDB's parallel unnest (equal-length list
+    // slices zip positionally); prefix counts make p(w2|w1) sum to 1
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(t[1:len(t)-1]) AS w1,
+        |    unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(ln(CAST(c2 AS DOUBLE) / c1)) / count(*), 6)
+        |    AS avg_bigram_logprob
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY 1""".stripMargin,
+
+    // percent_rank is the exact (rank-1)/(n-1) on both engines; the
+    // ordering key is the rounded avg_logprob + doc_id tie-break, so
+    // ranks are cross-engine stable
+    "q_quality_prune" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(sum(ln(CAST(c AS DOUBLE) / n)) / count(*), 6) AS avg_logprob
+        |  FROM toks JOIN tc USING (term) CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, avg_logprob, pctl FROM (
+        |  SELECT *, percent_rank() OVER (ORDER BY avg_logprob, doc_id) AS pctl
+        |  FROM scored) ranked
+        |WHERE pctl >= 0.09999999999999998""".stripMargin,
+
+    // substring(term, i, 2) is 1-based on both engines; counts carry
+    // multiplicity across repeated tokens
+    "q_bpe_merges" ->
+      """WITH terms AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(
+        |    generate_series(1, length(term) - 1), i -> substring(term, i, 2))) AS pair
+        |  FROM terms WHERE length(term) >= 2),
+        |c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY 1)
+        |SELECT rank, pair, n FROM (
+        |  SELECT pair, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank
+        |  FROM c) ranked
+        |WHERE rank <= 20""".stripMargin,
+
+    // integer-threshold heavy hitters: cnt*k >= total is exact on both
+    // engines — the ONE oracle shared by the exact form and the
+    // Misra-Gries sketch form (candidates recounted exactly, false
+    // positives cut by the same comparison, so both equal this SQL)
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT term, cnt, total FROM c, tot WHERE cnt * 30 >= total""".stripMargin,
+
+    "q_heavy_hitters_sketch" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+        |SELECT term, cnt, total FROM c, tot WHERE cnt * 30 >= total""".stripMargin,
+
+    // per-term contributions pivoted into FIXED columns, summed in fixed
+    // left-to-right order — the only float-order hazard (ln) is the same
+    // correctly-rounded-class call both engines make; round(·,6) absorbs
+    // the last ulp. Literals mirror the Scala arithmetic exactly
+    // ((1.2 + 1.0), 1.0 - 0.75, ...) so both engines fold identically.
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'filter') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75
+        |          + 0.75 * dl / (CAST(n_tokens AS DOUBLE) / n_docs))) AS w
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus),
+        |p AS (
+        |  SELECT doc_id, count(*) AS n_query_terms,
+        |    COALESCE(max(w) FILTER (WHERE term = 'spark'), 0.0) AS ws,
+        |    COALESCE(max(w) FILTER (WHERE term = 'join'), 0.0) AS wj,
+        |    COALESCE(max(w) FILTER (WHERE term = 'filter'), 0.0) AS wf
+        |  FROM w GROUP BY 1)
+        |SELECT doc_id, n_query_terms,
+        |  round(ws, 6) AS w_spark, round(wj, 6) AS w_join,
+        |  round(wf, 6) AS w_filter, round(ws + wj + wf, 6) AS bm25
+        |FROM p""".stripMargin,
+  )
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The gate registry after the family split (r8 verdict #7): SparkEntry
+  * is a thin concatenation of graft.gates.* family objects, so the
+  * invariants the old single-file Map gave for free — unique keys,
+  * every oracle key backed by a query — are pinned here instead. */
+class GateRegistrySpec extends AnyFunSuite {
+
+  test("family query keys never collide and concatenation loses nothing") {
+    val perFamily = SparkEntry.families.map { case (name, qs, _) => name -> qs.keySet }
+    for {
+      (na, ka) <- perFamily
+      (nb, kb) <- perFamily if na < nb
+      dup = ka.intersect(kb) if dup.nonEmpty
+    } fail(s"$na and $nb both define ${dup.mkString(", ")}")
+    assert(SparkEntry.queries.size == perFamily.map(_._2.size).sum)
+  }
+
+  test("every oracle key has a query in the SAME family") {
+    for ((name, qs, os) <- SparkEntry.families) {
+      val orphans = os.keySet.diff(qs.keySet)
+      assert(orphans.isEmpty, s"$name oracles without queries: ${orphans.mkString(", ")}")
+    }
+    assert(SparkEntry.oracleSql.size ==
+      SparkEntry.families.map(_._3.size).sum)
+  }
+
+  test("registry carries the full suite (133 queries, 105 oracles)") {
+    assert(SparkEntry.queries.size == 133)
+    assert(SparkEntry.oracleSql.size == 105)
+  }
+}
