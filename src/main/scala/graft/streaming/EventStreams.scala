@@ -111,6 +111,27 @@ object EventStreams {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Streaming file source over `d`/events.parquet with `ts` normalized to
+    * the session timestamp type. A streaming file source needs a
+    * user-supplied schema that MATCHES the footer, and events.ts has
+    * shipped in two physical shapes (legacy int64 nanos vs annotated
+    * micros/NTZ — see Tables.events), so the ts field type is detected
+    * once per call from the batch footer read, then normalized the same
+    * way the batch loader normalizes it. */
+  private def rawEventStream(s: SparkSession, d: String): DataFrame = {
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", graft.Tables.eventsTsFileType(s, d)),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+  }
+
   /** Streaming analog of TimeWindows.resample30m: per-user 30-min tumbling
     * event-time windows with a 10-minute watermark. Works on any streaming
     * DataFrame with the event schema (rate/file/kafka-shaped). The mean
@@ -143,17 +164,7 @@ object EventStreams {
   }
 
   private def streamResampleInner(s: SparkSession, d: String): DataFrame = {
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = rawEventStream(s, d)
     val name = "graft_stream_resample"
     val q = windowedMeans(stream).writeStream
       .format("memory").queryName(name).outputMode(OutputMode.Complete())
@@ -187,17 +198,7 @@ object EventStreams {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
     try {
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType)))
-      def src: DataFrame = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      def src: DataFrame = rawEventStream(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
       val name = "graft_stream_dedup"
       val q = dedupStream(src.unionAll(src)).writeStream
@@ -230,17 +231,7 @@ object EventStreams {
     val base = graft.Scratch.dir(s"streamsink_$d")
     s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try {
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType)))
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = rawEventStream(s, d)
       val q = windowedMeans(stream).writeStream
         .format("parquet")
         .option("path", s"$base/out")
@@ -270,17 +261,7 @@ object EventStreams {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
     try {
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType)))
-      def src: DataFrame = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      def src: DataFrame = rawEventStream(s, d)
       val clicks = src.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
           col("user_id").as("c_user"))
@@ -338,17 +319,7 @@ object EventStreams {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
     try {
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", LongType), // TIMESTAMP(NANOS) physical int64
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType)))
-      val stream = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = rawEventStream(s, d)
       val name = "graft_stream_sessionize"
       val q = sessionWindows(stream).writeStream
         .format("memory").queryName(name).outputMode(OutputMode.Complete())
