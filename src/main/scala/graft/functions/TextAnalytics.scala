@@ -508,4 +508,105 @@ object TextAnalytics {
       .withColumn("rank", row_number().over(w).cast("int"))
       .select("rank", "gram", "n")
   }
+
+  /** N-gram novelty scoring: for each document, the fraction of its
+    * distinct 3-token shingles whose GLOBAL first occurrence (min doc_id
+    * over all docs containing the shingle) is this document. A crawl
+    * ordered by acquisition time reads this as "how much text did this
+    * page add that the corpus hadn't seen" — the attribution twin of the
+    * duplicate-span report (which finds the copies; this scores the
+    * originals). Shape: distinct shingles per doc (map-side), one
+    * groupBy(shingle) min-aggregate for the first-occurrence index, one
+    * equi-join back on shingle, one per-doc rollup — all linear shuffles
+    * on bounded rows, no pair join, so the pass costs the same as the
+    * dedup family's inverted index at any scale. */
+  def ngramNovelty(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    ngramNoveltyDocs(Tables.documents(s, d), n)
+
+  /** [[ngramNovelty]] over an arbitrary (doc_id, text) frame. */
+  def ngramNoveltyDocs(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(tokenWindows(col("toks"), n))).as("sh"))
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Temperature-scaled mixture weights per language: w_l ∝ p_l^α with
+    * p_l = token share, α < 1 flattening the head (the standard
+    * multilingual sampling schedule — α ≈ 0.3 keeps low-resource
+    * languages from vanishing under proportional sampling). Each p^α is
+    * rounded to 6 decimals and summed as DECIMAL(18,6), so the
+    * normalizer is order-independent and the final weights are the same
+    * correctly-rounded double chain in both engines. `planned_docs` is
+    * the per-language allocation of a `budgetDocs`-document epoch.
+    * Shape: one groupBy(lang) + two broadcast scalar joins — the whole
+    * schedule derives from a handful of aggregate rows regardless of
+    * corpus size. */
+  def mixTemperature(s: SparkSession, d: String, alpha: Double = 0.3,
+      budgetDocs: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perLang = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val total = perLang.agg(sum("n_tokens").as("total_tokens"))
+    val raw = perLang.crossJoin(broadcast(total))
+      .withColumn("w_raw",
+        round(pow(col("n_tokens").cast("double") / col("total_tokens"), alpha), 6)
+          .cast(DecimalType(18, 6)))
+    val z = raw.agg(sum("w_raw").as("z"))
+    raw.crossJoin(broadcast(z))
+      .withColumn("weight",
+        round(col("w_raw").cast("double") / col("z").cast("double"), 6))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
+        floor(col("weight") * budgetDocs).cast("long").as("planned_docs"))
+  }
+
+  /** CountMin sketch of the term-frequency stream: a depth × width
+    * counter grid (seeded Murmur3 rows), point estimate = min over the
+    * depth cells — the mergeable fixed-size frequency summary for when
+    * even Misra-Gries' k·partitions candidate set is too wide (streaming
+    * joins against a frequency prior, per-shard quota enforcement). The
+    * sketch build is ONE aggregate pass: each term explodes into its
+    * `depth` cells and the grid is a groupBy over ≤ depth·width rows.
+    * The gate row probes the k most frequent terms (deterministic
+    * count-desc/term-asc top-k) and carries (n_exact, n_est, overcount)
+    * side by side; RoundNineOpsSpec asserts the one-sided contract
+    * (est ≥ exact, overcount ≤ εN at the classic ε = e/width). No DuckDB
+    * oracle: Murmur3 cell placement is JVM-specific (same no-oracle
+    * class as minhash). */
+  def countMinProbe(s: SparkSession, d: String, width: Int = 2048,
+      depth: Int = 4, k: Int = 20): DataFrame =
+    countMinProbeDocs(Tables.documents(s, d), width, depth, k)
+
+  /** [[countMinProbe]] over an arbitrary (doc_id, text) frame. */
+  def countMinProbeDocs(docs: DataFrame, width: Int = 2048, depth: Int = 4,
+      k: Int = 20): DataFrame = {
+    def cellsOf(term: Column): Column = array((0 until depth).map { r =>
+      struct(lit(r).as("r"), pmod(hash(term, lit(r)), lit(width)).as("b"))
+    }: _*)
+    val grid = docs.select(explode(tokens(col("text"))).as("term"))
+      .select(explode(cellsOf(col("term"))).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probes = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term"))
+      .limit(k)
+    probes
+      .select(col("term"), col("n_exact"), explode(cellsOf(col("term"))).as("cell"))
+      .select(col("term"), col("n_exact"),
+        col("cell.r").as("r"), col("cell.b").as("b"))
+      .join(broadcast(grid), Seq("r", "b"))
+      .groupBy("term", "n_exact")
+      .agg(min("c").as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+  }
 }

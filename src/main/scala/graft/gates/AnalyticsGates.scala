@@ -40,6 +40,11 @@ object AnalyticsGates {
     // key-skew diagnostic (group-size distribution + straggler factor per
     // candidate key) — exact integer sums, cross-engine percentiles
     "q_key_skew" -> (graft.operators.Analytics.keySkew _),
+    // salted exact distinct-count (single-hot-key skew rewrite; oracle
+    // pins it against a plain COUNT(DISTINCT))
+    "q_salted_distinct" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.saltedDistinctCount(
+        graft.Tables.events(s, d), "event_type", "user_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +248,11 @@ object AnalyticsGates {
         |  round(CAST(max(cnt) AS DOUBLE) * count(*)
         |    / CAST(sum(cnt) AS DOUBLE), 6)
         |FROM ce""".stripMargin,
+
+    // the salted two-phase rewrite must EQUAL the plain distinct count
+    // (each distinct user hashes into exactly one salt bucket)
+    "q_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

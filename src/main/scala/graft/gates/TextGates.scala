@@ -52,6 +52,16 @@ object TextGates {
     // Okapi BM25 against a fixed query term set (fixed-order term sum)
     "q_bm25"           -> ((s: SparkSession, d: String) => TextAnalytics.bm25(s, d)),
     "q_tfidf"          -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
+    // per-doc fraction of distinct shingles first seen in this doc
+    // (crawl-order novelty attribution; linear inverted-index pass)
+    "q_ngram_novelty"  -> ((s: SparkSession, d: String) => TextAnalytics.ngramNovelty(s, d)),
+    // temperature-scaled per-language sampling schedule (p^alpha,
+    // DECIMAL-exact normalizer)
+    "q_mix_temperature" -> ((s: SparkSession, d: String) => TextAnalytics.mixTemperature(s, d)),
+    // CountMin grid probed at the exact heavy hitters (no oracle:
+    // Murmur3 cell placement; CountMinSpec pins est >= exact and the
+    // eps*N overcount envelope)
+    "q_countmin"       -> ((s: SparkSession, d: String) => TextAnalytics.countMinProbe(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -331,5 +341,43 @@ object TextGates {
         |  round(ws, 6) AS w_spark, round(wj, 6) AS w_join,
         |  round(wf, 6) AS w_filter, round(ws + wj + wf, 6) AS bm25
         |FROM p""".stripMargin,
+
+    // same shingle construction as the dedup family's pair CTEs; the
+    // first-occurrence index is min(doc_id) per shingle
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM sh s JOIN first f USING (sh)
+        |GROUP BY s.doc_id""".stripMargin,
+
+    // p^alpha each rounded to 6 decimals, summed as DECIMAL(18,6) so the
+    // normalizer is order-independent in both engines (pow/round are the
+    // correctly-rounded-class calls both make — q_tfidf's accepted class)
+    "q_mix_temperature" ->
+      """WITH lt AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens) AS total_tokens FROM lt),
+        |w AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / total_tokens, 0.3), 6)
+        |      AS DECIMAL(18,6)) AS w_raw
+        |  FROM lt, tot),
+        |z AS (SELECT sum(w_raw) AS z FROM w)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(CAST(w_raw AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight,
+        |  CAST(floor(round(CAST(w_raw AS DOUBLE) / CAST(z.z AS DOUBLE), 6) * 100000)
+        |    AS BIGINT) AS planned_docs
+        |FROM w, z""".stripMargin,
   )
 }

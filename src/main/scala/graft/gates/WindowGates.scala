@@ -36,6 +36,8 @@ object WindowGates {
     "q_range_join"     -> ((s: SparkSession, d: String) => TemporalJoins.rangeJoin(s, d)),
     "q_sessionize"     -> ((s: SparkSession, d: String) => TemporalJoins.sessionize(s, d)),
     "q_rolling_stats"  -> ((s: SparkSession, d: String) => TemporalJoins.rollingStats(s, d)),
+    // trailing-window z-score outliers (DECIMAL-exact moments, |z| >= 3)
+    "q_anomaly_zscore" -> ((s: SparkSession, d: String) => TemporalJoins.anomalyZscore(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,6 +123,28 @@ object WindowGates {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // moments from exact DECIMAL sums (sum v, sum v*v over the trailing
+    // frame) -> the mean/var/z double chain is identical in both engines,
+    // so the |z| >= 3 cut is stable (same class as q_rolling_stats)
+    "q_anomaly_zscore" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      OVER w AS DOUBLE) AS s2,
+        |    count(*) OVER w AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        |  SELECT *, s1 / n AS mean, (s2 - s1 * s1 / n) / (n - 1) AS variance
+        |  FROM m WHERE n >= 10)
+        |SELECT event_id, user_id, ts, value,
+        |  round(mean, 6) AS base_mean,
+        |  round((value - mean) / sqrt(variance), 6) AS z
+        |FROM v
+        |WHERE variance > 0 AND abs((value - mean) / sqrt(variance)) >= 3""".stripMargin,
 
     "q_range_join" ->
       """WITH iv AS (

@@ -73,4 +73,23 @@ object Layout {
       .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Salted EXACT distinct count per (skewed, low-cardinality) key.
+    * `count_distinct(u) GROUP BY key` shuffles every (key, u) pair to the
+    * single reducer owning `key` — with a handful of hot keys (the events
+    * table's event_type) that is one straggler task per key no matter how
+    * wide the cluster is. Salting by `pmod(hash(u), salt)` splits each
+    * key's distinct-set across `salt` reducers; because every distinct
+    * `u` hashes to exactly ONE salt bucket, the per-bucket distinct
+    * counts are disjoint and their sum is the exact answer — the
+    * rewrite stays semantics-free (the oracle pins it against a plain
+    * COUNT(DISTINCT)). Phase 2 shuffles only keys × salt rows. This is
+    * the aggregation twin of [[saltedJoin]]: the pattern for the
+    * single-hot-key aggregations AQE's skew handling cannot split. */
+  def saltedDistinctCount(df: DataFrame, key: String, uniqueCol: String,
+      salt: Int = 32): DataFrame =
+    df.groupBy(col(key), pmod(hash(col(uniqueCol)), lit(salt)).as("__salt"))
+      .agg(count_distinct(col(uniqueCol)).as("__part"))
+      .groupBy(col(key))
+      .agg(sum(col("__part")).as("n_distinct"))
 }

@@ -195,6 +195,42 @@ object TemporalJoins {
       max("value").over(w).as("roll_max"))
   }
 
+  /** Rolling z-score anomaly detection: flag events whose value sits ≥ 3
+    * sample standard deviations from the mean of the user's TRAILING
+    * window (the `nRows` rows strictly before, so the tested value never
+    * contaminates its own baseline). The moments come from exact DECIMAL
+    * sums (Σv as DECIMAL(18,2), Σv² as the decimal product — both
+    * order-independent), so mean/var/z are the same correctly-rounded
+    * double chain in Spark and DuckDB and the |z| ≥ 3 cut can't flip on
+    * partial-aggregation order. Windows shorter than `minN` emit no
+    * verdict (a 3-row baseline flags everything).
+    *
+    * 100 TB shape: one series-partitioned window per user — shuffles by
+    * user_id once, no global sort, no self-join; the standard monitoring
+    * pass an events pipeline runs before ingestion. */
+  def anomalyZscore(s: SparkSession, d: String, nRows: Int = 20,
+      minN: Int = 10, cut: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-nRows, -1)
+    val dec = col("value").cast(DecimalType(18, 2))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        sum(dec).over(w).cast("double").as("s1"),
+        sum(dec * dec).over(w).cast("double").as("s2"),
+        count(lit(1)).over(w).as("n"))
+      .where(col("n") >= minN)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .where(col("variance") > 0)
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      .where(abs(col("z")) >= cut)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(col("mean"), 6).as("base_mean"),
+        round(col("z"), 6).as("z"))
+  }
+
   /** Binned range join: count each user-day's click events falling inside
     * that user-day's purchase window [min purchase ts, max purchase ts].
     * Intervals explode to the hour bins they cover (sequence over
