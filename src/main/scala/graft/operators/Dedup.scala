@@ -359,10 +359,13 @@ object Dedup {
     * equi-join on (band_idx, band_key) — never all-pairs; the signature
     * join-back is two hash joins on doc_id. A corpus-scale caveat: a
     * cluster of m mutual near-identical docs makes an m²-pair bucket —
-    * run [[exact]] dedup FIRST so identical docs never reach this stage,
-    * and cap pathological buckets the same way ngramJaccard caps df. */
+    * run [[exact]] dedup FIRST so identical docs never reach this stage;
+    * pathological buckets are capped at `maxBucket` members (see
+    * [[bandCandidatesFromSigs]] — the df-cap twin, added after the sf10
+    * measurement showed the uncapped background-collision term going
+    * quadratic). */
   def minhashBandedDocs(docs: DataFrame, k: Int = 128, bands: Int = 32,
-      minJaccard: Double = 0.6): DataFrame = {
+      minJaccard: Double = 0.6, maxBucket: Int = 64): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val s = docs.sparkSession
     import s.implicits._
@@ -373,7 +376,7 @@ object Dedup {
     // hazard). At 100 TB a caller composing several passes would persist
     // the signatures explicitly and own their lifecycle.
     val sigs = minhashSignatures(docs, k)
-    val cand = bandCandidatesFromSigs(sigs, bands, r)
+    val cand = bandCandidatesFromSigs(sigs, bands, r, maxBucket)
     cand
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
@@ -391,10 +394,28 @@ object Dedup {
 
   /** The LSH band-bucket candidate stage shared by [[minhashBandedDocs]]
     * and [[ngramJaccardBanded]]: signature rows → `bands` band keys each
-    * (mix-folded r-row slices), equi-join on (band_idx, band_key),
-    * distinct pairs. The join is a plain hash equi-join on an int64 key
-    * — never all-pairs. */
-  private def bandCandidatesFromSigs(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    * (mix-folded r-row slices), grouped into band buckets, within-bucket
+    * pair enumeration — never all-pairs.
+    *
+    * HOT-BUCKET CAP (`maxBucket`, the LSH twin of the posting index's df
+    * cap): background-similarity collisions put ~pairs·j^r candidates in
+    * each band, so with a growing corpus the candidate set has a term
+    * QUADRATIC in corpus size concentrated in oversized buckets keyed by
+    * degenerate band values (tiny shingle sets, shared boilerplate
+    * prefixes). Measured at sf10 (500 k docs) the uncapped stage made the
+    * banded variant 9× SLOWER than the exact posting self-join it exists
+    * to escape (948 s vs 107 s — SCALE.md round-9). A bucket with more
+    * than `maxBucket` members contributes O(bucket²) background pairs and
+    * almost no signal, while a true near-dup pair at j ≥ 0.2 collides in
+    * ≈ b·j^r ≈ 2.6 independent bands in expectation — dropping its hot
+    * buckets leaves it discoverable in the rest (recall floors re-measured
+    * in NgramBandedSpec under the cap). Work is bounded by
+    * Σ min(bucket, maxBucket)² per band — linear in the corpus, the same
+    * bound shape as [[rarePostings]]. The bucket build is ONE shuffle
+    * (collect_list under the cap contract) and pairs explode bucket-local,
+    * replacing the former bandRows self-join. */
+  private def bandCandidatesFromSigs(sigs: DataFrame, bands: Int, r: Int,
+      maxBucket: Int = 64): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
     val bandRows = sigs.as[(Long, Array[Long])]
@@ -410,11 +431,16 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "band_idx", "band_key")
-    bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    bandRows
+      .groupBy("band_idx", "band_key")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(least(x, y) AS a_id, greatest(x, y) AS b_id))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
   }
 
@@ -442,23 +468,44 @@ object Dedup {
     * Output schema matches [[ngramJaccardFromPostings]] (jaccard is the
     * exact value, not the signature estimate). No DuckDB oracle — the
     * candidate set depends on JVM minhash — so the gate row is
-    * rows-only, with the spec pinning agreement. */
+    * rows-only, with the spec pinning agreement.
+    *
+    * `maxBucket` caps band buckets (see [[bandCandidatesFromSigs]]):
+    * without it the background-collision candidate term grows with
+    * pairs·j², which the sf10 run measured at 9× the EXACT variant's
+    * cost — the cap restores the linear bound that justifies this
+    * variant's existence. */
   def ngramJaccardBanded(s: SparkSession, d: String,
       threshold: Double = 0.2, maxDf: Long = 100L): DataFrame =
     ngramJaccardBandedDocs(Tables.documents(s, d), threshold, maxDf)
 
   def ngramJaccardBandedDocs(docs: DataFrame,
       threshold: Double = 0.2, maxDf: Long = 100L,
-      k: Int = 128, bands: Int = 64): DataFrame = {
+      k: Int = 128, bands: Int = 64, maxBucket: Int = 64): DataFrame = {
     require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
-    val cand = bandCandidatesFromSigs(minhashSignatures(docs, k), bands, k / bands)
-    val post = rarePostings(docs, maxDf)
-    val shared = cand
-      .join(post.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
-      .join(post.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    val cand = bandCandidatesFromSigs(minhashSignatures(docs, k), bands,
+      k / bands, maxBucket)
+    // Verify by ARRAY INTERSECTION, not by re-exploding the posting
+    // index: the former explode→(b_id, sh) join→regroup verify fanned
+    // every candidate out to each of its capped shingles (~4.5 M
+    // candidates × ~29 shingles ≈ 130 M join rows TWICE at sf10), and
+    // measured as ~330 s of the operator's 437 s there. Attaching each
+    // side's capped shingle ARRAY (bounded per doc by the df cap — the
+    // packing family's bounded-group collect contract) costs two hash
+    // joins of candidate-count rows, and `size(array_intersect)` is a
+    // per-row codegen'd expression — no explode, no regroup shuffle.
+    // `shared` counts the same capped shingle set as the posting
+    // self-join form, so the jaccard values stay bitwise equal to
+    // [[ngramJaccardFromPostings]] (NgramBandedSpec asserts it).
+    val docShingles = rarePostings(docs, maxDf)
+      .groupBy("doc_id").agg(collect_list(col("sh")).as("shs"))
     val sizes = docSizes(docs)
-    shared
+    cand
+      .join(docShingles.select(col("doc_id").as("a_id"), col("shs").as("a_shs")), Seq("a_id"))
+      .join(docShingles.select(col("doc_id").as("b_id"), col("shs").as("b_shs")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_shs"), col("b_shs"))).cast("long").as("shared"))
+      .where(col("shared") > 0)
       .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
       .withColumn("jaccard",
