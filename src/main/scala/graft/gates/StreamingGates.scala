@@ -37,6 +37,10 @@ object StreamingGates {
     // equals the exact form, so it SHARES q_heavy_hitters' oracle
     "q_stream_heavy_hitters" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.streamHeavyHitters(s, d)),
+    // streaming z-score anomalies via bounded keyed state (trailing
+    // cents ring per user) — equals the batch operator exactly, so it
+    // SHARES q_anomaly_zscore's oracle
+    "q_stream_anomaly" -> (graft.streaming.EventStreams.streamAnomaly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,5 +141,9 @@ object StreamingGates {
         |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
         |  min(md5(text)) AS min_text_md5, max(md5(text)) AS max_text_md5
         |FROM keep WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // the drained streaming anomaly stream must equal the batch
+    // trailing-window operator — literally the same oracle SQL
+    "q_stream_anomaly" -> WindowGates.oracles("q_anomaly_zscore"),
   )
 }

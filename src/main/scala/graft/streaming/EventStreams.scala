@@ -492,6 +492,87 @@ object EventStreams {
       }
   }
 
+  case class AnomalyState(cents: Array[Long])
+  case class AnomalyHit(event_id: Long, user_id: Long, ts: Timestamp,
+      value: Double, base_mean: Double, z: Double)
+
+  /** Streaming twin of `TemporalJoins.anomalyZscore`: per-user keyed
+    * state holds the trailing `nRows` values as EXACT 2-decimal cents
+    * (bounded — `nRows` longs per user, regardless of stream length),
+    * carried across micro-batches; each batch folds its rows in
+    * (event-time µs, event_id) order — the batch operator's window
+    * order — through the same exact-moment chain: Σc and Σc² are exact
+    * long sums, and s1 = Σc/100, s2 = Σc²/10000 are single correctly-
+    * rounded divisions of exactly-representable longs, so they equal
+    * the batch DECIMAL sums cast to double bit for bit, and the whole
+    * mean/var/z chain and the |z| ≥ cut verdict follow identically.
+    * The drained stream therefore EQUALS the batch operator row for
+    * row and q_stream_anomaly SHARES q_anomaly_zscore's DuckDB oracle
+    * — the live-monitoring form of the ingest-quality gate, pinned by
+    * the batch oracle the same way the streaming Misra-Gries shares
+    * the exact heavy-hitter oracle. Emits RAW mean/z; the gate rounds
+    * via Spark's own round() so streaming and batch rounding can never
+    * diverge. Multi-batch equality needs batches in event-time order
+    * (file sources list by mtime) — StreamingMediaSpec proves the
+    * carried-state path with a forced two-batch split. */
+  def streamingAnomaly(events: Dataset[Event], nRows: Int = 20,
+      minN: Int = 10, cut: Double = 3.0): Dataset[AnomalyHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[AnomalyState]) =>
+          var ring = state.getOption.map(_.cents).getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyHit]
+          val sorted = rows.toArray.sortBy(e =>
+            (e.ts.getTime * 1000 + (e.ts.getNanos % 1000000) / 1000, e.event_id))
+          sorted.foreach { e =>
+            val n = ring.length
+            if (n >= minN) {
+              var sc = 0L; var sc2 = 0L
+              ring.foreach { c => sc += c; sc2 += c * c }
+              val s1 = sc.toDouble / 100.0
+              val s2 = sc2.toDouble / 10000.0
+              val mean = s1 / n
+              val variance = (s2 - s1 * s1 / n) / (n - 1)
+              if (variance > 0) {
+                val z = (e.value - mean) / math.sqrt(variance)
+                if (math.abs(z) >= cut)
+                  out += AnomalyHit(e.event_id, user, e.ts, e.value, mean, z)
+              }
+            }
+            val c = math.round(e.value * 100)
+            ring = if (ring.length < nRows) ring :+ c else ring.drop(1) :+ c
+          }
+          state.update(AnomalyState(ring))
+          out.iterator
+      }
+  }
+
+  /** q_stream_anomaly gate: stream the events table through
+    * [[streamingAnomaly]] into a memory sink; result must hash-match the
+    * batch q_anomaly_zscore oracle. */
+  def streamAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    try {
+      val stream = rawEventStream(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val name = "graft_stream_anomaly"
+      val q = streamingAnomaly(stream).toDF().writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      drain(q, "anomaly")
+      s.table(name)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          round(col("base_mean"), 6).as("base_mean"),
+          round(col("z"), 6).as("z"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** End-to-end smoke used by tests: stream a parquet-derived file source
     * through windowedMeans into a memory sink, return the materialized
     * result. */

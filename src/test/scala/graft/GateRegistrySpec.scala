@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (133 queries, 105 oracles)") {
-    assert(SparkEntry.queries.size == 133)
-    assert(SparkEntry.oracleSql.size == 105)
+  test("registry carries the full suite (139 queries, 110 oracles)") {
+    assert(SparkEntry.queries.size == 139)
+    assert(SparkEntry.oracleSql.size == 110)
   }
 }

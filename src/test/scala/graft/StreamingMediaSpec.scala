@@ -314,4 +314,73 @@ class StreamingMediaSpec extends SparkTestBase {
     assert(idx.nonEmpty && idx.forall(_ % 4 == 0))
     assert(frames.where(col("frame_bytes") > 64).count() == 0)
   }
+
+  test("streaming anomaly equals the batch operator across a forced two-batch split") {
+    // full-table single-batch equality is the q_stream_anomaly oracle's
+    // job; here force the state to CARRY across micro-batches: split one
+    // user's history at a time boundary into two files, stream with
+    // maxFilesPerTrigger=1, and require row-for-row equality with the
+    // batch trailing-window operator on the same rows.
+    val base = Files.createTempDirectory("graft_sanom_").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .where(col("user_id") < 8).orderBy("ts", "event_id")
+    val rows = ev.collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val schema = ev.schema
+    val stagedDir = s"$base/staged"
+    new java.io.File(stagedDir).mkdirs()
+    val now = System.currentTimeMillis()
+    for (((part, i)) <- Seq(first, second).zipWithIndex) {
+      val tmp = s"$base/f$i"
+      spark.createDataFrame(spark.sparkContext.parallelize(part.toSeq), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      for (p <- new java.io.File(tmp).listFiles() if p.getName.endsWith(".parquet")) {
+        val dst = new java.io.File(s"$stagedDir/part-$i.parquet")
+        Files.copy(p.toPath, dst.toPath)
+        assert(dst.setLastModified(now - 60000L + i * 30000L))
+      }
+    }
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+      .as[EventStreams.Event]
+    val q = EventStreams.streamingAnomaly(stream).toDF().writeStream
+      .format("memory").queryName("sanom_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // two batches actually ran (state had to carry)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+
+    val streamed = spark.table("sanom_test")
+      .select(col("event_id"), round(col("base_mean"), 6).as("base_mean"),
+        round(col("z"), 6).as("z"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val batchSrc = spark.read.parquet(stagedDir)
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val dec = col("value").cast(DecimalType(18, 2))
+      batchSrc
+        .select(col("event_id"),
+          sum(dec).over(w).cast("double").as("s1"),
+          sum(dec * dec).over(w).cast("double").as("s2"),
+          count(lit(1)).over(w).as("n"), col("value"))
+        .where(col("n") >= 10)
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .where(col("variance") > 0)
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+        .where(abs(col("z")) >= 3.0)
+        .select(col("event_id"), round(col("mean"), 6).as("base_mean"),
+          round(col("z"), 6).as("z"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    assert(streamed.keySet == batch.keySet,
+      s"only-stream=${streamed.keySet -- batch.keySet} only-batch=${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (id, v) => assert(v == batch(id), s"event $id: $v vs ${batch(id)}") }
+    assert(streamed.nonEmpty, "no anomalies crossed the split — fixture too small")
+  }
 }
