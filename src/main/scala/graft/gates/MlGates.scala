@@ -32,6 +32,9 @@ object MlGates {
     "q_word2vec"       -> ((s: SparkSession, d: String) => Pipelines.word2vec(s, d)),
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
     "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
+    // seeded k-means topic-balance report over embeddings (no oracle:
+    // JVM-seeded init; KmeansTopicsSpec pins planted-cluster recovery)
+    "q_kmeans_topics"  -> ((s: SparkSession, d: String) => Pipelines.kmeansTopics(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

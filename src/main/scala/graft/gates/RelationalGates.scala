@@ -40,6 +40,11 @@ object RelationalGates {
     "q_set_ops"        -> (Relational.setOps _),
     // left SEMI / ANTI join as first-class shapes (EXISTS / NOT EXISTS)
     "q_semi_anti"      -> (Relational.semiAnti _),
+    // FULL OUTER join of two keyed aggregates (1:1, coalesced zeros)
+    "q_join_outer"     -> (Relational.joinOuter _),
+    // row_number/rank/dense_rank/percent_rank/ntile battery, unique
+    // tiebreak, every-97th-row sample AFTER the window
+    "q_rank_family"    -> (Relational.rankFamily _),
     // CUBE grouping sets over (event_type, day) — one-shuffle all-slices
     "q_cube_daily"     -> (Relational.cubeDaily _),
     // UNPIVOT (melt): the A2 pivot inverted back to long rows
@@ -188,6 +193,34 @@ object RelationalGates {
         |UNION ALL
         |SELECT 'no_open_order', c_custkey, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM open)""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, count(*) AS n_purchases FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |  COALESCE(n_clicks, 0) AS n_clicks,
+        |  COALESCE(n_purchases, 0) AS n_purchases,
+        |  CASE WHEN n_clicks IS NULL THEN 'purchase_only'
+        |       WHEN n_purchases IS NULL THEN 'click_only'
+        |       ELSE 'both' END AS kind
+        |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""".stripMargin,
+
+    // ranks computed over the FULL partition, sampled after — the same
+    // window spec both engines run; unique event_id tiebreak
+    "q_rank_family" ->
+      """SELECT event_id, event_type, value,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+        |QUALIFY event_id % 97 = 0""".stripMargin,
 
     "q_cube_daily" ->
       """WITH e AS (

@@ -306,4 +306,41 @@ object Pipelines {
         "view / (click + 1.0) AS view_click_ratio FROM __THIS__")
     st.transform(SensorEtl.wide(s, d))
   }
+
+  /** ML breadth — seeded k-means topic clustering over the embeddings
+    * table: the unsupervised corpus-organization pass an LLM-data
+    * pipeline runs for topic balance / mixture design (and the same
+    * centroid machinery the IVF index builds on). Lloyd's iterations are
+    * each ONE broadcast-centroids + map-side-assign + partial-agg pass
+    * over the corpus — no shuffle wider than k×dim per iteration, the
+    * textbook 100 TB-safe plan. Returns one row per cluster (size,
+    * share) plus the model's training cost (within-cluster SSE) — a
+    * balance report, not per-point assignments (corpus-sized output).
+    * Seeded fit → deterministic across reruns in one JVM, but
+    * JVM-specific init (no DuckDB oracle; KmeansTopicsSpec pins planted
+    * -cluster recovery instead). */
+  def kmeansTopics(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    kmeansTopicsVecs(s, graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")), k)
+
+  /** [[kmeansTopics]] over an arbitrary (vec_id, embedding float-array)
+    * frame — the testable form. */
+  def kmeansTopicsVecs(s: SparkSession, vecs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = vecs
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .fit(data)
+    val cost = model.summary.trainingCost
+    val n = data.count().toDouble
+    model.summary.predictions
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") / lit(n), 6))
+      .withColumn("training_cost", round(lit(cost), 4))
+  }
 }

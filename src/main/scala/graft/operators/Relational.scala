@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -463,5 +464,52 @@ object Relational {
         max(col("doc_id")).as("max_doc_id"),
         min(md5(col("text"))).as("min_text_md5"),
         max(md5(col("text"))).as("max_text_md5"))
+  }
+
+  /** J-family extension — FULL OUTER join: per-user click counts against
+    * per-user purchase counts, unmatched sides preserved with coalesced
+    * zeros and a match-kind label. Both inputs are aggregates keyed by
+    * the join key, so the join is 1:1 — a plain shuffled hash join on
+    * user_id with no row multiplication; full-outer only adds the
+    * null-row emission to each side's unmatched partitions. */
+  def joinOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def perUser(t: String, out: String) =
+      ev.where(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as(out))
+    perUser("click", "n_clicks")
+      .join(perUser("purchase", "n_purchases"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        when(col("n_clicks").isNull, lit("purchase_only"))
+          .when(col("n_purchases").isNull, lit("click_only"))
+          .otherwise(lit("both")).as("kind"))
+  }
+
+  /** W-family extension — the SQL ranking-function battery over one
+    * series-partitioned window: row_number / rank / dense_rank /
+    * percent_rank / ntile(4), ordered by (value DESC, event_id) per
+    * event_type. The unique event_id tiebreak makes every rank
+    * deterministic (the oracle-determinism contract); percent_rank is
+    * the only float and rounds to 6. The window partitions by
+    * event_type — five partitions of corpus/5 rows each; at 100 TB the
+    * same battery would partition by a higher-cardinality key or ride
+    * the TakeOrdered top-k pattern (`q_orderby_topk`), and the
+    * WindowGroupLimit prune (`q_topk_per_key`) covers the rank-filter
+    * form. Output keeps every 97th event so the gate row stays bounded
+    * while still sampling all rank positions (the filter runs AFTER the
+    * window, so ranks are computed over the full partition). */
+  def rankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        ntile(4).over(w).as("quartile"))
+      .where(col("event_id") % 97 === 0)
   }
 }
