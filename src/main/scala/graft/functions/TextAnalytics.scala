@@ -609,4 +609,44 @@ object TextAnalytics {
       .agg(min("c").as("n_est"))
       .withColumn("overcount", col("n_est") - col("n_exact"))
   }
+
+  /** Corpus DRIFT report: the top-N tokens whose unigram probability
+    * differs most between two corpus halves — the distribution-shift
+    * check run before mixing a new crawl snapshot into a training mix
+    * (did the token distribution move, and on which tokens?). The
+    * ranking key is the cross-multiplied integer
+    * |cnt_a·tot_b − cnt_b·tot_a| (∝ |p_a − p_b| at a common
+    * denominator), so ordering and the top-N cut are exact int64
+    * arithmetic on both engines — no float comparison anywhere near the
+    * cut (int64 is safe through ~10⁹-token halves; beyond that, scale
+    * counts to per-million before ranking). Shape: one token groupBy
+    * with both half-counts as conditional sums (ONE shuffle, partial
+    * aggregation), totals as a broadcast 1-row aggregate, top-N via
+    * TakeOrderedAndProject — no global sort. */
+  def corpusDrift(s: SparkSession, d: String, topN: Int = 20): DataFrame =
+    corpusDriftDocs(Tables.documents(s, d), topN)
+
+  /** [[corpusDrift]] over an arbitrary (doc_id, text) frame; half A =
+    * even doc_id (a stable hash split would serve for real snapshots —
+    * the halving is a parameter of the report, not the mechanism). */
+  def corpusDriftDocs(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val toks = docs
+      .select((col("doc_id") % 2 === 0).as("half_a"),
+        explode(tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("half_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("half_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("score",
+        abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a")))
+      .orderBy(col("score").desc, col("token"))
+      .limit(topN)
+      .select(col("token"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast("double") / col("tot_a")).as("p_a"),
+        (col("cnt_b").cast("double") / col("tot_b")).as("p_b"),
+        col("score"))
+  }
 }

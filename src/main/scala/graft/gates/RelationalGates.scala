@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.SensorEtl
 import graft.functions.TextAnalytics
 import graft.ml.Pipelines
-import graft.operators.{Dedup, Relational, Similarity, TemporalJoins, TimeWindows}
+import graft.operators.{Dedup, Layout, Relational, Similarity, TemporalJoins, TimeWindows}
 import graft.timeseries.HoltForecast
 import OracleCtes._
 
@@ -73,11 +73,50 @@ object RelationalGates {
     // the rows-only gate check is stable; the hash itself is JVM-side →
     // no cross-engine oracle
     "q_hash_sample"    -> ((s: SparkSession, d: String) => Relational.hashSample(s, d)),
+    // date-partitioned write + statically pruned read (PartitionFilters
+    // — LayoutSpec asserts only the first week's directories are opened)
+    "q_partition_prune" -> (Layout.partitionPrunedDaily _),
+    // bucketed saveAsTable × 2 + exchange-free co-located SMJ
+    "q_bucket_join"    -> (Layout.bucketJoin _),
+    // 16-way salted skew join; oracle = the plain join (semantics-free)
+    "q_salted_join"    -> (Layout.saltedTypeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" ->
       "SELECT event_id, user_id AS terminal_id, value FROM events",
+
+    // the same first-week bound the operator computes driver-side; the
+    // partitioned layout must change IO, not answers
+    "q_partition_prune" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events
+        |WHERE CAST(ts AS DATE) <= (SELECT min(CAST(ts AS DATE)) + 6 FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // bucketing must change the plan (no Exchange), never the rows
+    "q_bucket_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, count(*) AS n_clicks,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_sum
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |others AS (
+        |  SELECT user_id, count(*) AS n_other
+        |  FROM events WHERE event_type <> 'click' GROUP BY 1)
+        |SELECT user_id, n_clicks, click_sum, n_other
+        |FROM clicks JOIN others USING (user_id)""".stripMargin,
+
+    // salting must be semantics-free: oracle = the plain unsalted join
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, count(*) AS type_n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS type_mean
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, dim.type_n, dim.type_mean,
+        |  e.value - dim.type_mean AS dev_from_mean
+        |FROM events e JOIN dim USING (event_type)""".stripMargin,
 
     "q_filter_conj" ->
       """SELECT event_id, ts, event_type, value FROM events

@@ -43,6 +43,9 @@ object TextGates {
     "q_quality_prune_sketch" -> ((s: SparkSession, d: String) => TextAnalytics.qualityPruneSketch(s, d)),
     // first-iteration BPE merge candidates (adjacent char-pair counts)
     "q_bpe_merges"     -> ((s: SparkSession, d: String) => TextAnalytics.bpeMergeCandidates(s, d)),
+    // distribution-shift report between two corpus halves (integer-exact
+    // cross-multiplied ranking — no float near the top-N cut)
+    "q_corpus_drift"   -> ((s: SparkSession, d: String) => TextAnalytics.corpusDrift(s, d)),
     // exact φ=1/30 heavy hitters (integer-threshold cut, no float share)
     "q_heavy_hitters"  -> ((s: SparkSession, d: String) => TextAnalytics.heavyHitters(s, d)),
     // Misra-Gries candidates + exact recount: provably EQUAL to the
@@ -65,6 +68,29 @@ object TextGates {
   )
 
   val oracles: Map[String, String] = Map(
+    // same whitespace tokenizer as every text oracle; BIGINT casts keep
+    // DuckDB's HUGEINT sums off the comparison path
+    "q_corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 = 0 AS half_a,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN half_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(sum(CASE WHEN NOT half_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |  FROM toks WHERE len(token) > 0 GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |    CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM counts)
+        |SELECT token, cnt_a, cnt_b,
+        |  CAST(cnt_a AS DOUBLE) / tot_a AS p_a,
+        |  CAST(cnt_b AS DOUBLE) / tot_b AS p_b,
+        |  abs(cnt_a * tot_b - cnt_b * tot_a) AS score
+        |FROM counts, tot
+        |ORDER BY score DESC, token
+        |LIMIT 20""".stripMargin,
+
     "q_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -38,9 +38,63 @@ object WindowGates {
     "q_rolling_stats"  -> ((s: SparkSession, d: String) => TemporalJoins.rollingStats(s, d)),
     // trailing-window z-score outliers (DECIMAL-exact moments, |z| >= 3)
     "q_anomaly_zscore" -> ((s: SparkSession, d: String) => TemporalJoins.anomalyZscore(s, d)),
+    // trailing ONE-HOUR time-range window (RANGE frame over epoch-micros
+    // — the irregular-sampling form the ROWS frame can't express)
+    "q_window_range"   -> (TemporalJoins.rangeRollingStats _),
+    // hopping 30-min/10-min windows (3× overlap, epoch-aligned grid)
+    "q_hopping"        -> (TimeWindows.hoppingCounts _),
+    // SCD2 dimension-history intervals from the append-only event log
+    "q_scd2"           -> (TemporalJoins.scd2Intervals _),
   )
 
   val oracles: Map[String, String] = Map(
+    // integer epoch-micros RANGE frame on both engines (Spark
+    // unix_micros / DuckDB epoch_us) — frame membership is exact; RANGE
+    // includes all ts peers so no tiebreak column is needed
+    "q_window_range" ->
+      """SELECT event_id, user_id, ts, value,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS avg_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the hopping-window grid re-derived with integer micros floor-div:
+    // each event lands in exactly 3 epoch-aligned 30m/10m windows
+    "q_hopping" ->
+      """WITH h AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 600000000 - o) * 600000000) AS w_start,
+        |    make_timestamp((epoch_us(ts) // 600000000 - o + 3) * 600000000) AS w_end,
+        |    event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) offs)
+        |SELECT w_start, w_end, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM h GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+        |    THEN 1 ELSE 0 END AS chg FROM o),
+        |r AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |  FROM f),
+        |iv AS (
+        |  SELECT user_id, run_id, min(event_type) AS status,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+        |  n_events,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current
+        |FROM iv""".stripMargin,
+
     "q_quantile" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 4) AS p25,

@@ -24,8 +24,9 @@ object Layout {
     * shuffle across every downstream join. Requires a metastore table
     * (saveAsTable), not a bare path. */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int, key: String,
-      sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, key)
+      sortCols: Seq[String] = Nil, path: Option[String] = None): Unit = {
+    val w0 = df.write.mode("overwrite").format("parquet")
+    val w = path.fold(w0)(p => w0.option("path", p)).bucketBy(nBuckets, key)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
@@ -92,4 +93,81 @@ object Layout {
       .agg(count_distinct(col(uniqueCol)).as("__part"))
       .groupBy(col(key))
       .agg(sum(col("__part")).as("n_distinct"))
+
+  /** q_partition_prune gate: write events PARTITIONED by calendar date
+    * (the canonical 100 TB fact layout — one directory per day), then
+    * read back with a static first-week date predicate that must resolve
+    * as directory pruning (PartitionFilters in the scan — LayoutSpec
+    * asserts it; only ~7 of the ~30 day directories are ever opened) and
+    * aggregate per (day, type). The pruning literal is computed from a
+    * 1-row min aggregate (bounded driver probe, the same class as the
+    * quantile/threshold probes) because a STATIC literal is exactly what
+    * makes the filter a partition filter rather than a runtime one. The
+    * oracle recomputes the same week bound in SQL over the raw table, so
+    * the round trip proves the partitioned layout changes IO, not
+    * answers. */
+  def partitionPrunedDaily(s: SparkSession, d: String): DataFrame = {
+    val path = graft.Scratch.dir(s"part_$d") + "/events_by_date"
+    val ev = graft.Tables.events(s, d)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+    writePartitioned(
+      ev.select("event_id", "user_id", "event_type", "value", "event_date"),
+      path, "event_date")
+    val minDate = ev.agg(min(col("event_date"))).head.getString(0)
+    val cutoff = java.time.LocalDate.parse(minDate).plusDays(6).toString
+    s.read.parquet(path)
+      .where(col("event_date") <= cutoff)
+      .groupBy(col("event_date").cast("string").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
+  }
+
+  /** q_bucket_join gate: two per-user aggregates written as BUCKETED
+    * tables (8 buckets on user_id, external paths under scratch), then
+    * equi-joined back. Because both sides carry the same bucketing, the
+    * SortMergeJoin needs NO Exchange — the layout amortizes the fact
+    * table's shuffle across every downstream keyed join, which at 100 TB
+    * is the single biggest shuffle saving available (LayoutSpec asserts
+    * the exchange-free plan; the merge hint keeps the planner on the
+    * bucket-aware SMJ path instead of broadcasting the small gate-scale
+    * side). Oracle = the same two aggregates joined in SQL: bucketing
+    * must change the plan, never the rows. */
+  def bucketJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = graft.Scratch.dir(s"bucket_$d")
+    val ev = graft.Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"), exactSum(col("value")).as("click_sum"))
+    val others = ev.where(col("event_type") =!= "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_other"))
+    writeBucketed(clicks, s"graft_clicks_$tag", 8, "user_id",
+      Seq("user_id"), Some(s"$base/clicks"))
+    writeBucketed(others, s"graft_others_$tag", 8, "user_id",
+      Seq("user_id"), Some(s"$base/others"))
+    s.table(s"graft_clicks_$tag")
+      .join(s.table(s"graft_others_$tag").hint("merge"), Seq("user_id"))
+      .select(col("user_id"), col("n_clicks"), col("click_sum"), col("n_other"))
+  }
+
+  /** q_salted_join gate: [[saltedJoin]] as a first-class oracled query —
+    * events joined to the per-type stats dim on (event_type, salt) with a
+    * 16-way deterministic salt, so the five hot event_type keys scatter
+    * across 80 reducers instead of 5 stragglers. The merge hint keeps the
+    * planner on the shuffled path at gate scale (a broadcast would hide
+    * the salted hashpartitioning the operator exists to produce — at
+    * 100 TB the dim side is a per-key aggregate too big to broadcast).
+    * The oracle is the plain unsalted join: salting must be
+    * semantics-free. */
+  def saltedTypeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "event_type", "value")
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("type_n"), exactAvg(col("value")).as("type_mean"))
+    saltedJoin(ev, dim.hint("merge"), "event_type", "event_id", salt = 16)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("type_n"), col("type_mean"),
+        (col("value") - col("type_mean")).as("dev_from_mean"))
+  }
 }

@@ -260,4 +260,60 @@ object TemporalJoins {
       .select(col("user_id"), col("day"), col("s_ts"), col("e_ts"),
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
   }
+
+  /** TIME-range rolling stats: per-user trailing ONE-HOUR window (RANGE
+    * frame over event-time, not a row count) — the form monitoring
+    * queries actually want ("events in the last hour"), and a shape
+    * `rollingStats`' ROWS frame cannot express when series are
+    * irregularly sampled. The frame bound is integer epoch-MICROS on
+    * both engines (Spark `unix_micros` / DuckDB `epoch_us`), so frame
+    * membership is exact integer comparison — no float time math — and
+    * RANGE frames include all timestamp peers regardless of intra-tie
+    * order, so the result is deterministic without a tiebreak column.
+    * Same scale shape as any series window: one shuffle on user_id,
+    * per-partition sort. */
+  def rangeRollingStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-hourUs, 0L)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("ts"), col("value"),
+      count(lit(1)).over(w).as("n_1h"),
+      sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double")
+        .as("sum_1h"),
+      (sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double")
+        / count(lit(1)).over(w)).as("avg_1h"))
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) interval build — the CDC
+    * primitive that turns an event log into a dimension history: per
+    * user, consecutive runs of the same `event_type` collapse to one
+    * row with [valid_from, valid_to) validity and an `is_current` flag
+    * on the open interval. Three window passes over ONE shuffle on
+    * user_id (lag → change flag, running sum → run id, lead over the
+    * per-run aggregate → interval close); all arithmetic is
+    * integer/timestamp-exact, so the gate oracles bit-for-bit. At
+    * 100 TB this is the standard "latest-state + full history from an
+    * append-only log" build, partitioned by the dimension key. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull
+          || lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byRun = Window.partitionBy("user_id").orderBy(col("run_id"))
+    runs.groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("status"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("run_id"), col("status"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+  }
 }

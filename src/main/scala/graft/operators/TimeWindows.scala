@@ -199,4 +199,20 @@ object TimeWindows {
       .withColumn("resid", col("dev") - col("seasonal"))
       .select("day", "day_avg", "trend", "dow", "seasonal", "resid")
   }
+
+  /** HOPPING (sliding) window aggregation: 30-minute windows advancing
+    * every 10 minutes — each event lands in exactly duration/slide = 3
+    * overlapping windows, the smoothed-trend form of the tumbling
+    * resample (W3). Spark's `window(ts, dur, slide)` expands the
+    * epoch-aligned window set as a PROJECTION (bounded 3× fan-out, no
+    * UDF, stays in whole-stage codegen) before the one groupBy shuffle —
+    * the same cost shape as a tumbling window at 3× rows. The DuckDB
+    * oracle re-derives the window grid with integer epoch-micros
+    * floor-division, so window membership is exact on both engines. */
+  def hoppingCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("value_sum"))
 }
