@@ -71,6 +71,9 @@ object DedupGates {
     // graph, canonical = min vec_id (recursive-CTE oracle)
     "q_embed_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.embedDedupClusters(s, d, tauMargin = 0.0)),
+    // SemDeDup: centroid-partitioned semantic dedup (no oracle — seeded
+    // k-means is JVM-side; SemDedupSpec pins recovery/precision/subset)
+    "q_semdedup"       -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

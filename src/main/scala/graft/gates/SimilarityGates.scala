@@ -17,6 +17,8 @@ object SimilarityGates {
     // LLM-pipeline: similarity search
     "q_cosine_topk"    -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    // index persisted to parquet and reloaded — same answers, same oracle
+    "q_ann_index_io"   -> ((s: SparkSession, d: String) => Similarity.annIvfIndexIO(s, d)),
     // measured recall@k of Lloyd-refined IVF vs brute-force ground truth
     // (no oracle: float Lloyd means; AnnRecallSpec pins the floor)
     "q_ann_recall"     -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
@@ -38,6 +40,51 @@ object SimilarityGates {
     // IVF-PQ composition: probe nprobe buckets, ADC over codes only
     "q_ivf_pq_topk"    -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
   )
+
+  /** The IVF probe/search oracle — shared verbatim by q_ann_ivf and
+    * q_ann_index_io: the persisted-reloaded index must answer
+    * IDENTICALLY to the in-memory one. */
+  private val AnnIvfOracle: String =
+    """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+        |  WHERE vec_id < LEAST(4096, GREATEST(4,
+        |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |asg AS (
+        |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
+        |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+        |        c.c_id) AS rn
+        |    FROM n, c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, q_emb, q_nrm, c_id AS bucket FROM (
+        |    SELECT q.q_id, q.q_emb, q.q_nrm, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(q.q_emb[i] AS DOUBLE) * c.c_emb[i])) / (q.q_nrm * c.c_nrm), 6) DESC,
+        |        c.c_id) AS rn
+        |    FROM q, c) t
+        |  WHERE rn <= 2),
+        |x AS (
+        |  SELECT p.q_id, a.vec_id, a.bucket,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(p.q_emb[i] AS DOUBLE) * a.embedding[i])) / (p.q_nrm * a.nrm) AS cos
+        |  FROM asg a JOIN probes p USING (bucket)
+        |  WHERE a.vec_id <> p.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, bucket, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM x)
+        |SELECT q_id, vec_id, bucket, rank, round(cos, 4) AS sim FROM r WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // reported doubles are RAW (bit-exact cross-engine: float→double is
@@ -129,46 +176,7 @@ object SimilarityGates {
         |  AND g.vec_id = t.vec_id
         |GROUP BY 1, 2""".stripMargin,
 
-    "q_ann_ivf" ->
-      """WITH n AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
-        |  WHERE vec_id < LEAST(4096, GREATEST(4,
-        |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
-        |asg AS (
-        |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
-        |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
-        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        list_sum(list_transform(generate_series(1, 64),
-        |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
-        |        c.c_id) AS rn
-        |    FROM n, c) t
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT q_id, q_emb, q_nrm, c_id AS bucket FROM (
-        |    SELECT q.q_id, q.q_emb, q.q_nrm, c.c_id,
-        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-        |        round(list_sum(list_transform(generate_series(1, 64),
-        |          i -> CAST(q.q_emb[i] AS DOUBLE) * c.c_emb[i])) / (q.q_nrm * c.c_nrm), 6) DESC,
-        |        c.c_id) AS rn
-        |    FROM q, c) t
-        |  WHERE rn <= 2),
-        |x AS (
-        |  SELECT p.q_id, a.vec_id, a.bucket,
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> CAST(p.q_emb[i] AS DOUBLE) * a.embedding[i])) / (p.q_nrm * a.nrm) AS cos
-        |  FROM asg a JOIN probes p USING (bucket)
-        |  WHERE a.vec_id <> p.q_id),
-        |r AS (
-        |  SELECT q_id, vec_id, bucket, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id)
-        |      AS INTEGER) AS rank
-        |  FROM x)
-        |SELECT q_id, vec_id, bucket, rank, round(cos, 4) AS sim FROM r WHERE rank <= 5""".stripMargin,
+    "q_ann_ivf" -> AnnIvfOracle,
+    "q_ann_index_io" -> AnnIvfOracle,
   )
 }

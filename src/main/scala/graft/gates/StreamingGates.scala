@@ -41,9 +41,30 @@ object StreamingGates {
     // cents ring per user) — equals the batch operator exactly, so it
     // SHARES q_anomaly_zscore's oracle
     "q_stream_anomaly" -> (graft.streaming.EventStreams.streamAnomaly _),
+    // watermark late-data semantics: a days-late replay batch must be
+    // dropped entirely and only watermark-closed windows finalize —
+    // both pinned by a DuckDB oracle over the raw table
+    "q_stream_late"    -> (graft.streaming.EventStreams.streamLateDrop _),
   )
 
   val oracles: Map[String, String] = Map(
+    // the streaming run saw on-time traffic (day ≥ min+3) first, then a
+    // days-late replay of the first three days: the replay must vanish
+    // (below the watermark) and append mode finalizes exactly the
+    // on-time windows whose end ≤ max ts − 10 min
+    "q_stream_late" ->
+      """WITH on_time AS (
+        |  SELECT * FROM events
+        |  WHERE CAST(ts AS DATE) >= (SELECT min(CAST(ts AS DATE)) + 3 FROM events)),
+        |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM on_time),
+        |agg AS (
+        |  SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+        |    count(*) AS n, max(value) AS max_value
+        |  FROM on_time GROUP BY 1, 2)
+        |SELECT user_id, bucket, avg_value, n, max_value
+        |FROM agg, wm WHERE bucket + INTERVAL 30 MINUTE <= wm.w""".stripMargin,
+
     // streaming result must equal the batch resample — same oracle
     "q_stream_resample" ->
       """SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,

@@ -1088,4 +1088,59 @@ object Dedup {
   /** Gate query: band-blocking recall over the documents table. */
   def simhashRecall(s: SparkSession, d: String): DataFrame =
     simhashBandRecall(simhash(s, d))
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, from the paper's
+    * public description): partition the embedding space with seeded
+    * k-means (deterministic Lloyd refinement over the √n lowest-id
+    * seeds — the same centroid machinery as the IVF index), then search
+    * for near-duplicate pairs ONLY within each cluster and drop every
+    * vector that has a lower-id partner at cosine ≥ tau. The clustering
+    * is the scale device: with ~√n clusters the within-cluster pair
+    * space is linear in the corpus, the same bound as the IVF/LSH
+    * variants — the trade (cross-cluster near-dups are missed; EXACT
+    * duplicates always co-cluster because identical vectors share a
+    * nearest centroid) is the paper's own contract, and SemDedupSpec
+    * measures it against the brute-force all-pairs ground truth.
+    *
+    * vs [[embedDedupClusters]] (LSH-bucketed pair graph + connected
+    * components): this is the CENTROID-partitioned member of the family
+    * — no banding hyperparameters, and the cluster id doubles as the
+    * IVF routing key, so a corpus that already carries the index pays
+    * nothing extra for dedup. No DuckDB oracle (seeded k-means is
+    * JVM-side, same no-oracle class as q_kmeans_topics); SemDedupSpec
+    * pins planted-dup recovery, flag precision, and subset-of-
+    * brute-force agreement. */
+  def semDedup(s: SparkSession, d: String, tau: Double = 0.95,
+      nClusters: Int = 0, iters: Int = 2): DataFrame =
+    semDedupVecs(Similarity.withNorm(s, d), tau, nClusters, iters)
+
+  /** [[semDedup]] over an arbitrary (vec_id, embedding, nrm) frame. */
+  def semDedupVecs(e: DataFrame, tau: Double = 0.95, nClusters: Int = 0,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.VectorExpressions.floatDot
+    val nc = if (nClusters > 0) nClusters
+      else Similarity.centroidCount(e.count())
+    // refineCentroids owns its cache lifecycle over e for the Lloyd rounds
+    val cents = Similarity.refineCentroids(e, nc, iters)
+    val assigned = Similarity.assignWith(e, cents)
+      .withColumnRenamed("bucket", "cluster")
+    // within-cluster near-dup partners with a LOWER id: one shuffle on
+    // cluster; ~√n clusters keep the pair space linear in the corpus
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .where(floatDot(col("a_emb"), col("b_emb"))
+        / (col("a_nrm") * col("b_nrm")) >= tau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_dups"))
+    assigned.select("vec_id", "cluster")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("keep"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"))
+  }
 }

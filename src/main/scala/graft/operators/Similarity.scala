@@ -725,10 +725,17 @@ object Similarity {
       else seedCents(e, nc)
     val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
     val assigned = assignWith(e, centArr)
-
-    // probe: each query's nprobe nearest centroids
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    ivfSearch(cents, assigned, q, nprobe, k)
+  }
+
+  /** The IVF probe + bucket-search stage, shared by [[annIvf]] (in-memory
+    * index) and [[annIvfIndexIO]] (index reloaded from parquet) so the
+    * two paths can never drift: probe each query's nprobe nearest
+    * centroids, then search only the probed buckets. */
+  private def ivfSearch(cents: DataFrame, assigned: DataFrame, q: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
     val wProbe = Window.partitionBy("q_id").orderBy(col("p_sim_key").desc, col("c_id"))
     val probes = q.join(broadcast(cents))
       .withColumn("p_sim_key",
@@ -747,5 +754,44 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("bucket"), col("rank"),
         round(col("cos"), 4).as("sim"))
+  }
+
+  /** Persist the IVF index: the broadcast-sized centroid table and the
+    * bucket-assigned posting vectors, each as parquet under `path`. This
+    * is the build-once/query-many lifecycle a production vector index
+    * needs — at 100 TB the assignment pass (the expensive map over every
+    * vector) runs once per corpus snapshot and every query session reads
+    * the postings back partitioned by bucket, instead of re-deriving the
+    * index per session. Floats round-trip parquet bit-exactly, so a
+    * reloaded index answers IDENTICALLY to the in-memory one
+    * (AnnRecallSpec pins equality; the gate row shares q_ann_ivf's
+    * DuckDB oracle for the same reason). */
+  def ivfIndexSave(s: SparkSession, d: String, path: String,
+      nCentroids: Int = 0): Unit = {
+    import s.implicits._
+    val e = withNorm(s, d)
+    val nc = if (nCentroids > 0) nCentroids else centroidCount(e.count())
+    val centArr = seedCents(e, nc)
+    centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assignWith(e, centArr)
+      .repartition(col("bucket")) // postings co-located by bucket on disk
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** q_ann_index_io gate: save the IVF index to parquet, reload it, and
+    * answer the same top-k queries as q_ann_ivf through [[ivfSearch]] —
+    * result must be IDENTICAL to the in-memory path (it shares
+    * q_ann_ivf's oracle). */
+  def annIvfIndexIO(s: SparkSession, d: String, nprobe: Int = 2,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val path = graft.Scratch.dir(s"ivf_$d")
+    ivfIndexSave(s, d, path)
+    val cents = s.read.parquet(s"$path/centroids")
+    val assigned = s.read.parquet(s"$path/postings")
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    ivfSearch(cents, assigned, q, nprobe, k)
   }
 }

@@ -663,4 +663,67 @@ object EventStreams {
         .select(col("term"), col("cnt"), col("total"))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  /** q_stream_late gate: watermark LATE-DATA semantics pinned end-to-end
+    * by a DuckDB oracle. The events table is staged as THREE files
+    * drained as ordered micro-batches (mtime order + maxFilesPerTrigger
+    * = 1, the StreamingMediaSpec device): batches 1-2 = every event
+    * from day 3 on (the live traffic, split by event_id parity), batch
+    * 3 = the first three days (a late replay arriving days after the
+    * fact). Three batches, not two, because since the multi-stateful-
+    * operator work (Spark 3.4) the LATE-ROW filter uses the PREVIOUS
+    * batch's watermark (watermarkForLateEvents) while EVICTION uses the
+    * current one — a late row one batch after the traffic that should
+    * expire it is still accepted (and immediately emitted by eviction).
+    * Only at the second batch after the frontier does the late filter
+    * see max(ts) − 10 min; every replay row is DAYS below it and must
+    * be dropped pre-state. Append mode then finalizes exactly the
+    * on-time windows whose end ≤ the watermark — which is precisely
+    * what the oracle computes from the raw table (on-time subset,
+    * windows closed by max ts − 10 min). The one window the watermark
+    * hasn't passed stays unemitted: late-drop AND emission-frontier
+    * semantics both land in the hash check. State is bounded by the
+    * watermark horizon exactly as in production; the oracle sees none
+    * of the streaming machinery, only its contract. */
+  def streamLateDrop(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    try streamLateDropInner(s, d)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamLateDropInner(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val minDate = ev.agg(min(to_date(col("ts")))).head.getDate(0)
+    val cut = java.sql.Date.valueOf(minDate.toLocalDate.plusDays(3))
+    val staged = graft.Scratch.dir(s"late_$d")
+    new java.io.File(staged).mkdirs()
+    val now = System.currentTimeMillis()
+    Seq(
+      to_date(col("ts")) >= cut && col("event_id") % 2 === 0,
+      to_date(col("ts")) >= cut && col("event_id") % 2 === 1,
+      to_date(col("ts")) < cut).zipWithIndex
+      .foreach { case (pred, i) =>
+        val tmp = s"$staged/build_$i"
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$staged/part-$i.parquet")
+        java.nio.file.Files.copy(src.toPath, dst.toPath)
+        // mtime drives FileStreamSource batch order; a silently rejected
+        // mtime write must fail setup, not go flaky
+        require(dst.setLastModified(now - 60000L + i * 30000L))
+      }
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*.parquet")
+      .parquet(staged)
+    val name = "graft_stream_late"
+    val q = windowedMeans(stream).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append())
+      .start()
+    drain(q, "late_drop")
+    s.table(name)
+  }
 }

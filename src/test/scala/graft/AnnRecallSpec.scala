@@ -87,4 +87,12 @@ class AnnRecallSpec extends SparkTestBase {
     assert(Similarity.dotTopK(spark, sf)
       .where(col("q_id") === col("vec_id")).count() == 0)
   }
+
+  test("persisted-and-reloaded IVF index answers identically to the in-memory index") {
+    // floats round-trip parquet bit-exactly, so the reloaded postings
+    // must reproduce every (q_id, vec_id, bucket, rank, sim) row
+    val mem = Similarity.annIvf(spark, sf).collect().map(_.toString).sorted.toSeq
+    val io = Similarity.annIvfIndexIO(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(io == mem, "index IO round-trip changed answers")
+  }
 }
