@@ -610,6 +610,40 @@ object TextAnalytics {
       .withColumn("overcount", col("n_est") - col("n_exact"))
   }
 
+  /** Quality-signal ENSEMBLE report: the per-document quality axes
+    * ([[textStats]]' length / alpha-ratio / stopword-ratio signals)
+    * folded into one weighted score, histogrammed into fixed-width
+    * score buckets — the "where does my corpus sit on the combined
+    * quality axis" report run before choosing a pruning threshold.
+    * Buckets are `floor(score·10)` (clamped), NOT ntile deciles: a
+    * fixed-width bucket is per-row and shuffle-free where a decile
+    * needs a global ordered window — the same global-sort avoidance as
+    * the sketch quality gate. Every signal is a ratio of exact integer
+    * counts and the score/bucket chain is one fixed expression tree, so
+    * the report oracles bit-for-bit; per-bucket avg goes through the
+    * DECIMAL-exact sum of the 6-dp-rounded score. */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val perDoc = Tables.documents(s, d).select(
+      col("doc_id"),
+      least(lit(1.0), length(col("text")).cast("double") / 1000.0).as("len_score"),
+      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+        / length(col("text"))).as("alpha_ratio"),
+      (hits(t, stopEn).cast("double") / nTok).as("stop_ratio"))
+      .withColumn("score",
+        lit(0.25) * col("len_score") + lit(0.4) * col("alpha_ratio")
+          + lit(0.35) * col("stop_ratio"))
+      .withColumn("bucket", least(lit(9L), floor(col("score") * 10)))
+    perDoc.groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(round(col("score"), 6)).as("min_score"),
+        max(round(col("score"), 6)).as("max_score"),
+        (sum(round(col("score"), 6).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("avg_score"))
+  }
+
   /** Corpus DRIFT report: the top-N tokens whose unigram probability
     * differs most between two corpus halves — the distribution-shift
     * check run before mixing a new crawl snapshot into a training mix

@@ -19,6 +19,9 @@ object SimilarityGates {
     "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     // index persisted to parquet and reloaded — same answers, same oracle
     "q_ann_index_io"   -> ((s: SparkSession, d: String) => Similarity.annIvfIndexIO(s, d)),
+    // contrastive pair mining: per anchor, top-k same-label positives +
+    // top-k nearest WRONG-label hard negatives
+    "q_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     // measured recall@k of Lloyd-refined IVF vs brute-force ground truth
     // (no oracle: float Lloyd means; AnnRecallSpec pins the floor)
     "q_ann_recall"     -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
@@ -178,5 +181,28 @@ object SimilarityGates {
 
     "q_ann_ivf" -> AnnIvfOracle,
     "q_ann_index_io" -> AnnIvfOracle,
+
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 10),
+        |x AS (
+        |  SELECT q.q_id, e.vec_id, e.label,
+        |    CASE WHEN e.label = q.q_label THEN 'positive'
+        |      ELSE 'hard_negative' END AS pair_type,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, pair_type, vec_id, label, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id, pair_type
+        |      ORDER BY round(cos, 6) DESC, vec_id) AS INTEGER) AS rank
+        |  FROM x)
+        |SELECT q_id, pair_type, rank, vec_id, label, round(cos, 4) AS sim
+        |FROM r WHERE rank <= 3""".stripMargin,
   )
 }

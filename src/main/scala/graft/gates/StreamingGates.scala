@@ -45,7 +45,29 @@ object StreamingGates {
     // dropped entirely and only watermark-closed windows finalize —
     // both pinned by a DuckDB oracle over the raw table
     "q_stream_late"    -> (graft.streaming.EventStreams.streamLateDrop _),
+    // chained stateful stages (dedup -> windowed agg) in one query; the
+    // doubled source must leave no trace — shares q_stream_sink's oracle
+    "q_stream_dedup_agg" -> (graft.streaming.EventStreams.streamDedupAgg _),
+    // foreachBatch incremental MERGE into versioned gold snapshots;
+    // DECIMAL partials make N merges == the one-shot batch aggregate
+    "q_stream_upsert"  -> (graft.streaming.EventStreams.streamUpsertGold _),
   )
+
+  /** The watermark-closed window subset of the batch resample — shared
+    * verbatim by q_stream_sink (parquet sink path) and
+    * q_stream_dedup_agg (chained dedup→agg): Append-mode emission must
+    * land on this exact set whatever the upstream stages are. */
+  private val ClosedWindowsOracle: String =
+    """WITH cutoff AS (
+      |  SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+      |agg AS (
+      |  SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+      |    count(*) AS n, max(value) AS max_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, bucket, avg_value, n, max_value
+      |FROM agg, cutoff
+      |WHERE bucket + INTERVAL 30 MINUTE <= wm""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the streaming run saw on-time traffic (day ≥ min+3) first, then a
@@ -82,17 +104,16 @@ object StreamingGates {
     // watermark passes its END. Window ends sit on the 30-min grid and
     // the cutoff carries the max ts's sub-second offset, so < vs <= at
     // the boundary cannot matter
-    "q_stream_sink" ->
-      """WITH cutoff AS (
-        |  SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
-        |agg AS (
-        |  SELECT user_id, time_bucket(INTERVAL '30 minutes', ts) AS bucket,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
-        |    count(*) AS n, max(value) AS max_value
-        |  FROM events GROUP BY 1, 2)
-        |SELECT user_id, bucket, avg_value, n, max_value
-        |FROM agg, cutoff
-        |WHERE bucket + INTERVAL 30 MINUTE <= wm""".stripMargin,
+    // gold after any batching == the one-shot aggregate (DECIMAL partials)
+    "q_stream_upsert" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_stream_sink" -> ClosedWindowsOracle,
+    // chained dedup→agg must land on the SAME closed-window subset: the
+    // doubled stream leaves no trace in the hash
+    "q_stream_dedup_agg" -> ClosedWindowsOracle,
 
     // session_window semantics: new session when ts > prev + gap at FULL
     // timestamp precision — an event landing exactly on the gap boundary

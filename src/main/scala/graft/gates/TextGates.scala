@@ -46,6 +46,9 @@ object TextGates {
     // distribution-shift report between two corpus halves (integer-exact
     // cross-multiplied ranking — no float near the top-N cut)
     "q_corpus_drift"   -> ((s: SparkSession, d: String) => TextAnalytics.corpusDrift(s, d)),
+    // weighted quality-signal ensemble histogram (fixed-width buckets,
+    // no global ordered window)
+    "q_quality_ensemble" -> (TextAnalytics.qualityEnsemble _),
     // exact φ=1/30 heavy hitters (integer-threshold cut, no float share)
     "q_heavy_hitters"  -> ((s: SparkSession, d: String) => TextAnalytics.heavyHitters(s, d)),
     // Misra-Gries candidates + exact recount: provably EQUAL to the
@@ -68,6 +71,25 @@ object TextGates {
   )
 
   val oracles: Map[String, String] = Map(
+    // same per-doc signal formulas as q_text_stats; the score chain is
+    // one fixed expression tree so the bucket cut can't flip
+    "q_quality_ensemble" ->
+      """WITH perdoc AS (
+        |  SELECT doc_id,
+        |    0.25 * least(1.0, CAST(length(text) AS DOUBLE) / 1000.0)
+        |    + 0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / length(text))
+        |    + 0.35 * (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+        |        / len(string_split_regex(lower(trim(text)), '\s+'))) AS score
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bucket,
+        |    round(score, 6) AS r FROM perdoc)
+        |SELECT bucket, count(*) AS n, min(r) AS min_score, max(r) AS max_score,
+        |  CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_score
+        |FROM b GROUP BY 1""".stripMargin,
+
     // same whitespace tokenizer as every text oracle; BIGINT casts keep
     // DuckDB's HUGEINT sums off the comparison path
     "q_corpus_drift" ->

@@ -659,6 +659,38 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 4).as("sim"))
   }
 
+  /** Contrastive-pair mining over the LABELED embedding corpus: for each
+    * anchor, its top-k SAME-label neighbors (positives) and top-k
+    * DIFFERENT-label nearest neighbors (hard negatives — the
+    * semantically closest wrong-class examples, exactly the pairs a
+    * contrastive/metric-learning fine-tune wants in its batches). Same
+    * plan as [[cosineTopK]]: corpus streamed once, anchors broadcast,
+    * one window over (anchor, pair_type) with the deterministic
+    * (round(cos, 6) DESC, vec_id) ranking — fully oracle-able. At
+    * 100 TB the anchor set rides the IVF index ([[annIvf]]) instead of
+    * the brute-force scan; the mining logic (label split + per-type
+    * top-k) is unchanged. */
+  def hardNegatives(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 3): DataFrame = {
+    val e = withNorm(s, d)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val w = Window.partitionBy("q_id", "pair_type")
+      .orderBy(col("sim_key").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("pair_type",
+        when(col("label") === col("q_label"), "positive")
+          .otherwise("hard_negative"))
+      .withColumn("cos",
+        floatDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("sim_key", round(col("cos"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("pair_type"), col("rank"), col("vec_id"),
+        col("label"), round(col("cos"), 4).as("sim"))
+  }
+
   /** Matryoshka-style truncation trade, measured: recall@k of brute-force
     * cosine over the FIRST `dim` embedding components against the
     * full-dimension ground truth, one row per (trunc_dim, query). The

@@ -139,8 +139,14 @@ object EventStreams {
     * and batch results are bit-identical (and both match the DuckDB
     * oracle). */
   def windowedMeans(events: DataFrame): DataFrame =
+    windowedMeansPreWatermarked(events.withWatermark("ts", "10 minutes"))
+
+  /** [[windowedMeans]] minus the watermark declaration — for CHAINED
+    * stateful pipelines where an upstream stage already declared the
+    * stream's one watermark (redeclaring is disallowed under
+    * statefulOperator.allowMultiple). */
+  def windowedMeansPreWatermarked(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
       .groupBy(col("user_id"), window(col("ts"), "30 minutes"))
       .agg(graft.operators.exactAvg(col("value")).as("avg_value"),
         count(lit(1)).as("n"), max("value").as("max_value"))
@@ -662,6 +668,119 @@ object EventStreams {
         .where(col("cnt") * k >= col("total"))
         .select(col("term"), col("cnt"), col("total"))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** q_stream_dedup_agg gate: CHAINED stateful operators in ONE streaming
+    * query — exact dedup (dropDuplicatesWithinWatermark keyed state)
+    * feeding a windowed aggregation (window state) — the multi-stateful
+    * pipeline Spark supports since 3.4, and the shape a production
+    * ingest actually runs: kill replays FIRST, aggregate ONCE. The
+    * source streams every row twice (two unioned file sources, the
+    * q_stream_dedup device); the dedup stage must reduce that to one
+    * copy per event_id and the downstream Append aggregation finalizes
+    * exactly the watermark-closed windows — so the result must equal
+    * the batch resample over the RAW table restricted to closed windows
+    * and the gate SHARES q_stream_sink's oracle: two stateful stages,
+    * one hash check, zero double counting. A single watermark declared
+    * at the source governs both stages (watermarkForLateEvents /
+    * watermarkForEviction propagate per stage — see q_stream_late). */
+  def streamDedupAgg(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    try {
+      def src: DataFrame = rawEventStream(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val name = "graft_stream_dedup_agg"
+      val q = windowedMeansPreWatermarked(dedupStream(src.unionAll(src)))
+        .writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      drain(q, "dedup_agg")
+      s.table(name)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** q_stream_upsert gate: the foreachBatch INCREMENTAL-MERGE sink — the
+    * production pattern for maintaining a "gold" aggregate table from a
+    * stream without a lakehouse MERGE primitive: each micro-batch is
+    * partially aggregated (per-user count + DECIMAL-exact sum), then
+    * full-outer-merged with the previous gold snapshot by ADDING the
+    * partials, and written as a new immutable snapshot version (write-
+    * new-then-point, never overwrite-in-place — the swap is atomic at
+    * the pointer, exactly how iceberg/delta commit under the hood). Two
+    * ordered micro-batches (event_id parity split) force at least one
+    * real merge. DECIMAL addition is associative-exact, so gold after N
+    * merges equals the one-shot batch aggregate bit for bit — the
+    * DuckDB oracle — no matter how the stream was batched. On a resumed
+    * checkpoint (bench repeat reps) no batch fires; the latest committed
+    * snapshot is re-read — the exactly-once resume contract. */
+  def streamUpsertGold(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    try streamUpsertGoldInner(s, d)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamUpsertGoldInner(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val staged = graft.Scratch.dir(s"upsert_src_$d")
+    new java.io.File(staged).mkdirs()
+    val now = System.currentTimeMillis()
+    Seq(col("event_id") % 2 === 0, col("event_id") % 2 === 1).zipWithIndex
+      .foreach { case (pred, i) =>
+        val tmp = s"$staged/build_$i"
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(s"$staged/part-$i.parquet")
+        if (!dst.exists()) { // resumed checkpoint: keep the committed files
+          java.nio.file.Files.copy(src.toPath, dst.toPath)
+          require(dst.setLastModified(now - 60000L + i * 30000L))
+        }
+      }
+    val goldBase = graft.Scratch.dir(s"gold_$d")
+    val dec = DecimalType(38, 2)
+    @volatile var latest: Option[String] = None
+    val stream = s.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*.parquet")
+      .parquet(staged)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$goldBase/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val agg = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(dec).as("value_sum"))
+        val merged = latest match {
+          case None => agg
+          case Some(prev) =>
+            val gold = batch.sparkSession.read.parquet(prev)
+            gold.select(col("user_id"), col("n").as("g_n"),
+                col("value_sum").cast(dec).as("g_sum"))
+              .join(agg.select(col("user_id"), col("n").as("b_n"),
+                col("value_sum").as("b_sum")), Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("g_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n"),
+                (coalesce(col("g_sum"), lit(0).cast(dec))
+                  + coalesce(col("b_sum"), lit(0).cast(dec))).cast(dec).as("value_sum"))
+        }
+        val out = s"$goldBase/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        latest = Some(out)
+        ()
+      }
+      .start()
+    drain(q, "upsert_gold")
+    val finalPath = latest.getOrElse {
+      // resumed checkpoint, no new batch: point at the latest snapshot
+      new java.io.File(goldBase).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .maxBy(_.getName.drop(1).toLong).toString
+    }
+    s.read.parquet(finalPath)
+      .select(col("user_id"), col("n"), col("value_sum").cast("double").as("value_sum"))
   }
 
   /** q_stream_late gate: watermark LATE-DATA semantics pinned end-to-end
