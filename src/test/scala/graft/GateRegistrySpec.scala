@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (142 queries, 112 oracles)") {
-    assert(SparkEntry.queries.size == 142)
-    assert(SparkEntry.oracleSql.size == 112)
+  test("registry carries the full suite (156 queries, 125 oracles)") {
+    assert(SparkEntry.queries.size == 156)
+    assert(SparkEntry.oracleSql.size == 125)
   }
 }
