@@ -214,4 +214,49 @@ object CorpusPipeline {
       .join(keep, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "n_chars", "n_tokens")
   }
+
+  /** Per-shard PROVENANCE manifest over the packed corpus: for every
+    * (lang, shard) of [[corpusPack]]'s output, the document/token
+    * contribution per source — the lineage record a training run keeps
+    * next to each shard ("what went into this shard, from where"), and
+    * the table you consult when a bad batch traces back to a source.
+    * One broadcast-light join of the pack assignment to the documents'
+    * source column + one groupBy; rides the memoized clean/pack family
+    * so in-session it costs only the final aggregation. */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    corpusPack(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("lang", "shard", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+
+  /** Corpus SNAPSHOT DIFF: classify every document across two corpus
+    * versions as added / removed / changed / unchanged by keyed
+    * full-outer join + content-md5 compare — the data-ops report run
+    * when a new crawl snapshot replaces the old one ("how much actually
+    * moved?"), aggregated per (change_type, source). The v2 snapshot is
+    * synthesized deterministically from v1 (every 17th doc removed,
+    * every 13th modified, every 7th re-added as a NEW negative-id doc),
+    * so the whole report oracles exactly; a real pipeline would read two
+    * snapshot paths. Scale shape: one shuffle on doc_id for the
+    * full-outer join, md5 per row — scan-bound. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+    val v2 = v1.where(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .unionAll(v1.where(col("doc_id") % 7 === 0)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"), col("source")))
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"), col("source").as("s1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"), col("source").as("s2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("s1"), col("s2")).as("source"),
+        when(col("h2").isNull, "removed")
+          .when(col("h1").isNull, "added")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("source", "change_type")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -26,6 +26,10 @@ object EtlGates {
     "q_corpus_stats_rollup" -> (graft.etl.CorpusPipeline.corpusStatsRollup _),
     // composed tail: clean -> pack (ragged doc_ids through the prefix sum)
     "q_corpus_pack"    -> (graft.etl.CorpusPipeline.corpusPack _),
+    // per-shard provenance manifest (lineage record next to each shard)
+    "q_shard_manifest" -> (graft.etl.CorpusPipeline.shardManifest _),
+    // snapshot-to-snapshot diff report (added/removed/changed/unchanged)
+    "q_snapshot_diff"  -> (graft.etl.CorpusPipeline.snapshotDiff _),
     // α=0.5 temperature-resampled language mixing weights + keep rates
     "q_lang_sample"    -> (graft.etl.CorpusPipeline.langSample _),
     // sequence packing: token-budget shards (two-level distributed
@@ -75,19 +79,38 @@ object EtlGates {
     // corpus (non-dense surviving doc_ids drive the chunked prefix sum)
     "q_corpus_pack" ->
       s"""WITH RECURSIVE $CorpusCleanCtes,
-        |surv AS (
-        |  SELECT e.doc_id, e.lang,
-        |    CAST(len(regexp_extract_all(e.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-        |      AS n_tokens
-        |  FROM exdedup e JOIN keepers k ON e.doc_id = k.id),
-        |cc AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM surv)
-        |SELECT doc_id, lang, n_tokens,
-        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
-        |FROM cc""".stripMargin,
+        |$PackCtes
+        |SELECT doc_id, lang, n_tokens, shard FROM pack""".stripMargin,
+
+    // the manifest must agree with the pack assignment row for row, so it
+    // extends the SAME pack CTE block
+    "q_shard_manifest" ->
+      s"""WITH RECURSIVE $CorpusCleanCtes,
+        |$PackCtes
+        |SELECT p.lang, p.shard, d.source, count(*) AS n_docs,
+        |  CAST(sum(p.n_tokens) AS BIGINT) AS tokens
+        |FROM pack p JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // v2 synthesized with the same arithmetic as the operator; the diff
+    // classes are exact keyed-join + content-hash logic
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, source FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text,
+        |    source
+        |  FROM v1 WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT -doc_id - 1, 'new ' || text, source FROM v1 WHERE doc_id % 7 = 0),
+        |j AS (
+        |  SELECT coalesce(a.source, b.source) AS source,
+        |    CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT source, change_type, count(*) AS n FROM j GROUP BY 1, 2""".stripMargin,
 
     // share is one exact division of exact integer sums; weight is IEEE
     // sqrt (correctly rounded on both engines) — both raw. target_share

@@ -52,6 +52,27 @@ object OracleCtes {
 
   private[gates] val NgramReachCtes: String = ngramReachCtes("documents")
 
+  /** The token-budget pack assignment over the cleaned corpus (per-lang
+    * running token sum → 2048-token shards) — shared by the
+    * q_corpus_pack and q_shard_manifest oracles so the manifest can
+    * never drift from the pack assignment. Must follow
+    * [[CorpusCleanCtes]] in the WITH list (needs exdedup + keepers). */
+  private[gates] val PackCtes: String =
+    """surv AS (
+      |  SELECT e.doc_id, e.lang,
+      |    CAST(len(regexp_extract_all(e.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM exdedup e JOIN keepers k ON e.doc_id = k.id),
+      |cc AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM surv),
+      |pack AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
+      |  FROM cc)""".stripMargin
+
   /** The full corpus-clean CTE chain (quality gate → exact dedup →
     * near-dup reachability → keepers) over `documents` — shared by the
     * `q_corpus_clean` / `q_corpus_pack` oracles so the composed recipe's

@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (156 queries, 125 oracles)") {
-    assert(SparkEntry.queries.size == 156)
-    assert(SparkEntry.oracleSql.size == 125)
+  test("registry carries the full suite (158 queries, 127 oracles)") {
+    assert(SparkEntry.queries.size == 158)
+    assert(SparkEntry.oracleSql.size == 127)
   }
 }
