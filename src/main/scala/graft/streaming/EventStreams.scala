@@ -829,10 +829,12 @@ object EventStreams {
         val src = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         val dst = new java.io.File(s"$staged/part-$i.parquet")
-        java.nio.file.Files.copy(src.toPath, dst.toPath)
-        // mtime drives FileStreamSource batch order; a silently rejected
-        // mtime write must fail setup, not go flaky
-        require(dst.setLastModified(now - 60000L + i * 30000L))
+        if (!dst.exists()) { // repeat call in one JVM: keep committed files
+          java.nio.file.Files.copy(src.toPath, dst.toPath)
+          // mtime drives FileStreamSource batch order; a silently rejected
+          // mtime write must fail setup, not go flaky
+          require(dst.setLastModified(now - 60000L + i * 30000L))
+        }
       }
     val stream = s.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1")
