@@ -259,4 +259,35 @@ object CorpusPipeline {
       .groupBy("source", "change_type")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Referential-integrity audit between the text corpus and its
+    * embedding store — the "does every doc have a vector, and does every
+    * vector still have a doc" gate a pipeline runs before training or
+    * index builds. One full-outer join on the shared id, aggregated to a
+    * per-status report (`linked` / `doc_only` / `vec_only`) with id
+    * ranges for triage. Dangling vectors (vec_only) mean the dedup pass
+    * dropped docs after embedding; missing vectors (doc_only) mean the
+    * embedding job has a backlog. Shuffles once on the id; the report
+    * side is a 3-row aggregate. */
+  def integrityAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), lit(1).as("has_doc"))
+    // driver testdata aligns doc_id↔vec_id 1:1, which would exercise only
+    // the happy path — synthesize the two failure classes with the same
+    // deterministic arithmetic q_snapshot_diff uses for its v2: an
+    // embedding backlog (every 9th vector missing) and orphan vectors
+    // (offset ids with no doc)
+    val base = Tables.embeddings(s, d).select(col("vec_id"))
+    val vecs = base.where(col("vec_id") % 9 =!= 0)
+      .unionAll(base.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id")))
+      .select(col("vec_id").as("id"), lit(1).as("has_vec"))
+    docs.join(vecs, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("has_doc").isNotNull && col("has_vec").isNotNull, "linked")
+          .when(col("has_doc").isNotNull, "doc_only")
+          .otherwise("vec_only"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+  }
 }

@@ -683,4 +683,41 @@ object TextAnalytics {
         (col("cnt_b").cast("double") / col("tot_b")).as("p_b"),
         col("score"))
   }
+
+  /** Tokenize-to-ids: build a top-`vocabSize` frequency vocabulary
+    * (rank by count desc, term asc — total order) and map every document
+    * to its id sequence (`0` = OOV/UNK), the last transform before rows
+    * leave the engine for a training loader.
+    *
+    * Scale shape: the vocabulary cut is `orderBy(...).limit(V)` — a
+    * TakeOrderedAndProject (per-partition top-V heaps, V rows to the
+    * driver side of the exchange), NOT a global sort; the only
+    * unpartitioned `row_number` window runs over exactly V rows to
+    * assign ids. The mapping join broadcasts the V-row vocabulary, so
+    * the corpus-side pass is scan-speed: posexplode → broadcast hash
+    * join → one groupBy(doc_id) to reassemble positions. The id arrays
+    * come back position-ordered via array_sort over (pos, id) structs —
+    * no per-doc window. */
+  def tokenizeIds(s: SparkSession, d: String, vocabSize: Int = 64): DataFrame =
+    tokenizeIdsDocs(Tables.documents(s, d), vocabSize)
+
+  def tokenizeIdsDocs(docs: DataFrame, vocabSize: Int = 64): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val wId = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term").asc) // over <= vocabSize rows
+    val vocab = counts.orderBy(col("c").desc, col("term").asc).limit(vocabSize)
+      .withColumn("id", row_number().over(wId))
+      .select("term", "id")
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("id"), lit(0)).as("id")))),
+          x => x.getField("id")).as("ids"))
+  }
 }

@@ -40,6 +40,10 @@ object DedupGates {
     // duplicated w-token span report (exact-substring-dedup half of
     // Lee et al. 2022; catches boilerplate whole-doc Jaccard misses)
     "q_dup_spans"      -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
+    // duplicate-span REMOVAL (the rewrite the report only flags):
+    // corpus-wide first-occurrence-wins over 8-token tiles, docs
+    // reassembled from surviving tiles (C4/Lee-style substring dedup)
+    "q_span_scrub"     -> ((s: SparkSession, d: String) => Dedup.spanScrub(s, d)),
     // incremental-ingest dedup triage (batch vs existing corpus)
     "q_incremental_dedup" -> (Dedup.incrementalStatus _),
     // native banded minhash (Dedup.minhashBanded); the spark.ml
@@ -180,6 +184,30 @@ object DedupGates {
         |  CAST(sum(CASE WHEN wc.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5 AS flagged
         |FROM win w JOIN wc USING (win)
         |GROUP BY 1""".stripMargin,
+
+    // non-overlapping 8-token tiles (ceil(n/8), ragged tail kept);
+    // first occurrence = min (doc_id, tile_idx) — the oracle's
+    // row_number equals the Spark side's min-struct agg; string_agg
+    // skips the non-kept NULLs and coalesces to '' when every tile of a
+    // doc was already seen elsewhere (Spark's array_join on empty)
+    "q_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |tiles AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) AS tile_idx,
+        |    unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1),
+        |      i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' '))) AS tile
+        |  FROM toks WHERE len(t) >= 1),
+        |k AS (
+        |  SELECT doc_id, tile_idx, tile,
+        |    row_number() OVER (PARTITION BY tile ORDER BY doc_id, tile_idx) = 1 AS keep
+        |  FROM tiles)
+        |SELECT doc_id, count(*) AS n_tiles,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN keep THEN tile END, ' ' ORDER BY tile_idx), '')
+        |    AS clean_text
+        |FROM k GROUP BY 1""".stripMargin,
 
     // existing corpus = doc_id % 10 < 8; the batch carries synthesized
     // exact re-arrivals (+100000 = corpus copies, +200000 = in-batch

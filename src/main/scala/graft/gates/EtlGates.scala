@@ -30,6 +30,9 @@ object EtlGates {
     "q_shard_manifest" -> (graft.etl.CorpusPipeline.shardManifest _),
     // snapshot-to-snapshot diff report (added/removed/changed/unchanged)
     "q_snapshot_diff"  -> (graft.etl.CorpusPipeline.snapshotDiff _),
+    // docs ↔ embeddings referential-integrity audit (linked / doc_only /
+    // vec_only with id ranges — the pre-training dangling-reference gate)
+    "q_integrity"      -> (graft.etl.CorpusPipeline.integrityAudit _),
     // α=0.5 temperature-resampled language mixing weights + keep rates
     "q_lang_sample"    -> (graft.etl.CorpusPipeline.langSample _),
     // sequence packing: token-budget shards (two-level distributed
@@ -111,6 +114,23 @@ object EtlGates {
         |         ELSE 'unchanged' END AS change_type
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
         |SELECT source, change_type, count(*) AS n FROM j GROUP BY 1, 2""".stripMargin,
+
+    // plain keyed full-outer + status CASE; the vec side carries the
+    // same synthesized drift as the operator (every-9th backlog +
+    // offset orphans) so all three statuses are exercised
+    "q_integrity" ->
+      """WITH v AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 50 = 0),
+        |j AS (
+        |  SELECT coalesce(d.doc_id, v.vec_id) AS id,
+        |    CASE WHEN d.doc_id IS NOT NULL AND v.vec_id IS NOT NULL THEN 'linked'
+        |         WHEN d.doc_id IS NOT NULL THEN 'doc_only'
+        |         ELSE 'vec_only' END AS status
+        |  FROM documents d FULL OUTER JOIN v ON d.doc_id = v.vec_id)
+        |SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+        |FROM j GROUP BY 1""".stripMargin,
 
     // share is one exact division of exact integer sums; weight is IEEE
     // sqrt (correctly rounded on both engines) — both raw. target_share

@@ -59,6 +59,10 @@ object RelationalGates {
     // deterministic stratified train/val/test split report (LCG bucket —
     // identical integer math on both engines, fully oracled)
     "q_stratified_split" -> (Relational.stratifiedSplit _),
+    // deterministic global training-order permutation — two-level
+    // bucket construction, no global row_number window; oracle = the
+    // plain ROW_NUMBER() OVER (ORDER BY mix, doc_id) it must equal
+    "q_train_order"    -> (Relational.trainOrder _),
     // JSONL sink + explicit-schema scan roundtrip (content-md5 extrema
     // prove lossless escaping, not just row counts)
     "q_jsonl_roundtrip" -> (Relational.jsonlRoundtrip _),
@@ -349,6 +353,19 @@ object RelationalGates {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the oracle states the SEMANTICS (one global rank over (mix,
+    // doc_id)); the Spark side must reproduce it from the two-level
+    // bucket construction — that equivalence is exactly what the hash
+    // check proves. Same LCG as q_stratified_split
+    "q_train_order" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS mix
+        |  FROM documents)
+        |SELECT doc_id, mix,
+        |  CAST(row_number() OVER (ORDER BY mix, doc_id) AS BIGINT) AS pos
+        |FROM m""".stripMargin,
 
     // sums cast to BIGINT: DuckDB's sum(integer) returns HUGEINT, which
     // the driver's pandas conversion degrades to float64 ("69.0" vs "69"

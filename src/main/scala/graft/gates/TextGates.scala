@@ -68,6 +68,10 @@ object TextGates {
     // Murmur3 cell placement; CountMinSpec pins est >= exact and the
     // eps*N overcount envelope)
     "q_countmin"       -> ((s: SparkSession, d: String) => TextAnalytics.countMinProbe(s, d)),
+    // tokenize-to-ids: top-64 frequency vocab (TakeOrdered cut, 64-row
+    // id window) broadcast against the corpus; docs become position-
+    // ordered id arrays with UNK=0 — the loader handoff format
+    "q_tokenize_ids"   -> ((s: SparkSession, d: String) => TextAnalytics.tokenizeIds(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -427,5 +431,26 @@ object TextGates {
         |  CAST(floor(round(CAST(w_raw AS DOUBLE) / CAST(z.z AS DOUBLE), 6) * 100000)
         |    AS BIGINT) AS planned_docs
         |FROM w, z""".stripMargin,
+
+    // vocab rank ties break on the term string (total order); the
+    // parallel unnest zips positions with tokens like q_bigram_logprob;
+    // list(...) ORDER BY pos matches Spark's (pos, id)-struct array_sort;
+    // INTEGER casts keep both engines' id arrays element-type-equal
+    "q_tokenize_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(t))) AS pos,
+        |    unnest(t) AS term
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents)),
+        |c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |vocab AS (
+        |  SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) AS INTEGER) AS id
+        |  FROM c QUALIFY id <= 64)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  list(COALESCE(v.id, 0) ORDER BY t.pos) AS ids
+        |FROM toks t LEFT JOIN vocab v USING (term)
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -38,6 +38,9 @@ object WindowGates {
     "q_rolling_stats"  -> ((s: SparkSession, d: String) => TemporalJoins.rollingStats(s, d)),
     // trailing-window z-score outliers (DECIMAL-exact moments, |z| >= 3)
     "q_anomaly_zscore" -> ((s: SparkSession, d: String) => TemporalJoins.anomalyZscore(s, d)),
+    // exact per-series changepoint (argmax |mean-left − mean-right| over
+    // all splits; integer-cents cumsums → bit-stable score, ties → min k)
+    "q_changepoint"    -> ((s: SparkSession, d: String) => TemporalJoins.changepoint(s, d)),
     // trailing ONE-HOUR time-range window (RANGE frame over epoch-micros
     // — the irregular-sampling form the ROWS frame can't express)
     "q_window_range"   -> (TemporalJoins.rangeRollingStats _),
@@ -199,6 +202,37 @@ object WindowGates {
         |  round((value - mean) / sqrt(variance), 6) AS z
         |FROM v
         |WHERE variance > 0 AND abs((value - mean) / sqrt(variance)) >= 3""".stripMargin,
+
+    // integer-cents cumsums (BIGINT casts dodge the HUGEINT hazard);
+    // the score is ONE long→double cast + ONE divide of exact integers,
+    // so the per-user argmax ordering is bit-identical cross-engine;
+    // mean divisions mirror the Spark expression order exactly
+    "q_changepoint" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, ts, cents,
+        |    CAST(row_number() OVER o AS BIGINT) AS k,
+        |    CAST(sum(cents) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sk,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS stot
+        |  FROM ev
+        |  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *,
+        |    CAST(abs(sk * (n - k) - (stot - sk) * k) AS DOUBLE)
+        |      / CAST(k * (n - k) AS DOUBLE) AS score
+        |  FROM w WHERE n >= 8 AND k < n)
+        |SELECT user_id, k AS split_k, n, ts AS split_ts,
+        |  round(CAST(sk AS DOUBLE) / 100.0 / k, 6) AS mean_left,
+        |  round(CAST(stot - sk AS DOUBLE) / 100.0 / (n - k), 6) AS mean_right,
+        |  round(score / 100.0, 6) AS shift
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY score DESC, k) AS rn FROM s)
+        |WHERE rn = 1""".stripMargin,
 
     "q_range_join" ->
       """WITH iv AS (

@@ -244,6 +244,51 @@ object Dedup {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     dupSpansDocs(Tables.documents(s, d))
 
+  /** Duplicate-span REMOVAL (the rewrite [[dupSpansDocs]] only reports):
+    * C4/Lee-et-al-style substring dedup that cuts every document into
+    * consecutive non-overlapping `w`-token tiles, keeps only the corpus-
+    * wide FIRST occurrence of each tile (first = min (doc_id, tile_idx)),
+    * and reassembles the surviving tiles into cleaned text.
+    *
+    * Scale shape: the first-occurrence winner per tile is a
+    * `groupBy(tile).agg(min(struct(doc_id, tile_idx)))` — a partially
+    * aggregated hash agg, NOT a `row_number` window. A window would sort
+    * every occurrence of a hot tile on one task; the min-struct partial
+    * agg collapses a million-way duplicated boilerplate tile to one row
+    * per map task before it ever shuffles. The join back is a plain hash
+    * join on the tile key. At 100 TB the join key would be
+    * `xxhash64(tile)` (8 bytes instead of tile text on the wire); the
+    * gate keys on the text itself so the DuckDB oracle is exactly
+    * reproducible without sharing a hash function. */
+  def spanScrubDocs(docs: DataFrame, w: Int = 8): DataFrame = {
+    val tiles = docs
+      .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, (size(toks) + ${w - 1}) div $w - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))")))
+      .withColumnRenamed("pos", "tile_idx")
+      .withColumnRenamed("col", "tile")
+    val firsts = tiles.groupBy("tile")
+      .agg(min(struct(col("doc_id"), col("tile_idx"))).as("first"))
+    tiles.join(firsts, Seq("tile"))
+      .withColumn("keep", struct(col("doc_id"), col("tile_idx")) === col("first"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("tile_idx"), col("tile"))))),
+            x => x.getField("tile")),
+          " ").as("clean_text"))
+  }
+
+  /** Gate query form of [[spanScrubDocs]] over the documents table. */
+  def spanScrub(s: SparkSession, d: String): DataFrame =
+    spanScrubDocs(Tables.documents(s, d))
+
   /** Incremental-ingest dedup triage — the daily-crawl shape: classify
     * each INCOMING document against the existing corpus and its own batch
     * without ever re-deduplicating the corpus. Statuses, by precedence:

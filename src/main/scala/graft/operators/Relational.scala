@@ -512,4 +512,38 @@ object Relational {
         ntile(4).over(w).as("quartile"))
       .where(col("event_id") % 97 === 0)
   }
+
+  /** Deterministic global training order — every document gets a unique
+    * position in a pseudo-random permutation (the "shuffle the corpus
+    * once per epoch" step a training loader needs), WITHOUT a global
+    * `row_number` window: a single-partition sort over the whole corpus
+    * is the reference's W1 hazard at its worst.
+    *
+    * Two-level construction on the same LCG mix as [[perKeySample]]
+    * (pure integer arithmetic, reproducible on any engine):
+    *  1. bucket = the mix's high 8 bits (`mix div 2^23` on a 31-bit
+    *     mix) — bucket order IS mix-prefix order, so concatenating
+    *     buckets in id order preserves the global (mix, doc_id) order;
+    *  2. `row_number` within each bucket (partitions are ~corpus/256 —
+    *     bounded, uniform by LCG mixing), plus per-bucket offsets from a
+    *     256-row running sum. position = offset + within-bucket rank.
+    * The only unpartitioned window in the plan runs over ≤ 256 bucket
+    * rows. Recurse the bucket split if corpus/256 ever exceeds a task. */
+  def trainOrder(s: SparkSession, d: String): DataFrame = {
+    val mix = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), mix.as("mix"))
+      .withColumn("bucket", expr("mix div 8388608"))
+    val wIn = Window.partitionBy("bucket").orderBy(col("mix"), col("doc_id"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("offset", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("bucket", "offset")
+    docs.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("mix"),
+        (col("offset") + row_number().over(wIn)).as("pos"))
+  }
 }

@@ -316,4 +316,45 @@ object TemporalJoins {
       .select(col("user_id"), col("run_id"), col("status"),
         col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
   }
+
+  /** Exact single-changepoint detection per series: the split k that
+    * maximizes |mean(v[1..k]) − mean(v[k+1..n])| — the binary-segmentation
+    * step of classic offline changepoint analysis, here as one window
+    * pass (no recursion; recurse on the halves for multi-changepoint).
+    *
+    * Determinism recipe: values become integer cents (DECIMAL(18,2)
+    * route), the running sum S_k is an exact BIGINT cumsum, and the
+    * score's numerator |S_k·(n−k) − (S_n−S_k)·k| is computed in exact
+    * integer arithmetic; ONE correctly-rounded long→double cast and ONE
+    * division produce a bit-identical score on any IEEE engine, so the
+    * per-series argmax (ties → smallest k) cannot flip cross-engine.
+    * Windows partition by user_id (bounded series — the same contract as
+    * [[rollingStats]]); nothing global. The BIGINT numerator holds to
+    * ~2^63 ≈ series of 10^9 rows at 10^4-cent values — beyond that,
+    * move the numerator to DECIMAL(38,0). */
+  def changepoint(s: SparkSession, d: String, minN: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("user_id")
+    val scored = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("k", row_number().over(byTs).cast("long"))
+      .withColumn("sk", sum("cents").over(cum))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("stot", sum("cents").over(whole))
+      .where(col("n") >= minN && col("k") < col("n"))
+      .withColumn("score",
+        abs(col("sk") * (col("n") - col("k")) - (col("stot") - col("sk")) * col("k"))
+          .cast("double") / (col("k") * (col("n") - col("k"))).cast("double"))
+    val best = Window.partitionBy("user_id").orderBy(col("score").desc, col("k").asc)
+    scored.withColumn("rn", row_number().over(best)).where(col("rn") === 1)
+      .select(col("user_id"), col("k").as("split_k"), col("n"),
+        col("ts").as("split_ts"),
+        round(col("sk").cast("double") / 100.0 / col("k"), 6).as("mean_left"),
+        round((col("stot") - col("sk")).cast("double") / 100.0 / (col("n") - col("k")), 6)
+          .as("mean_right"),
+        round(col("score") / 100.0, 6).as("shift"))
+  }
 }

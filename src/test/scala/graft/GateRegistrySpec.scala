@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (158 queries, 127 oracles)") {
-    assert(SparkEntry.queries.size == 158)
-    assert(SparkEntry.oracleSql.size == 127)
+  test("registry carries the full suite (163 queries, 132 oracles)") {
+    assert(SparkEntry.queries.size == 163)
+    assert(SparkEntry.oracleSql.size == 132)
   }
 }
