@@ -78,6 +78,13 @@ object DedupGates {
     // SemDeDup: centroid-partitioned semantic dedup (no oracle — seeded
     // k-means is JVM-side; SemDedupSpec pins recovery/precision/subset)
     "q_semdedup"       -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
+    // post-split exact-content leakage audit (LCG split + sha256 join)
+    "q_split_leakage"  -> (Dedup.splitLeakage _),
+    // per-key time-horizon debounce (batch twin of the streaming dedup)
+    "q_window_dedup"   -> ((s: SparkSession, d: String) => Dedup.windowDedup(s, d)),
+    // boilerplate-prefix clusters (hash-groupBy first pass before any
+    // shingle-index near-dup spend)
+    "q_prefix_dedup"   -> ((s: SparkSession, d: String) => Dedup.prefixDedup(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +283,54 @@ object DedupGates {
         |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id)
         |SELECT id AS vec_id, min(r) AS cluster, min(r) = id AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    // same LCG split as q_stratified_split (engine-independent integer
+    // math) + sha256 content identity: holdout docs with a train twin.
+    // corpus = documents + the planted re-crawl (every 7th doc again
+    // under doc_id + 10000)
+    "q_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |docs AS (
+        |  SELECT doc_id, sha256(text) AS text_hash,
+        |    CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648 % 100 < 80 THEN 'train'
+        |      WHEN ((doc_id % 2147483648) * 1103515245 + 12345)
+        |        % 2147483648 % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM corpus),
+        |train AS (
+        |  SELECT text_hash, count(*) AS n_train_copies,
+        |    min(doc_id) AS first_train_doc
+        |  FROM docs WHERE split = 'train' GROUP BY 1)
+        |SELECT d.doc_id, d.split, d.text_hash, t.n_train_copies,
+        |  t.first_train_doc
+        |FROM docs d JOIN train t USING (text_hash)
+        |WHERE d.split <> 'train'""".stripMargin,
+
+    // raw-neighbor debounce: LAG over the (user, type) series, keep when
+    // no same-key event fired within the previous 60 s (ties → event_id)
+    "q_window_dedup" ->
+      """WITH lagged AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+        |  FROM events)
+        |SELECT event_id, ts, user_id, event_type, value
+        |FROM lagged
+        |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 60000000""".stripMargin,
+
+    // 64-char prefix clusters; n_distinct_full separates template
+    // boilerplate from plain exact copies
+    "q_prefix_dedup" ->
+      """SELECT sha256(substring(text, 1, 64)) AS prefix_hash,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT sha256(text)) AS n_distinct_full,
+        |  min(doc_id) AS canonical_doc
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
   )
 }

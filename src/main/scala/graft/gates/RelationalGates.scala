@@ -84,6 +84,12 @@ object RelationalGates {
     "q_bucket_join"    -> (Layout.bucketJoin _),
     // 16-way salted skew join; oracle = the plain join (semantics-free)
     "q_salted_join"    -> (Layout.saltedTypeJoin _),
+    // DYNAMIC partition pruning: runtime dim-driven directory pruning
+    // (dynamicpruningexpression in the fact scan — LayoutGatesSpec)
+    "q_dpp"            -> (Layout.dppJoin _),
+    // runtime Bloom-filter pushdown on a shuffle semi-join (row-level
+    // sibling of q_dpp; might_contain plan-asserted in LayoutGatesSpec)
+    "q_bloom_join"     -> (Layout.bloomPrunedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +117,37 @@ object RelationalGates {
         |  FROM events WHERE event_type <> 'click' GROUP BY 1)
         |SELECT user_id, n_clicks, click_sum, n_other
         |FROM clicks JOIN others USING (user_id)""".stripMargin,
+
+    // runtime pruning must change IO, never answers: oracle recomputes
+    // the same half-mean busy-day bound over the raw table
+    "q_dpp" ->
+      """WITH days AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |    count(*) AS n_day
+        |  FROM events GROUP BY 1),
+        |cut AS (SELECT CAST(sum(n_day) AS DOUBLE) / (2.0 * count(*)) AS half_mean
+        |  FROM days),
+        |busy AS (SELECT event_date, n_day FROM days, cut
+        |  WHERE CAST(n_day AS DOUBLE) >= half_mean)
+        |SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS event_date,
+        |  e.event_type, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  max(b.n_day) AS n_day
+        |FROM events e
+        |JOIN busy b ON strftime(CAST(e.ts AS DATE), '%Y-%m-%d') = b.event_date
+        |GROUP BY 1, 2""".stripMargin,
+
+    // a Bloom filter has no false negatives: the injected runtime filter
+    // is semantics-free, so the oracle is the plain EXISTS semi-join
+    "q_bloom_join" ->
+      """SELECT user_id, count(*) AS n_browse,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS browse_sum
+        |FROM events e
+        |WHERE event_type IN ('click', 'view')
+        |  AND EXISTS (SELECT 1 FROM events p
+        |    WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |      AND p.value >= 180.0)
+        |GROUP BY user_id""".stripMargin,
 
     // salting must be semantics-free: oracle = the plain unsalted join
     "q_salted_join" ->

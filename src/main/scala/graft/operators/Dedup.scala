@@ -1188,4 +1188,92 @@ object Dedup {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("dup_of"))
   }
+
+  /** Train/eval split-leakage audit — the audit a training pipeline runs
+    * AFTER splitting, where [[decontaminateDocs]] is what it runs BEFORE:
+    * given the deterministic LCG doc split (the same mixed-congruential
+    * recipe as `Relational.stratifiedSplit`, engine-independent integer
+    * math), find every val/test document whose exact content (sha256 of
+    * the raw text) also appears in train. Cost shape: one hash groupBy
+    * side (train distinct hashes) + one shuffle join on the 256-bit hash
+    * — the exact-dedup bound, linear at 100 TB. Holdout rows that leak
+    * poison every eval metric they touch, so the report carries the
+    * evidence (which split, how many train copies, the lowest train
+    * doc_id) rather than a bare boolean. Fully oracle-able: LCG + sha256
+    * reproduce bit-for-bit in DuckDB. Near-dup leakage (the softer
+    * failure) is the composition of this split with [[ngramJaccardDocs]];
+    * this gate pins the exact tier.
+    *
+    * The driver corpus carries zero exact duplicates, so the gate unions
+    * in a deterministic "re-crawl": every 7th document again under
+    * doc_id + 10000 (the same synthesized-batch device as the
+    * merge-upsert and incremental-dedup gates). Duplicate content now
+    * exists, the LCG scatters each copy-pair across splits independently,
+    * and the audit has real leakage to find (~32 % of planted pairs). */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val recrawl = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val mix = pmod(
+      pmod(col("doc_id"), lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L))
+    val bucket = pmod(mix, lit(100L))
+    val docs = base.unionAll(recrawl)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("text_hash", sha2(col("text"), 256))
+    val trainSide = docs.where(col("split") === "train")
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_train_copies"),
+        min(col("doc_id")).as("first_train_doc"))
+    docs.where(col("split") =!= "train")
+      .join(trainSide, Seq("text_hash"))
+      .select(col("doc_id"), col("split"), col("text_hash"),
+        col("n_train_copies"), col("first_train_doc"))
+  }
+
+  /** Per-key time-horizon debounce over the events stream: drop an event
+    * when the SAME (user_id, event_type) fired within `horizonS` seconds
+    * before it — the batch twin of `EventStreams`' watermarked streaming
+    * dedup, and the standard telemetry/click dedup (double-fire buttons,
+    * at-least-once producers re-emitting inside a retry window). The
+    * predicate compares each event to its previous RAW neighbor (one
+    * `lag` over a series-partitioned window — bounded partitions, no
+    * global sort), not to the previous KEPT one: the kept-anchor variant
+    * is an order-dependent sequential scan that no keyed window
+    * expresses, while the raw-neighbor form is the one that runs at
+    * 100 TB in one shuffle. Ties at identical timestamps break by
+    * event_id, so the earliest id of a same-instant burst survives.
+    * Fully oracle-able (LAG + epoch arithmetic). */
+  def windowDedup(s: SparkSession, d: String, horizonS: Long = 60L): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > horizonS * 1000000L)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  /** Boilerplate-prefix clustering: group documents by the sha256 of
+    * their first `prefixChars` characters and report every cluster that
+    * shares a prefix without being exact duplicates throughout
+    * (n_distinct_full > 1 distinguishes template boilerplate — same
+    * header, different tails — from plain exact copies, which
+    * [[exact]] already removes). This is the cheap first-pass that
+    * catches the dominant web-scrape failure mode (site templates,
+    * license headers, injected banners) at hash-groupBy cost: one
+    * shuffle on a 256-bit key, no shingling, no pair join — the scan
+    * you run at 100 TB BEFORE deciding whether the corpus needs the
+    * (much dearer) shingle-index near-dup pass at all. Fully
+    * oracle-able: substring semantics are 1-based character slices on
+    * both engines. */
+  def prefixDedup(s: SparkSession, d: String, prefixChars: Int = 64): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("prefix_hash", sha2(substring(col("text"), 1, prefixChars), 256))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(sha2(col("text"), 256)).as("n_distinct_full"),
+        min(col("doc_id")).as("canonical_doc"))
+      .where(col("n_docs") > 1)
 }

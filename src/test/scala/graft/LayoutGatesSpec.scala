@@ -31,6 +31,43 @@ class LayoutGatesSpec extends SparkTestBase {
       s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("q_dpp inserts a DynamicPruningExpression into the fact scan") {
+    val df = Layout.dppJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected runtime partition pruning in the fact scan:\n$plan")
+    // the pruning must target the partition column, not a data column
+    assert(plan.contains("PartitionFilters:"), plan)
+  }
+
+  test("q_bloom_join injects a runtime bloom filter on the application side") {
+    // assert on the PRE-checkpoint plan with the same confs the gate
+    // query sets (bloomPrunedJoin restores them after materializing)
+    val conf = spark.conf
+    val saved = Layout.bloomConfs.map(_._1).map(k => k -> conf.getOption(k))
+    try {
+      Layout.bloomConfs.foreach { case (k, v) => conf.set(k, v) }
+      val plan = Layout.bloomPrunedPlan(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom-filter probe:\n$plan")
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterAggregate"),
+        s"expected the creation-side bloom aggregate:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("q_bloom_join checkpointed result equals the plain semi-join") {
+    val got = Layout.bloomPrunedJoin(spark, sf)
+      .orderBy("user_id").collect().map(_.toSeq)
+    val want = Layout.bloomPrunedPlan(spark, sf)
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(got.sameElements(want),
+      "runtime bloom filter must be semantics-free")
+  }
+
   test("q_salted_join shuffles on the salted compound key") {
     val df = Layout.saltedTypeJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
