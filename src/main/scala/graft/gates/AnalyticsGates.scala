@@ -45,6 +45,18 @@ object AnalyticsGates {
     "q_salted_distinct" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.saltedDistinctCount(
         graft.Tables.events(s, d), "event_type", "user_id")),
+    // mergeable exact integer moment states (two-shard merge == one-shot
+    // — the incremental-rollup contract, pinned by the one-shot oracle)
+    "q_stats_merge"    -> (graft.operators.Analytics.statsMerge _),
+    // TTL retention planner over day partitions (expired/retained under
+    // a data-anchored watermark; the DROP PARTITION review report)
+    "q_retention"      -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.retentionPlan(s, d)),
+    // small-file compaction planner over the date-partitioned layout
+    // (no oracle: byte sizes are env-specific; CompactionPlanSpec pins
+    // the invariants against an independent listing)
+    "q_compaction_plan" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.compactionPlan(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +266,34 @@ object AnalyticsGates {
     "q_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1""".stripMargin,
+
+    // ONE-SHOT stats per source: hash-matching the two-shard merged
+    // form proves the integer moment states merge losslessly. Sums of
+    // BIGINT must come back down from HUGEINT; mean/var are the same
+    // IEEE expression tree over the exact integer moments
+    "q_stats_merge" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars * n_chars) AS BIGINT) AS sumsq_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*) AS mean_chars,
+        |  (CAST(CAST(sum(n_chars * n_chars) AS BIGINT) AS DOUBLE)
+        |    - CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+        |      * CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*))
+        |    / (count(*) - 1) AS var_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // expiry anchored at the corpus' own max day — deterministic, and
+    // the policy must change lifecycle labels, never the per-day stats
+    "q_retention" ->
+      """WITH days AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |  FROM events GROUP BY 1),
+        |anchor AS (SELECT max(day) AS max_day FROM days)
+        |SELECT day, n, value_sum,
+        |  CAST(date_diff('day', day, max_day) AS INT) AS age_days,
+        |  date_diff('day', day, max_day) >= 21 AS expired
+        |FROM days, anchor""".stripMargin,
   )
 }

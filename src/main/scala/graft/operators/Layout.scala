@@ -272,6 +272,63 @@ object Layout {
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
     "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
+  /** TTL retention planner — the lifecycle report behind every
+    * date-partitioned 100 TB table: under a `keepDays` policy anchored
+    * at the corpus' own max day (deterministic — wall clock never
+    * enters a gate query), classify each day partition as expired or
+    * retained and carry the evidence a DROP PARTITION review needs
+    * (row count, value sum, age in days). The plan is one groupBy(day)
+    * over the fact — partition-level deletes then act on directory
+    * names only, never rewriting surviving data; that is the entire
+    * point of the date-partitioned layout [[partitionPrunedDaily]]
+    * stages. Fully oracle-able (date arithmetic + integer counts). */
+  def retentionPlan(s: SparkSession, d: String, keepDays: Int = 21): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+    val days = ev.groupBy("day")
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
+    val anchor = days.agg(max(col("day")).as("max_day"))
+    days.crossJoin(broadcast(anchor))
+      .withColumn("age_days", datediff(col("max_day"), col("day")))
+      .select(col("day"), col("n"), col("value_sum"), col("age_days"),
+        (col("age_days") >= keepDays).as("expired"))
+  }
+
+  /** Small-file compaction planner over the date-partitioned layout —
+    * the other standing maintenance job next to [[retentionPlan]]:
+    * streaming ingest and fine-grained writes leave day directories
+    * with many sub-target files, and scan throughput at 100 TB dies by
+    * open-file overhead long before bytes do. Per partition: file
+    * count, total bytes, the bin count a `targetBytes` re-write would
+    * produce (⌈bytes/target⌉), and whether compaction shrinks the file
+    * count at all. The listing is FILE METADATA — one row per file,
+    * the same order of work every table format's manifest read does;
+    * it runs driver-side through the Hadoop FileSystem API (at cluster
+    * scale the identical listing fans out over the FS listing API or
+    * reads the table manifest — the report shape is unchanged). No
+    * DuckDB oracle: byte sizes are environment-specific;
+    * CompactionPlanSpec pins the invariants against an independent
+    * local listing. */
+  def compactionPlan(s: SparkSession, d: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(eventsByDatePath(s, d))
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(root).filter(_.isDirectory).toSeq
+      .map { p =>
+        val files = fs.listStatus(p.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val groups = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+        (p.getPath.getName.stripPrefix("event_date="),
+          files.length.toLong, bytes, groups, files.length > groups)
+      }
+      .sortBy(_._1)
+    import s.implicits._
+    rows.toDF("partition", "n_files", "total_bytes",
+      "n_target_groups", "needs_compaction")
+  }
+
   /** The lazy plan [[bloomPrunedJoin]] materializes (split out so the
     * spec can assert the injected `might_contain` before checkpointing
     * erases the plan). Shape notes that make the rule fire: the creation

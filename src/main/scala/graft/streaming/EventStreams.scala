@@ -847,4 +847,41 @@ object EventStreams {
     drain(q, "late_drop")
     s.table(name)
   }
+
+  /** STREAM-STATIC enrichment join — the remaining first-class join
+    * shape next to [[streamStreamJoin]]: every micro-batch joins
+    * against a STATIC dimension (per-type stats computed once from the
+    * batch table) with a broadcast hint, so each batch pays a map-side
+    * hash probe and NO state store — stream-static inner joins are
+    * stateless by construction (the dim is immutable; nothing must be
+    * buffered for future matches), which is why this is the production
+    * shape for reference-data enrichment while stream-stream is
+    * reserved for two live feeds. No watermark needed, Append mode
+    * emits each enriched row exactly once, and the drained sink must
+    * equal the batch join row for row — the DuckDB oracle is the plain
+    * batch-join SQL, so streaming semantics are pinned by the same
+    * hash-compare as every batch gate. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    try {
+      val dim = graft.Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"),
+          graft.operators.exactAvg(col("value")).as("type_mean"))
+      val enriched = rawEventStream(s, d)
+        .select("event_id", "event_type", "value")
+        .join(broadcast(dim), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("type_n"), col("type_mean"),
+          (col("value") - col("type_mean")).as("dev_from_mean"))
+      val name = "graft_stream_static_join"
+      val q = enriched.writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      drain(q, "static_join")
+      s.table(name)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Pins the compaction planner against an independent java.io listing
+  * of the same staged layout (the operator goes through the Hadoop FS
+  * API — the two must agree), plus the bin-count arithmetic. */
+class CompactionPlanSpec extends SparkTestBase {
+
+  test("compaction plan matches an independent local listing per partition") {
+    val rows = Layout.compactionPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_part__root_testdata_sf0.001_${ProcessHandle.current().pid()}/events_by_date")
+    val dirs = root.listFiles().filter(_.isDirectory)
+      .map(p => p.getName.stripPrefix("event_date=") ->
+        p.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")))
+      .toMap
+    assert(rows.length == dirs.size, s"${rows.length} != ${dirs.size} partitions")
+    rows.foreach { r =>
+      val part = r.getAs[String]("partition")
+      val files = dirs(part)
+      assert(r.getAs[Long]("n_files") == files.length.toLong, s"$part file count")
+      assert(r.getAs[Long]("total_bytes") == files.map(_.length()).sum, s"$part bytes")
+      val bytes = r.getAs[Long]("total_bytes")
+      val groups = r.getAs[Long]("n_target_groups")
+      // ⌈bytes/target⌉ with a floor of 1
+      assert(groups == math.max(1L, math.ceil(bytes.toDouble / (128L << 20)).toLong))
+      assert(r.getAs[Boolean]("needs_compaction") == (files.length > groups))
+    }
+  }
+
+  test("a partition with more files than target groups is flagged") {
+    // gate-scale day files are far below 128 MB: any multi-file day must
+    // be flagged, single-file days must not
+    Layout.compactionPlan(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("needs_compaction")
+        == (r.getAs[Long]("n_files") > r.getAs[Long]("n_target_groups")))
+    }
+  }
+}

@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (168 queries, 137 oracles)") {
-    assert(SparkEntry.queries.size == 168)
-    assert(SparkEntry.oracleSql.size == 137)
+  test("registry carries the full suite (172 queries, 140 oracles)") {
+    assert(SparkEntry.queries.size == 172)
+    assert(SparkEntry.oracleSql.size == 140)
   }
 }
