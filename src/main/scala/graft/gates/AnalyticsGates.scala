@@ -57,6 +57,13 @@ object AnalyticsGates {
     // the invariants against an independent listing)
     "q_compaction_plan" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.compactionPlan(s, d)),
+    // one-pass Poisson bootstrap CI (LCG-keyed Poisson(1) weights, all
+    // replicates on one scan — the 100 TB bootstrap)
+    "q_bootstrap_ci"   -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.bootstrapCi(s, d)),
+    // Welch two-sample t-test from exact DECIMAL moments (A/B readout)
+    "q_ab_test"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.abTest(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -295,5 +302,63 @@ object AnalyticsGates {
         |  CAST(date_diff('day', day, max_day) AS INT) AS age_days,
         |  date_diff('day', day, max_day) >= 21 AS expired
         |FROM days, anchor""".stripMargin,
+
+    // same LCG-keyed Poisson(1) inverse-CDF weights, DECIMAL-exact
+    // weighted replicate means, interpolated percentile CI — every
+    // float op is an identical IEEE tree, so the CI hash-matches
+    "q_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT e.event_type, r.b,
+        |    CAST(((e.event_id % 2147483648) * 1103515245 + 12345
+        |      + r.b * 2654435761) % 2147483648 AS DOUBLE)
+        |      / 2147483648.0 AS u,
+        |    CAST(e.value AS DECIMAL(18,2)) AS v
+        |  FROM events e
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b) r),
+        |w AS (
+        |  SELECT event_type, b, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM reps),
+        |rm AS (
+        |  SELECT event_type, b,
+        |    CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS rep_mean
+        |  FROM w GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_reps,
+        |  round(quantile_cont(rep_mean, 0.5), 6) AS boot_median,
+        |  round(quantile_cont(rep_mean, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(rep_mean, 0.975), 6) AS ci_hi
+        |FROM rm GROUP BY 1""".stripMargin,
+
+    // Welch t from exact DECIMAL moments; one fixed IEEE tree on both
+    // engines (see q_correlation for the moment discipline)
+    "q_ab_test" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s1,
+        |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |mm AS (
+        |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS mean,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |      / (n - 1) AS variance
+        |  FROM m),
+        |a AS (SELECT n AS n_a, mean AS mean_a, variance AS var_a
+        |  FROM mm WHERE event_type = 'click'),
+        |b AS (SELECT n AS n_b, mean AS mean_b, variance AS var_b
+        |  FROM mm WHERE event_type = 'view')
+        |SELECT 'click' AS group_a, 'view' AS group_b, n_a, n_b,
+        |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        |  round((mean_a - mean_b)
+        |    / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+        |  round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+        |    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+        |      + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df
+        |FROM a, b""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -346,6 +346,91 @@ object Analytics {
             lit((nBins - 1).toLong))))
       .groupBy("event_type", "bin", "mn", "mx")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** One-pass POISSON bootstrap confidence interval for the per-type
+    * mean — the bootstrap that actually runs at 100 TB: classical
+    * resampling draws n rows WITH replacement per replicate (B full
+    * shuffles of the corpus); the Poisson approximation gives every row
+    * an independent Poisson(1) multiplicity per replicate instead, so
+    * all B replicates ride ONE scan (row × replicate-id fan-out, weight
+    * computed on the fly, map-side-combined weighted partials — the
+    * shuffle carries only types × B rows). Determinism: the Poisson
+    * draw is an LCG-mixed uniform (the stratified-split recipe, keyed
+    * by (event_id, replicate)) pushed through the Poisson(1) inverse
+    * CDF as fixed double-literal thresholds — identical integer + IEEE
+    * arithmetic on both engines, so the weights, the replicate means
+    * (DECIMAL-exact weighted sums), and the interpolated percentile CI
+    * all hash-match the DuckDB oracle. */
+  def bootstrapCi(s: SparkSession, d: String, b: Int = 48): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pcdf = Seq( // P(Poisson(1) <= k) for k = 0..5; weight 6 beyond
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    val m = pmod(
+      pmod(col("event_id"), lit(2147483648L)) * lit(1103515245L)
+        + lit(12345L) + col("b") * lit(2654435761L),
+      lit(2147483648L))
+    val u = m.cast("double") / lit(2147483648.0)
+    val w = pcdf.zipWithIndex.foldRight(lit(6): Column) {
+      case ((cdf, k), rest) => when(u < cdf, k).otherwise(rest)
+    }
+    val reps = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", w)
+      .groupBy("event_type", "b")
+      .agg((sum(col("w") * col("v")).cast("double")
+        / sum(col("w"))).as("rep_mean"))
+    reps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"),
+        round(expr("percentile(rep_mean, 0.5)"), 6).as("boot_median"),
+        round(expr("percentile(rep_mean, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(rep_mean, 0.975)"), 6).as("ci_hi"))
+  }
+
+  /** Welch two-sample t-test between two event types' value
+    * distributions — the A/B-readout report. Everything derives from
+    * exact moments (n as BIGINT; Σv, Σv² as DECIMAL — value carries 2
+    * decimals, so v² is exact in DECIMAL(37,4) and the sums never see a
+    * float until the final expression tree), then mean/variance/t/df
+    * are one fixed IEEE tree evaluated identically by both engines:
+    * t = (μA−μB)/√(s²A/nA + s²B/nB), Welch–Satterthwaite df. The same
+    * single-pass moment discipline as [[correlationMatrix]] — one
+    * aggregate over the filtered pair, no second scan for variances. */
+  def abTest(s: SparkSession, d: String, groupA: String = "click",
+      groupB: String = "view"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin(groupA, groupB))
+      .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v"))
+    val moments = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        ((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / (col("n") - 1)).as("variance"))
+    val a = moments.where(col("event_type") === groupA)
+      .select(col("n").as("n_a"), col("mean").as("mean_a"),
+        col("variance").as("var_a"))
+    val bb = moments.where(col("event_type") === groupB)
+      .select(col("n").as("n_b"), col("mean").as("mean_b"),
+        col("variance").as("var_b"))
+    val se2a = col("var_a") / col("n_a")
+    val se2b = col("var_b") / col("n_b")
+    a.crossJoin(bb)
+      .select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+        col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round((col("mean_a") - col("mean_b"))
+          / sqrt(se2a + se2b), 6).as("t_stat"),
+        round((se2a + se2b) * (se2a + se2b)
+          / (se2a * se2a / (col("n_a") - 1)
+            + se2b * se2b / (col("n_b") - 1)), 6).as("welch_df"))
   }
 
   /** Mergeable partial-aggregate states — the incremental-rollup
