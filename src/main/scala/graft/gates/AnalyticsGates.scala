@@ -64,6 +64,10 @@ object AnalyticsGates {
     // Welch two-sample t-test from exact DECIMAL moments (A/B readout)
     "q_ab_test"        -> ((s: SparkSession, d: String) =>
       graft.operators.Analytics.abTest(s, d)),
+    // DataSketches HLL partial-sketch merge (the distinct-count twin of
+    // q_stats_merge; no oracle — murmur-hashed sketch buckets;
+    // HllMergeSpec pins the rsd envelope + merged == one-shot)
+    "q_hll_merge"      -> (graft.operators.Analytics.hllMerge _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -90,6 +90,9 @@ object RelationalGates {
     // runtime Bloom-filter pushdown on a shuffle semi-join (row-level
     // sibling of q_dpp; might_contain plan-asserted in LayoutGatesSpec)
     "q_bloom_join"     -> (Layout.bloomPrunedJoin _),
+    // parquet schema-evolution roundtrip (two staged generations read
+    // with mergeSchema; old files null-fill the accreted column)
+    "q_schema_evolution" -> (Relational.schemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +151,18 @@ object RelationalGates {
         |    WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
         |      AND p.value >= 180.0)
         |GROUP BY user_id""".stripMargin,
+
+    // schema merge must change file-level schemas, never answers: the
+    // oracle rebuilds both generations with the deterministic parity
+    // split (v2 rows carry floor(value) as the evolved integer score)
+    "q_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_scored,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1
+        |    THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS score_sum
+        |FROM events GROUP BY 1""".stripMargin,
 
     // salting must be semantics-free: oracle = the plain unsalted join
     "q_salted_join" ->

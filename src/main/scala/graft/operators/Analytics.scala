@@ -348,6 +348,37 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** HLL sketch-merge distinct counts — the DISTINCT twin of
+    * [[statsMerge]]'s exact moments: moments merge losslessly in
+    * integer space, but distinct counts have no finite exact mergeable
+    * state, so the incremental-rollup form is a DataSketches HLL
+    * partial per shard unioned upward (`hll_sketch_agg` →
+    * `hll_union_agg` → `hll_sketch_estimate`, Spark 3.5+ built-ins,
+    * codegen'd — no UDF). The gate builds per-(type, shard) sketches,
+    * merges across shards per type, and carries the EXACT distinct
+    * count beside the estimate so the report shows its own error; the
+    * union path is what a 100 TB daily rollup stores (a few KB per
+    * key-day) instead of re-scanning history. No DuckDB oracle (sketch
+    * buckets are murmur-hashed JVM-side — the q_profile_sketch class);
+    * HllMergeSpec pins estimate-vs-exact within the configured
+    * lgK = 12 rsd envelope and merged ≡ one-shot sketch equality. */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val partials = Tables.events(s, d)
+      .groupBy(col("event_type"), (col("event_id") % 4).as("shard"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+        count(lit(1)).as("n"))
+    partials.groupBy("event_type")
+      .agg(sum(col("n")).as("n_rows"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+      .join(Tables.events(s, d).groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_distinct")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+        col("est_distinct"),
+        round(abs(col("est_distinct") - col("exact_distinct"))
+          / col("exact_distinct"), 6).as("rel_err"))
+  }
+
   /** One-pass POISSON bootstrap confidence interval for the per-type
     * mean — the bootstrap that actually runs at 100 TB: classical
     * resampling draws n rows WITH replacement per replicate (B full

@@ -466,6 +466,42 @@ object Relational {
         max(md5(col("text"))).as("max_text_md5"))
   }
 
+  /** Parquet SCHEMA EVOLUTION roundtrip — the lakehouse reality the
+    * plain roundtrips skip: long-lived tables accrete columns, so a
+    * reader must reconcile files written under different schema
+    * versions. Stage two generations under one directory (v1: the base
+    * event columns; v2: the same schema plus a `quality_score` column
+    * only new files carry), read back with `mergeSchema` — Spark
+    * reconciles by NAME and nulls the missing column for v1 files (at
+    * 100 TB this is why evolved tables never rewrite history: old
+    * files stay byte-identical, the new column is null-filled at scan
+    * time) — and aggregate per type with the null accounting visible
+    * (n_scored vs n). Fully oracle-able: the oracle rebuilds the same
+    * two generations with a CASE on the deterministic generation
+    * split. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = roundtripTmp("evolve", d)
+    if (!new java.io.File(tmp, "_staged").exists()) {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      // plain v1/v2 dir names — `gen=1` would be partition-DISCOVERED
+      // as a column, which is a different mechanism than schema merge
+      ev.where(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      ev.where(col("event_id") % 2 === 1)
+        .withColumn("quality_score", floor(col("value")).cast("long"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      assert(new java.io.File(tmp, "_staged").createNewFile())
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("quality_score")).as("n_scored"),
+        exactSum(col("value")).as("value_sum"),
+        sum(coalesce(col("quality_score"), lit(0L))).as("score_sum"))
+  }
+
   /** J-family extension — FULL OUTER join: per-user click counts against
     * per-user purchase counts, unmatched sides preserved with coalesced
     * zeros and a match-kind label. Both inputs are aggregates keyed by
