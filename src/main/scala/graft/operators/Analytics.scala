@@ -358,10 +358,15 @@ object Analytics {
     * merges across shards per type, and carries the EXACT distinct
     * count beside the estimate so the report shows its own error; the
     * union path is what a 100 TB daily rollup stores (a few KB per
-    * key-day) instead of re-scanning history. No DuckDB oracle (sketch
-    * buckets are murmur-hashed JVM-side — the q_profile_sketch class);
-    * HllMergeSpec pins estimate-vs-exact within the configured
-    * lgK = 12 rsd envelope and merged ≡ one-shot sketch equality. */
+    * key-day) instead of re-scanning history. The exact-distinct
+    * column is GATE EVIDENCE (a second scan + the very distinct-key
+    * shuffle the sketch exists to avoid) — a production rollup ships
+    * only the sketch path; the report carries the exact twin so its
+    * error is visible, the same deal as q_countmin/q_profile_sketch.
+    * No DuckDB oracle (sketch buckets are murmur-hashed JVM-side —
+    * the q_profile_sketch class); HllMergeSpec pins estimate-vs-exact
+    * within the configured lgK = 12 rsd envelope and merged ≡
+    * one-shot sketch equality. */
   def hllMerge(s: SparkSession, d: String): DataFrame = {
     val partials = Tables.events(s, d)
       .groupBy(col("event_type"), (col("event_id") % 4).as("shard"))
