@@ -93,6 +93,9 @@ object RelationalGates {
     // parquet schema-evolution roundtrip (two staged generations read
     // with mergeSchema; old files null-fill the accreted column)
     "q_schema_evolution" -> (Relational.schemaEvolution _),
+    // AQE skew-join split (the AUTOMATIC half of the skew story next to
+    // q_salted_join; skew=true plan-asserted in LayoutGatesSpec)
+    "q_aqe_skew"       -> (Layout.aqeSkewJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,6 +166,22 @@ object RelationalGates {
         |    THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
         |    AS score_sum
         |FROM events GROUP BY 1""".stripMargin,
+
+    // runtime skew splitting must be semantics-free: oracle = the plain
+    // fact-to-generated-dim join
+    "q_aqe_skew" ->
+      """WITH fact AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN event_id % 10 < 7 THEN 'hot'
+        |      ELSE 'cold_' || CAST(event_id % 97 AS VARCHAR) END AS skew_key
+        |  FROM events),
+        |dim AS (
+        |  SELECT CASE WHEN i = 0 THEN 'hot'
+        |      ELSE 'cold_' || CAST(i - 1 AS VARCHAR) END AS skew_key,
+        |    i * 10 AS dim_payload
+        |  FROM (SELECT unnest(generate_series(0, 97)) AS i))
+        |SELECT f.event_id, f.skew_key, f.value, d.dim_payload
+        |FROM fact f JOIN dim d USING (skew_key)""".stripMargin,
 
     // salting must be semantics-free: oracle = the plain unsalted join
     "q_salted_join" ->

@@ -261,6 +261,89 @@ object Layout {
     }
   }
 
+  /** q_aqe_skew gate: AQE SKEW-JOIN SPLIT — the third runtime re-plan
+    * mechanism next to [[dppJoin]] (directory pruning) and
+    * [[bloomPrunedJoin]] (row pruning), and the AUTOMATIC half of the
+    * skew story whose MANUAL half is [[saltedJoin]]: when a sort-merge
+    * join's shuffle leaves one partition far above the median (here a
+    * synthetic 70 %-hot key over the fact side), AQE's
+    * OptimizeSkewedJoin splits the straggler partition into
+    * advisory-size chunks at RUNTIME, from the actual map-output
+    * statistics — no salting column, no query rewrite, no prior
+    * knowledge of which key is hot. Salting remains the tool for the
+    * keys AQE can't split (hot keys feeding a downstream AGGREGATION);
+    * for plain joins this is the zero-code path a 100 TB plan takes
+    * first. The gate engages the optimization at toy scale by lowering
+    * the skew thresholds to fixture sizes (production defaults trip at
+    * 256 MB partitions) and disabling size-based broadcast (a broadcast
+    * join has no shuffle to skew); confs restore after the eager
+    * checkpoint, and LayoutGatesSpec asserts `skew=true` in the
+    * EXECUTED final adaptive plan. Oracle = the plain join aggregate:
+    * runtime re-planning must change partitioning, never answers. */
+  def aqeSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val conf = s.conf
+    val saved = aqeSkewConfs.map(_._1).map(k => k -> conf.getOption(k))
+    aqeSkewConfs.foreach { case (k, v) => conf.set(k, v) }
+    try aqeSkewPlan(s, d).localCheckpoint(true)
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  /** The lazy plan [[aqeSkewJoin]] materializes (split out for the
+    * spec's final-plan assertion): a 70 %-hot synthetic key joins the
+    * fact rows to a 98-row generated dim through a hinted SMJ. Two
+    * shape constraints OptimizeSkewedJoin imposes, both encoded here:
+    * (a) the output is the ENRICHED ROWS, not a same-key
+    * re-aggregation — the rule declines when the join's partitioning
+    * is still required downstream (the split would force a re-shuffle;
+    * a join feeding a same-key aggregate is [[saltedJoin]]'s case);
+    * (b) BOTH join children must be Sort-over-shuffle-stage — the dim
+    * is a `range`-generated key table with no aggregate (an agg
+    * between the shuffle stage and the join hides that side from the
+    * rule's pattern; a `repartition` after an agg gets optimized away
+    * as redundant). */
+  def aqeSkewPlan(s: SparkSession, d: String): DataFrame = {
+    val skewKey = when(pmod(col("event_id"), lit(10)) < 7, lit("hot"))
+      .otherwise(concat(lit("cold_"), pmod(col("event_id"), lit(97))))
+    // round-robin pre-shuffle: AQE splits a skewed reduce partition at
+    // MAP-BLOCK boundaries, and the one-file one-row-group fixture
+    // reaches the keyed exchange from a SINGLE map task — one atomic
+    // block, nothing to split (the rule then reports zero skew). A
+    // 100 TB fact table reaches its join shuffle from thousands of map
+    // tasks; the 16-way repartition restores that map-side shape.
+    val fact = graft.Tables.events(s, d)
+      .select(col("event_id"), col("value"), skewKey.as("skew_key"))
+      .repartition(16)
+    val dim = s.range(0, 98).select(
+      when(col("id") === 0, lit("hot"))
+        .otherwise(concat(lit("cold_"), col("id") - 1)).as("skew_key"),
+      (col("id") * 10).as("dim_payload"))
+    fact.join(dim.hint("merge"), Seq("skew_key"))
+      .select(col("event_id"), col("skew_key"), col("value"),
+        col("dim_payload"))
+  }
+
+  /** Confs that make OptimizeSkewedJoin act on fixture-sized shuffles:
+    * skew detection = partition > factor × median AND > threshold —
+    * production defaults (factor 5, 256 MB) never trip on a toy
+    * shuffle (the sf0.001 hot partition is ~20 KB), so the gate scales
+    * them to its own sizes; broadcast off because only a shuffle join
+    * can skew. Restored after materialize, same contract as
+    * [[bloomConfs]]. */
+  val aqeSkewConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+    // the split target is silently clamped to coalesce minPartitionSize
+    // (1 MB default) — a fixture-sized hot partition then yields ONE
+    // piece and the rule reports zero skew; scale the clamp with the rest
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
   /** Confs that let InjectRuntimeFilter fire at toy scale: enable the
     * feature, zero the application-side floor (simulating the >10 GB
     * fact scan), and disable size-based broadcast — the rule only

@@ -68,6 +68,31 @@ class LayoutGatesSpec extends SparkTestBase {
       "runtime bloom filter must be semantics-free")
   }
 
+  test("q_aqe_skew splits the hot partition in the final adaptive plan") {
+    val conf = spark.conf
+    val saved = Layout.aqeSkewConfs.map(_._1).map(k => k -> conf.getOption(k))
+    try {
+      Layout.aqeSkewConfs.foreach { case (k, v) => conf.set(k, v) }
+      val df = Layout.aqeSkewPlan(spark, sf)
+      df.collect() // AQE finalizes THIS QueryExecution only on its own action
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan)
+      assert(plan.contains("skew=true"),
+        s"expected the SMJ to be marked skew=true in the final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("q_aqe_skew checkpointed result equals the plain join aggregate") {
+    val got = Layout.aqeSkewJoin(spark, sf)
+      .orderBy("skew_key").collect().map(_.toSeq)
+    val want = Layout.aqeSkewPlan(spark, sf)
+      .orderBy("skew_key").collect().map(_.toSeq)
+    assert(got.sameElements(want), "AQE skew split must be semantics-free")
+  }
+
   test("q_salted_join shuffles on the salted compound key") {
     val df = Layout.saltedTypeJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
