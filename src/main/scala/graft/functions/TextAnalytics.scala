@@ -720,4 +720,52 @@ object TextAnalytics {
             coalesce(col("id"), lit(0)).as("id")))),
           x => x.getField("id")).as("ids"))
   }
+
+  /** PMI collocation mining: bigrams whose corpus count clears minCount,
+    * scored by pointwise mutual information ln(p(xy)/(p(x)p(y))) — the
+    * classic "which word pairs travel together" signal a tokenizer/
+    * phrase-merge pass (word2phrase) thresholds on.
+    *
+    * Two partial-aggregated groupBys over the bigram stream (pair
+    * counts, unigram counts) + two broadcast joins of the vocab-sized
+    * count tables; the corpus-wide totals N (tokens) and M (bigrams)
+    * ride in as a broadcast single-row aggregate (the scalar-threshold
+    * pattern). PMI decomposes into SIX ln() terms summed in one fixed
+    * left-to-right tree — each ln() of an exact integer, so the double
+    * is bit-identical cross-engine (the [[typeEntropy]] discipline);
+    * round(6) belts-and-braces the report. No top-k float cut: the
+    * emitted set is decided by the INTEGER minCount threshold alone. */
+  def collocationsPmi(s: SparkSession, d: String, minCount: Long = 5L): DataFrame =
+    collocationsPmiDocs(Tables.documents(s, d), minCount)
+
+  def collocationsPmiDocs(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // exactly TWO corpus passes (unigram stream, bigram stream); the
+    // totals N and M derive from the cached vocab-sized count tables —
+    // never a third tokenize (the q_pack_greedy lesson). Both caches
+    // are vocab-/vocab²-bounded.
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw")).cache()
+    val bgCounts = toks.where(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")).cache()
+    val totals = uni.agg(sum("cw").as("n_tok"))
+      .crossJoin(bgCounts.agg(sum("c_xy").as("n_big")))
+    bgCounts
+      .where(col("c_xy") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c_w1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c_w2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log(col("c_xy").cast("double")) - log(col("n_big").cast("double"))
+          - log(col("c_w1").cast("double")) + log(col("n_tok").cast("double"))
+          - log(col("c_w2").cast("double")) + log(col("n_tok").cast("double")),
+        6))
+      .select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi")
+  }
 }

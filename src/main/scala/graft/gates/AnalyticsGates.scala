@@ -68,6 +68,16 @@ object AnalyticsGates {
     // q_stats_merge; no oracle — murmur-hashed sketch buckets;
     // HllMergeSpec pins the rsd envelope + merged == one-shot)
     "q_hll_merge"      -> (graft.operators.Analytics.hllMerge _),
+    // per-type autocorrelation function, lags 1..5 (exact LONG moments
+    // from one window sort; BigInt combine — the correlation recipe)
+    "q_acf"            -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.acf(s, d)),
+    // chi-square independence cells for event_type x day-of-week, plus
+    // the rounded-DECIMAL χ² total row (the categorical A/B readout)
+    "q_chi_square"     -> (graft.operators.Analytics.chiSquare _),
+    // declarative data-quality constraint suite (one aggregate pass +
+    // lazy stack reshape into check verdict rows)
+    "q_dq_checks"      -> (graft.operators.Analytics.dqChecks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,5 +374,115 @@ object AnalyticsGates {
         |    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
         |      + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df
         |FROM a, b""".stripMargin,
+
+    // moments are exact BIGINTs; the r-combine runs in HUGEINT (the
+    // oracle's BigInt) so n·Σxy can never overflow — one divide + one
+    // sqrt, the identical IEEE tree the Spark driver-side combine uses
+    "q_acf" ->
+      """WITH base AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+        |    lead(x, 3) OVER w AS y3, lead(x, 4) OVER w AS y4,
+        |    lead(x, 5) OVER w AS y5
+        |  FROM base WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(count(y1) AS BIGINT) AS n1, CAST(count(y2) AS BIGINT) AS n2,
+        |    CAST(count(y3) AS BIGINT) AS n3, CAST(count(y4) AS BIGINT) AS n4,
+        |    CAST(count(y5) AS BIGINT) AS n5,
+        |    sum(x) FILTER (y1 IS NOT NULL) AS sx1, sum(y1) AS sy1,
+        |      sum(x*y1) AS sxy1, sum(x*x) FILTER (y1 IS NOT NULL) AS sxx1,
+        |      sum(y1*y1) AS syy1,
+        |    sum(x) FILTER (y2 IS NOT NULL) AS sx2, sum(y2) AS sy2,
+        |      sum(x*y2) AS sxy2, sum(x*x) FILTER (y2 IS NOT NULL) AS sxx2,
+        |      sum(y2*y2) AS syy2,
+        |    sum(x) FILTER (y3 IS NOT NULL) AS sx3, sum(y3) AS sy3,
+        |      sum(x*y3) AS sxy3, sum(x*x) FILTER (y3 IS NOT NULL) AS sxx3,
+        |      sum(y3*y3) AS syy3,
+        |    sum(x) FILTER (y4 IS NOT NULL) AS sx4, sum(y4) AS sy4,
+        |      sum(x*y4) AS sxy4, sum(x*x) FILTER (y4 IS NOT NULL) AS sxx4,
+        |      sum(y4*y4) AS syy4,
+        |    sum(x) FILTER (y5 IS NOT NULL) AS sx5, sum(y5) AS sy5,
+        |      sum(x*y5) AS sxy5, sum(x*x) FILTER (y5 IS NOT NULL) AS sxx5,
+        |      sum(y5*y5) AS syy5
+        |  FROM l GROUP BY 1),
+        |long AS (
+        |  SELECT event_type, 1 AS lag, n1 AS n_pairs, CAST(sx1 AS HUGEINT) AS sx,
+        |    CAST(sy1 AS HUGEINT) AS sy, CAST(sxy1 AS HUGEINT) AS sxy,
+        |    CAST(sxx1 AS HUGEINT) AS sxx, CAST(syy1 AS HUGEINT) AS syy FROM m
+        |  UNION ALL SELECT event_type, 2, n2, CAST(sx2 AS HUGEINT),
+        |    CAST(sy2 AS HUGEINT), CAST(sxy2 AS HUGEINT),
+        |    CAST(sxx2 AS HUGEINT), CAST(syy2 AS HUGEINT) FROM m
+        |  UNION ALL SELECT event_type, 3, n3, CAST(sx3 AS HUGEINT),
+        |    CAST(sy3 AS HUGEINT), CAST(sxy3 AS HUGEINT),
+        |    CAST(sxx3 AS HUGEINT), CAST(syy3 AS HUGEINT) FROM m
+        |  UNION ALL SELECT event_type, 4, n4, CAST(sx4 AS HUGEINT),
+        |    CAST(sy4 AS HUGEINT), CAST(sxy4 AS HUGEINT),
+        |    CAST(sxx4 AS HUGEINT), CAST(syy4 AS HUGEINT) FROM m
+        |  UNION ALL SELECT event_type, 5, n5, CAST(sx5 AS HUGEINT),
+        |    CAST(sy5 AS HUGEINT), CAST(sxy5 AS HUGEINT),
+        |    CAST(sxx5 AS HUGEINT), CAST(syy5 AS HUGEINT) FROM m)
+        |SELECT event_type, lag, n_pairs,
+        |  CAST(CAST(n_pairs AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(CAST(n_pairs AS HUGEINT)*sxx - sx*sx AS DOUBLE)
+        |         * CAST(CAST(n_pairs AS HUGEINT)*syy - sy*sy AS DOUBLE)) AS acf_r
+        |FROM long""".stripMargin,
+
+    // per-cell IEEE trees (no cross-row float sum); the total row sums
+    // contributions AFTER round-to-6dp as DECIMAL — order-independent
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(observed) AS r_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, sum(observed) AS c_tot FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM cells),
+        |sc AS (
+        |  SELECT c.event_type, c.dow, c.observed,
+        |    CAST(CAST(r_tot AS BIGINT) * CAST(c_tot AS BIGINT) AS DOUBLE)
+        |      / n_total AS expected
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow)
+        |  CROSS JOIN g),
+        |sc2 AS (
+        |  SELECT *, (CAST(observed AS DOUBLE) - expected)
+        |    * (CAST(observed AS DOUBLE) - expected) / expected AS contrib
+        |  FROM sc)
+        |SELECT event_type, CAST(dow AS INT) AS dow, observed, expected, contrib
+        |FROM sc2
+        |UNION ALL
+        |SELECT '__TOTAL__', 0, (SELECT n_total FROM g),
+        |  CAST((SELECT (count(DISTINCT event_type) - 1)
+        |    * (count(DISTINCT dow) - 1) FROM cells) AS DOUBLE),
+        |  CAST(sum(CAST(round(contrib, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |FROM sc2""".stripMargin,
+
+    // each metric is a ratio of two exact integers — one correctly-
+    // rounded divide per row, no rounding key needed
+    "q_dq_checks" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n, count(value) AS n_value,
+        |    count(DISTINCT event_id) AS n_key,
+        |    count(*) FILTER (event_type IN
+        |      ('click','error','purchase','signup','view')) AS n_domain,
+        |    count(*) FILTER (value >= 0.0 AND value <= 1000.0) AS n_range,
+        |    count(*) FILTER (props LIKE '{%' AND props LIKE '%}') AS n_json
+        |  FROM events)
+        |SELECT check_name, metric, threshold, metric >= threshold AS passed
+        |FROM (
+        |  SELECT 'completeness_value' AS check_name,
+        |    CAST(n_value AS DOUBLE) / n AS metric,
+        |    CAST(1.0 AS DOUBLE) AS threshold FROM m
+        |  UNION ALL SELECT 'uniqueness_event_id',
+        |    CAST(n_key AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'domain_event_type',
+        |    CAST(n_domain AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'range_value_0_1000',
+        |    CAST(n_range AS DOUBLE) / n, CAST(0.999 AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'wellformed_props',
+        |    CAST(n_json AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM m)""".stripMargin,
   )
 }

@@ -85,6 +85,9 @@ object DedupGates {
     // boilerplate-prefix clusters (hash-groupBy first pass before any
     // shingle-index near-dup spend)
     "q_prefix_dedup"   -> ((s: SparkSession, d: String) => Dedup.prefixDedup(s, d)),
+    // blocked edit-distance record linkage (vocab vs 3rd-char-deleted
+    // dirty side; (lang, prefix2) blocking, levenshtein <= 1 verify)
+    "q_fuzzy_join"     -> ((s: SparkSession, d: String) => Dedup.fuzzyVocabJoin(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +335,27 @@ object DedupGates {
         |  min(doc_id) AS canonical_doc
         |FROM documents
         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    // both engines derive the identical dirty side from the corpus
+    // vocabulary (3rd char deleted), so the whole linkage — blocking,
+    // length prefilter, integer edit distance — is hash-checkable
+    "q_fuzzy_join" ->
+      """WITH vocab AS (
+        |  SELECT lang, tok AS token, count(*) AS c_token FROM (
+        |    SELECT lang,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents) raw
+        |  WHERE len(tok) >= 4 GROUP BY 1, 2),
+        |dirty AS (
+        |  SELECT DISTINCT lang,
+        |    substr(token, 1, 2) || substr(token, 4) AS query_term
+        |  FROM vocab)
+        |SELECT v.lang, v.token, d.query_term,
+        |  CAST(levenshtein(v.token, d.query_term) AS INT) AS dist, v.c_token
+        |FROM vocab v JOIN dirty d
+        |  ON v.lang = d.lang
+        |  AND substr(v.token, 1, 2) = substr(d.query_term, 1, 2)
+        |WHERE abs(len(v.token) - len(d.query_term)) <= 1
+        |  AND levenshtein(v.token, d.query_term) <= 1""".stripMargin,
   )
 }

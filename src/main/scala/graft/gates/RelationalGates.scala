@@ -47,6 +47,9 @@ object RelationalGates {
     "q_rank_family"    -> (Relational.rankFamily _),
     // CUBE grouping sets over (event_type, day) — one-shuffle all-slices
     "q_cube_daily"     -> (Relational.cubeDaily _),
+    // explicit GROUPING SETS subset ((type, day), (day), ()) + bitmask
+    // grouping_id — one Expand + one shuffle for all three levels
+    "q_grouping_sets"  -> (Relational.groupingSetsDaily _),
     // UNPIVOT (melt): the A2 pivot inverted back to long rows
     "q_unpivot"        -> (Relational.unpivotDaily _),
     // Morton z-order clustering key (the OPTIMIZE ZORDER primitive)
@@ -342,6 +345,16 @@ object RelationalGates {
         |SELECT event_type, day, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM e GROUP BY CUBE (event_type, day)""".stripMargin,
+
+    // GROUPING() returns the same first-arg-most-significant bitmask as
+    // Spark's grouping_id()
+    "q_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |SELECT event_type, day,
+        |  CAST(GROUPING(event_type, day) AS BIGINT) AS gid, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM e GROUP BY GROUPING SETS ((event_type, day), (day), ())""".stripMargin,
 
     // pivot∘unpivot with null-drop is exactly the long-form aggregate —
     // the oracle checks the roundtrip against the direct groupBy

@@ -72,6 +72,9 @@ object TextGates {
     // id window) broadcast against the corpus; docs become position-
     // ordered id arrays with UNK=0 — the loader handoff format
     "q_tokenize_ids"   -> ((s: SparkSession, d: String) => TextAnalytics.tokenizeIds(s, d)),
+    // PMI collocations (integer minCount cut, six-ln fixed-order tree)
+    "q_collocations"   -> ((s: SparkSession, d: String) =>
+      TextAnalytics.collocationsPmi(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -452,5 +455,30 @@ object TextGates {
         |  list(COALESCE(v.id, 0) ORDER BY t.pos) AS ids
         |FROM toks t LEFT JOIN vocab v USING (term)
         |GROUP BY 1""".stripMargin,
+
+    // the emitted set is decided by the INTEGER c_xy >= 5 cut alone;
+    // pmi is six ln() terms of exact integers summed left-to-right —
+    // the same fixed-tree discipline as q_type_entropy
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |u0 AS (SELECT unnest(t) AS w FROM toks),
+        |uni AS (SELECT w, count(*) AS cw FROM u0 GROUP BY 1),
+        |bg AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |tot AS (SELECT (SELECT count(*) FROM u0) AS n_tok,
+        |  (SELECT count(*) FROM bg) AS n_big),
+        |b AS (
+        |  SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT b.w1, b.w2, b.c_xy, u1.cw AS c_w1, u2.cw AS c_w2,
+        |  round(ln(CAST(b.c_xy AS DOUBLE)) - ln(CAST(t.n_big AS DOUBLE))
+        |    - ln(CAST(u1.cw AS DOUBLE)) + ln(CAST(t.n_tok AS DOUBLE))
+        |    - ln(CAST(u2.cw AS DOUBLE)) + ln(CAST(t.n_tok AS DOUBLE)), 6)
+        |    AS pmi
+        |FROM b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w
+        |CROSS JOIN tot t""".stripMargin,
   )
 }

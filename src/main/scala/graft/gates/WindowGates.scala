@@ -48,6 +48,10 @@ object WindowGates {
     "q_hopping"        -> (TimeWindows.hoppingCounts _),
     // SCD2 dimension-history intervals from the append-only event log
     "q_scd2"           -> (TemporalJoins.scd2Intervals _),
+    // gaps-and-islands interval merge (running-max-end island boundary;
+    // exact epoch-micros, one shuffle)
+    "q_interval_merge" -> ((s: SparkSession, d: String) =>
+      TemporalJoins.mergeIntervals(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -97,6 +101,32 @@ object WindowGates {
         |  n_events,
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current
         |FROM iv""".stripMargin,
+
+    // all-integer epoch-micros arithmetic; the island boundary is
+    // start > running max(end) over STRICTLY preceding rows — the form
+    // a lag-gap sessionizer gets wrong when a long interval swallows
+    // later short ones
+    "q_interval_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 900000000 AS en
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN st > coalesce(max(en) OVER (
+        |      PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+        |  FROM ev),
+        |isl AS (
+        |  SELECT *, CAST(sum(new_island) OVER (
+        |    PARTITION BY user_id ORDER BY st, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS island_id
+        |  FROM f)
+        |SELECT user_id, island_id, min(st) AS island_start_us,
+        |  max(en) AS island_end_us, count(*) AS n_events,
+        |  CAST(max(en) - min(st) AS DOUBLE) / 1000000 AS duration_sec
+        |FROM isl GROUP BY 1, 2""".stripMargin,
 
     "q_quantile" ->
       """SELECT event_type,

@@ -506,4 +506,136 @@ object Analytics {
           / col("n_docs"))
         / (col("n_docs") - 1)).as("var_chars"))
   }
+
+  /** Autocorrelation function per event-type series: Pearson r between
+    * the value series and its lag-k shift, k = 1..maxLag — the
+    * seasonality probe that decides a forecast model's (p, q) orders
+    * (cf. /root/reference's forecast grid search, which assumes the
+    * orders; this computes the evidence for them).
+    *
+    * One window sort produces ALL maxLag lead columns (Spark evaluates
+    * the k lead() calls over one partition-sort), one aggregate reduces
+    * them to 6 exact LONG moments per (type, lag) — values ride as
+    * integer cents so every moment is exact; cents ≤ 5×10⁴ keep Σxy
+    * within LONG through ~10⁹ rows per type. The driver-side combine is
+    * over exactly nTypes × maxLag moment rows (contractually bounded,
+    * same as [[correlationMatrix]]) and runs in BigInt, so n·Σxy never
+    * overflows at any scale; the only float ops are one divide and one
+    * sqrt — the identical IEEE tree the oracle computes from HUGEINT.
+    * Series are per-type partitioned: no global sort, no driver data. */
+  def acf(s: SparkSession, d: String, maxLag: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val byTs = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val lags = 1 to maxLag
+    var laggy = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("x"))
+    for (k <- lags) laggy = laggy.withColumn(s"y$k", lead(col("x"), k).over(byTs))
+    val moments = lags.flatMap { k =>
+      val y = col(s"y$k")
+      val p = y.isNotNull
+      Seq(sum(when(p, 1L).otherwise(0L)).as(s"n$k"),
+        sum(when(p, col("x")).otherwise(0L)).as(s"sx$k"),
+        sum(when(p, y).otherwise(0L)).as(s"sy$k"),
+        sum(when(p, col("x") * y).otherwise(0L)).as(s"sxy$k"),
+        sum(when(p, col("x") * col("x")).otherwise(0L)).as(s"sxx$k"),
+        sum(when(p, y * y).otherwise(0L)).as(s"syy$k"))
+    }
+    val rows = laggy.groupBy("event_type").agg(moments.head, moments.tail: _*)
+      .collect()
+    val out = for (r <- rows; k <- lags) yield {
+      def lv(p: String): BigInt = BigInt(r.getAs[Long](s"$p$k"))
+      val n = lv("n")
+      val cov = (n * lv("sxy") - lv("sx") * lv("sy")).toDouble
+      val vx = (n * lv("sxx") - lv("sx") * lv("sx")).toDouble
+      val vy = (n * lv("syy") - lv("sy") * lv("sy")).toDouble
+      (r.getAs[String]("event_type"), k, n.toLong, cov / math.sqrt(vx * vy))
+    }
+    import s.implicits._
+    out.toSeq.toDF("event_type", "lag", "n_pairs", "acf_r")
+  }
+
+  /** Chi-square independence readout for the event_type × day-of-week
+    * contingency table — "is traffic mix stable across the week", the
+    * categorical twin of [[abTest]]. Emits one row per cell (observed,
+    * expected, (o−e)²/e contribution) plus a __TOTAL__ row whose
+    * `contrib` is the χ² statistic and `expected` the degrees of
+    * freedom.
+    *
+    * Determinism: counts and marginals are exact LONGs from one
+    * groupBy; expected and contribution are per-row IEEE trees (no
+    * cross-row float sum); the total sums the contributions AFTER
+    * rounding to 6 dp as DECIMAL — order-independent, so the one float
+    * reduction in the query is exact on both engines. Two broadcast
+    * joins against the (≤ 7-row / ≤ |types|-row) marginals; the cell
+    * table itself is |types|×7 however big the input. */
+  def chiSquare(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy("event_type").agg(sum("observed").as("r_tot"))
+    val colTot = cells.groupBy("dow").agg(sum("observed").as("c_tot"))
+    val grand = cells.agg(sum("observed").as("n_total"))
+    val scored = cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(grand))
+      .withColumn("expected",
+        (col("r_tot") * col("c_tot")).cast("double") / col("n_total"))
+      .withColumn("contrib",
+        (col("observed").cast("double") - col("expected"))
+          * (col("observed").cast("double") - col("expected")) / col("expected"))
+    val cellRows = scored.select(col("event_type"), col("dow"),
+      col("observed"), col("expected"), col("contrib"))
+    val total = scored.agg(
+        sum(round(col("contrib"), 6).cast(DecimalType(18, 6))).as("chi2"),
+        max(col("n_total")).as("n"),
+        count_distinct(col("event_type")).as("nr"),
+        count_distinct(col("dow")).as("nc"))
+      .select(lit("__TOTAL__").as("event_type"), lit(0).as("dow"),
+        col("n").as("observed"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("double").as("expected"),
+        col("chi2").cast("double").as("contrib"))
+    cellRows.unionByName(total)
+  }
+
+  /** Declarative data-quality constraint suite (the Deequ/expectations
+    * shape): one aggregate pass over events computes every check's
+    * metric — completeness, key uniqueness, domain membership, value
+    * range, payload well-formedness — then a codegen'd `stack` reshapes
+    * the single moment row into (check, metric, threshold, passed)
+    * verdict rows. No second scan, no collect: the reshape is lazy over
+    * the aggregate (the q_profile discipline). Each metric is a ratio
+    * of two exact LONGs — one correctly-rounded divide per row, so the
+    * report hash-matches any IEEE engine. The distinct-key count is the
+    * one shuffle; at 100 TB swap it for approx_count_distinct and a
+    * tolerance-threshold check (the [[profileSketch]] trade) at the
+    * same plan shape. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val agg = Tables.events(s, d).agg(
+      count(lit(1)).as("n"),
+      count(col("value")).as("n_value"),
+      count_distinct(col("event_id")).as("n_key"),
+      sum(when(col("event_type").isin(types.map(x => x: Any): _*), 1L)
+        .otherwise(0L)).as("n_domain"),
+      sum(when(col("value") >= 0.0 && col("value") <= 1000.0, 1L)
+        .otherwise(0L)).as("n_range"),
+      sum(when(col("props").startsWith("{") && col("props").endsWith("}"), 1L)
+        .otherwise(0L)).as("n_json"))
+    val checks = Seq(
+      ("completeness_value", "n_value", 1.0),
+      ("uniqueness_event_id", "n_key", 1.0),
+      ("domain_event_type", "n_domain", 1.0),
+      ("range_value_0_1000", "n_range", 0.999),
+      ("wellformed_props", "n_json", 1.0))
+    val arms = checks.map { case (name, c, thr) =>
+      s"'$name', CAST($c AS DOUBLE) / n, CAST($thr AS DOUBLE)"
+    }.mkString(", ")
+    agg.selectExpr(
+        s"stack(${checks.size}, $arms) AS (check_name, metric, threshold)")
+      .withColumn("passed", col("metric") >= col("threshold"))
+  }
 }

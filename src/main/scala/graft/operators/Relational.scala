@@ -582,4 +582,23 @@ object Relational {
       .select(col("doc_id"), col("mix"),
         (col("offset") + row_number().over(wIn)).as("pos"))
   }
+
+  /** A-family extension — GROUPING SETS with an EXPLICIT subset of
+    * rollup levels: (type, day), (day), () — the report shape neither
+    * `cube` (all 2ᵏ combos — [[cubeDaily]]) nor `rollup` (prefix chain)
+    * expresses, here skipping the per-type-all-days level a dashboard
+    * doesn't render. Physically one Expand (each input row emits one
+    * copy per set) feeding ONE partial-aggregated shuffle — k levels
+    * for one pass, vs k separate groupBys = k scans + k shuffles.
+    * `grouping_id()` disambiguates a real NULL key from a rolled-up
+    * one — same bitmask contract as DuckDB's GROUPING(). Sum is
+    * DECIMAL-exact ([[exactSum]]). */
+  def groupingSetsDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        exactSum(col("value")).as("value_sum"))
 }

@@ -357,4 +357,39 @@ object TemporalJoins {
           .as("mean_right"),
         round(col("score") / 100.0, 6).as("shift"))
   }
+
+  /** Gaps-and-islands interval merge: each event opens a hold window
+    * [ts, ts + holdSec), per-user overlapping/touching windows coalesce
+    * into maximal "islands" — the canonical uptime/coverage-interval
+    * consolidation (and the offline twin of session windows with a
+    * fixed hold instead of an inactivity gap: an island's end is the
+    * max END seen so far, which a plain lag-gap sessionizer gets wrong
+    * whenever an early long interval swallows later short ones).
+    *
+    * Plan: ONE shuffle on user_id, one per-series sort; the island
+    * boundary is `start > running max(end) over preceding rows`, the
+    * island id a running sum of boundary flags, then a groupBy on
+    * (user, island) that re-uses the same hashpartitioning — no second
+    * shuffle. All arithmetic is exact epoch-micros LONGs, so the oracle
+    * hash-matches with no rounding key. Per-user series are bounded
+    * (the [[rollingStats]] contract); nothing global. */
+  def mergeIntervals(s: SparkSession, d: String, holdSec: Long = 900L): DataFrame = {
+    val byStart = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+    val prior = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + lit(holdSec * 1000000L))
+      .withColumn("new_island",
+        when(col("st") > coalesce(max(col("en")).over(prior), lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("island_id", sum(col("new_island")).over(cum))
+      .groupBy(col("user_id"), col("island_id"))
+      .agg(min(col("st")).as("island_start_us"),
+        max(col("en")).as("island_end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_sec",
+        (col("island_end_us") - col("island_start_us")) / lit(1000000L))
+  }
 }
