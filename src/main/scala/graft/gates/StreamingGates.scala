@@ -54,6 +54,11 @@ object StreamingGates {
     // stream-STATIC broadcast enrichment join (stateless per-batch hash
     // probe, no state store); drained sink == batch join = the oracle
     "q_stream_static_join" -> (graft.streaming.EventStreams.streamStaticJoin _),
+    // stream-stream LEFT OUTER interval join: unmatched clicks emit via
+    // watermark state EVICTION; gate projects to the settled region
+    // (click_ts <= max ts − 2 h) where match-or-evict is proven
+    "q_stream_join_outer" ->
+      (graft.streaming.EventStreams.streamStreamOuterJoin _),
   )
 
   /** The watermark-closed window subset of the batch resample — shared
@@ -155,6 +160,26 @@ object StreamingGates {
         |  p.p_us // 1000000 - c.c_us // 1000000 AS lag_secs
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000""".stripMargin,
+
+    // the LEFT OUTER form inside the settled region (integer-micros
+    // bound) — unmatched clicks carry NULL purchase_id / lag_secs,
+    // exactly the rows Spark emits via watermark state eviction
+    "q_stream_join_outer" ->
+      """WITH mx AS (
+        |  SELECT max(epoch_us(ts)) - 7200000000 AS bound_us FROM events),
+        |c AS (
+        |  SELECT event_id AS click_id, ts AS click_ts, epoch_us(ts) AS c_us,
+        |    user_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS p_us, user_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id,
+        |  p.p_us // 1000000 - c.c_us // 1000000 AS lag_secs
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000
+        |CROSS JOIN mx
+        |WHERE c.c_us <= mx.bound_us""".stripMargin,
 
     // the streaming MG + exact-recount path provably equals the exact
     // form (see EventStreams.streamHeavyHitters) — third share of the

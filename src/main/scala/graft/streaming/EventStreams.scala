@@ -860,11 +860,20 @@ object EventStreams {
     * emits each enriched row exactly once, and the drained sink must
     * equal the batch join row for row — the DuckDB oracle is the plain
     * batch-join SQL, so streaming semantics are pinned by the same
-    * hash-compare as every batch gate. */
+    * hash-compare as every batch gate.
+    *
+    * The sink is PARQUET (read back lazily), not a memory sink: the
+    * output is stream-sized, and a memory sink would materialize every
+    * enriched row in the driver — measured at sf10 as a 23× wall blow-up
+    * with 13-14 s of GC per rep (SCALE.md round-9), i.e. a harness
+    * artifact masquerading as operator cost. With the file sink the
+    * enrichment stays distributed end to end; the checkpoint-pinned
+    * store count makes repeat reps resume instead of re-drain. */
   def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    val base = graft.Scratch.dir(s"staticjoin_$d")
+    s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try {
       val dim = graft.Tables.events(s, d)
         .groupBy("event_type")
@@ -876,12 +885,71 @@ object EventStreams {
         .select(col("event_id"), col("event_type"), col("value"),
           col("type_n"), col("type_mean"),
           (col("value") - col("type_mean")).as("dev_from_mean"))
-      val name = "graft_stream_static_join"
       val q = enriched.writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
         .start()
       drain(q, "static_join")
-      s.table(name)
+      s.read.parquet(s"$base/out")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Stream-STREAM **left-outer** interval join — [[streamStreamJoin]]'s
+    * missing-match half: every click emits exactly once, either paired with
+    * a purchase in [click_ts, click_ts + 30 min] or as an unmatched row
+    * once the WATERMARK proves no purchase can still arrive. The null
+    * rows are produced by state EVICTION (Spark holds each click until
+    * event-time watermark passes click_ts + 30 min, then emits the
+    * unmatched form) — the semantics this gate pins that the inner join
+    * cannot.
+    *
+    * Determinism guard: rows whose eviction bound sits within the final
+    * watermark's reach (the last ~40 min of the stream) depend on
+    * millisecond watermark boundary rounding, so the GATE projects the
+    * sink to the SETTLED region (click_ts ≤ max ts − 2 h, a broadcast
+    * scalar bound) where every click has provably either matched or
+    * evicted — production omits the projection and simply keeps
+    * receiving late emissions. Inside the settled region the drained
+    * sink equals the batch LEFT JOIN row for row, which is the DuckDB
+    * oracle. State stays O(rate × horizon) per side, exactly as the
+    * inner form. */
+  def streamStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    try {
+      def src: DataFrame = rawEventStream(s, d)
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+          col("user_id").as("c_user"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = src.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+          col("user_id").as("p_user"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+        .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+          col("purchase_id"),
+          when(col("purchase_id").isNotNull,
+            unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+            .as("lag_secs"))
+      val name = "graft_stream_stream_outer"
+      val q = joined.writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      drain(q, "stream_outer")
+      // settled bound in exact integer MICROS (no second-truncation
+      // ambiguity at the cut)
+      val settled = graft.Tables.events(s, d)
+        .agg((max(unix_micros(col("ts"))) - 7200000000L).as("bound_us"))
+      s.table(name).crossJoin(broadcast(settled))
+        .where(unix_micros(col("click_ts")) <= col("bound_us"))
+        .select("user_id", "click_id", "click_ts", "purchase_id", "lag_secs")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }
