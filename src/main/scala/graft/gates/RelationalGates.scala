@@ -50,6 +50,9 @@ object RelationalGates {
     // explicit GROUPING SETS subset ((type, day), (day), ()) + bitmask
     // grouping_id — one Expand + one shuffle for all three levels
     "q_grouping_sets"  -> (Relational.groupingSetsDaily _),
+    // ROLLUP prefix chain (type, day) -> (type) -> () — completes the
+    // cube / grouping-sets / rollup trilogy
+    "q_rollup_daily"   -> (Relational.rollupDaily _),
     // UNPIVOT (melt): the A2 pivot inverted back to long rows
     "q_unpivot"        -> (Relational.unpivotDaily _),
     // Morton z-order clustering key (the OPTIMIZE ZORDER primitive)
@@ -355,6 +358,14 @@ object RelationalGates {
         |  CAST(GROUPING(event_type, day) AS BIGINT) AS gid, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM e GROUP BY GROUPING SETS ((event_type, day), (day), ())""".stripMargin,
+
+    "q_rollup_daily" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |SELECT event_type, day,
+        |  CAST(GROUPING(event_type, day) AS BIGINT) AS gid, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM e GROUP BY ROLLUP (event_type, day)""".stripMargin,
 
     // pivot∘unpivot with null-drop is exactly the long-form aggregate —
     // the oracle checks the roundtrip against the direct groupBy

@@ -52,6 +52,12 @@ object WindowGates {
     // exact epoch-micros, one shuffle)
     "q_interval_merge" -> ((s: SparkSession, d: String) =>
       TemporalJoins.mergeIntervals(s, d)),
+    // FORWARD as-of (next dim row at-or-after each event; mirrored
+    // union-window composition vs DuckDB's native ASOF <= form)
+    "q_asof_forward"   -> (TemporalJoins.asofForward _),
+    // trailing-hour DISTINCT type count (collect_set over the RANGE
+    // frame — the cardinality twin of q_window_range)
+    "q_window_distinct" -> (TemporalJoins.rangeDistinctTypes _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,6 +186,27 @@ object WindowGates {
         |SELECT e.event_id, e.user_id, e.ts, e.value, d.setting AS asof_max
         |FROM events e ASOF JOIN dim d
         |  ON e.user_id = d.user_id AND e.ts >= d.ts""".stripMargin,
+
+    // ASOF LEFT keeps the tail rows with no following dim row (NULL
+    // next_max) — exactly the window composition's unmatched contract
+    "q_asof_forward" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ts,
+        |    max(value) AS setting
+        |  FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, e.value, d.setting AS next_max
+        |FROM events e ASOF LEFT JOIN dim d
+        |  ON e.user_id = d.user_id AND e.ts <= d.ts""".stripMargin,
+
+    // DuckDB's DISTINCT window aggregate over the same integer-micros
+    // RANGE frame as q_window_range
+    "q_window_distinct" ->
+      """SELECT event_id, user_id, ts, event_type,
+        |  CAST(count(DISTINCT event_type) OVER w AS INT) AS n_types_1h,
+        |  count(*) OVER w AS n_events_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // whole-second gap math on both sides: Spark unix_timestamp truncates
     // to seconds; DuckDB floor(epoch(ts)) reproduces it

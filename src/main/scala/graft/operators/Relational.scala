@@ -601,4 +601,17 @@ object Relational {
         col("event_type"), col("day"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
         exactSum(col("value")).as("value_sum"))
+
+  /** ROLLUP — the hierarchical prefix chain (type, day) → (type) → ()
+    * that completes the cube / grouping-sets / rollup trilogy: the
+    * drill-down report shape (per-type-per-day, per-type subtotal, grand
+    * total) without cube's (day)-only level. Same one-Expand one-shuffle
+    * physical plan; grouping_id separates subtotal rows from real NULL
+    * keys. */
+  def rollupDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .rollup("event_type", "day")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        exactSum(col("value")).as("value_sum"))
 }

@@ -151,6 +151,78 @@ object TemporalJoins {
       by = "user_id", ts = "ts", attach = Seq("asof_max"))
   }
 
+  /** FORWARD as-of join — attach the EARLIEST right row with ts' ≥ each
+    * left ts (the "next scheduled change / next maintenance window"
+    * lookup; [[asofJoin]] mirrored in time). Identical single-shuffle
+    * union-window plan, with the per-series sort DESCENDING so the
+    * running `last(ignoreNulls)` carries the nearest FOLLOWING right
+    * row; the kind tiebreak keeps the match inclusive at equal
+    * timestamps. Same contract: right unique per (key, ts), unmatched
+    * left rows keep nulls. Oracled against DuckDB's native
+    * `ASOF JOIN ... ON l.ts <= r.ts`, proving the mirrored composition
+    * implements the canonical forward semantics. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, by: String,
+      ts: String, attach: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(attach.forall(!leftCols.contains(_)),
+      s"attach columns $attach must not already exist on the left side")
+    val kind = "__asof_kind"
+    val state = "__asof_state"
+    val l = attach.foldLeft(left.withColumn(kind, lit(0))) { (df, a) =>
+      df.withColumn(a, lit(null).cast(right.schema(a).dataType))
+    }
+    val extra = leftCols.filterNot(c => c == by || c == ts)
+    val r = extra.foldLeft(right.select((Seq(by, ts) ++ attach).map(col): _*)
+      .withColumn(kind, lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols ++ attach :+ kind).map(col): _*)
+    val w = Window.partitionBy(by)
+      .orderBy(col(ts).desc, col(kind).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select((leftCols ++ attach :+ kind).map(col): _*).unionAll(r)
+      .withColumn(state, when(col(kind) === 1, struct(attach.map(col): _*)))
+      .withColumn(state, last(col(state), ignoreNulls = true).over(w))
+      .where(col(kind) === 0)
+      .select(leftCols.map(col) ++ attach.map(a => col(s"$state.$a").as(a)): _*)
+  }
+
+  /** Gate form of [[asofJoinForward]]: each event looks UP to the next
+    * day-start dimension row at-or-after it (same dim as [[asofJoin]],
+    * so the two gates differ only in direction). */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dim = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max("value").as("next_max"))
+      .select(col("user_id"), col("day").cast("timestamp").as("ts"),
+        col("next_max"))
+    asofJoinForward(ev.select("event_id", "user_id", "ts", "value"), dim,
+      by = "user_id", ts = "ts", attach = Seq("next_max"))
+  }
+
+  /** Trailing one-hour DISTINCT count per user — "how many distinct
+    * event types did this user produce in the last hour", the
+    * cardinality twin of [[rangeRollingStats]]. Plain window aggregates
+    * cannot COUNT(DISTINCT) in Spark; `size(collect_set(..))` over the
+    * same integer-micros RANGE frame is the exact declarative form —
+    * per-frame state is bounded by the type alphabet, so the window
+    * stays memory-safe at any fact volume (for unbounded-cardinality
+    * columns the 100 TB variant swaps collect_set for an HLL partial —
+    * same frame, the [[graft.operators.Analytics.profileSketch]]
+    * trade). Same single user_id shuffle + per-series sort as every
+    * series window. */
+  def rangeDistinctTypes(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("n_types_1h", size(collect_set(col("event_type")).over(w)))
+      .withColumn("n_events_1h", count(lit(1)).over(w))
+      .select("event_id", "user_id", "ts", "event_type",
+        "n_types_1h", "n_events_1h")
+  }
+
   /** Batch sessionization: split each user's event stream into sessions
     * at idle gaps > gapMinutes (the batch twin of the streaming
     * `EventStreams.sessionize` state machine). Classic two-window
