@@ -78,6 +78,13 @@ object AnalyticsGates {
     // declarative data-quality constraint suite (one aggregate pass +
     // lazy stack reshape into check verdict rows)
     "q_dq_checks"      -> (graft.operators.Analytics.dqChecks _),
+    // first-order Markov transition matrix over user event sequences
+    // (counts + row-normalized p; |types|²-bounded output)
+    "q_transition_matrix" -> (graft.operators.Analytics.transitionMatrix _),
+    // cross-correlation click→purchase on the DENSE hourly grid,
+    // lags 0..5 (missing hours are genuine zeros; acf's exact recipe)
+    "q_ccf"            -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.ccf(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -484,5 +491,89 @@ object AnalyticsGates {
         |    CAST(n_range AS DOUBLE) / n, CAST(0.999 AS DOUBLE) FROM m
         |  UNION ALL SELECT 'wellformed_props',
         |    CAST(n_json AS DOUBLE) / n, CAST(1.0 AS DOUBLE) FROM m)""".stripMargin,
+
+    "q_transition_matrix" ->
+      """WITH st AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM st
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.row_n,
+        |  CAST(c.n AS DOUBLE) / t.row_n AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+
+    // the dense-grid CCF: generate_series fills genuine-zero hours, the
+    // moment combine runs in HUGEINT — the q_acf recipe, two series
+    "q_ccf" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS b FROM events),
+        |cx AS (SELECT b, count(*) AS x FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |cy AS (SELECT b, count(*) AS y FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |bounds AS (SELECT min(b) AS mn, max(b) AS mx FROM ev),
+        |grid AS (SELECT unnest(generate_series(mn, mx)) AS b FROM bounds),
+        |dense AS (
+        |  SELECT g.b, coalesce(cx.x, CAST(0 AS BIGINT)) AS x,
+        |    coalesce(cy.y, CAST(0 AS BIGINT)) AS y
+        |  FROM grid g LEFT JOIN cx ON g.b = cx.b LEFT JOIN cy ON g.b = cy.b),
+        |l AS (
+        |  SELECT x, y AS y0, lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+        |    lead(y, 3) OVER w AS y3, lead(y, 4) OVER w AS y4,
+        |    lead(y, 5) OVER w AS y5
+        |  FROM dense WINDOW w AS (ORDER BY b)),
+        |m AS (
+        |  SELECT
+        |    CAST(count(y0) AS BIGINT) AS n0, CAST(count(y1) AS BIGINT) AS n1,
+        |    CAST(count(y2) AS BIGINT) AS n2, CAST(count(y3) AS BIGINT) AS n3,
+        |    CAST(count(y4) AS BIGINT) AS n4, CAST(count(y5) AS BIGINT) AS n5,
+        |    sum(x) FILTER (y0 IS NOT NULL) AS sx0, sum(y0) AS sy0,
+        |      sum(x*y0) AS sxy0, sum(x*x) FILTER (y0 IS NOT NULL) AS sxx0,
+        |      sum(y0*y0) AS syy0,
+        |    sum(x) FILTER (y1 IS NOT NULL) AS sx1, sum(y1) AS sy1,
+        |      sum(x*y1) AS sxy1, sum(x*x) FILTER (y1 IS NOT NULL) AS sxx1,
+        |      sum(y1*y1) AS syy1,
+        |    sum(x) FILTER (y2 IS NOT NULL) AS sx2, sum(y2) AS sy2,
+        |      sum(x*y2) AS sxy2, sum(x*x) FILTER (y2 IS NOT NULL) AS sxx2,
+        |      sum(y2*y2) AS syy2,
+        |    sum(x) FILTER (y3 IS NOT NULL) AS sx3, sum(y3) AS sy3,
+        |      sum(x*y3) AS sxy3, sum(x*x) FILTER (y3 IS NOT NULL) AS sxx3,
+        |      sum(y3*y3) AS syy3,
+        |    sum(x) FILTER (y4 IS NOT NULL) AS sx4, sum(y4) AS sy4,
+        |      sum(x*y4) AS sxy4, sum(x*x) FILTER (y4 IS NOT NULL) AS sxx4,
+        |      sum(y4*y4) AS syy4,
+        |    sum(x) FILTER (y5 IS NOT NULL) AS sx5, sum(y5) AS sy5,
+        |      sum(x*y5) AS sxy5, sum(x*x) FILTER (y5 IS NOT NULL) AS sxx5,
+        |      sum(y5*y5) AS syy5
+        |  FROM l),
+        |long AS (
+        |  SELECT 0 AS lag_hours, n0 AS n_pairs, CAST(sx0 AS HUGEINT) AS sx,
+        |    CAST(sy0 AS HUGEINT) AS sy, CAST(sxy0 AS HUGEINT) AS sxy,
+        |    CAST(sxx0 AS HUGEINT) AS sxx, CAST(syy0 AS HUGEINT) AS syy FROM m
+        |  UNION ALL SELECT 1, n1, CAST(sx1 AS HUGEINT), CAST(sy1 AS HUGEINT),
+        |    CAST(sxy1 AS HUGEINT), CAST(sxx1 AS HUGEINT), CAST(syy1 AS HUGEINT)
+        |    FROM m
+        |  UNION ALL SELECT 2, n2, CAST(sx2 AS HUGEINT), CAST(sy2 AS HUGEINT),
+        |    CAST(sxy2 AS HUGEINT), CAST(sxx2 AS HUGEINT), CAST(syy2 AS HUGEINT)
+        |    FROM m
+        |  UNION ALL SELECT 3, n3, CAST(sx3 AS HUGEINT), CAST(sy3 AS HUGEINT),
+        |    CAST(sxy3 AS HUGEINT), CAST(sxx3 AS HUGEINT), CAST(syy3 AS HUGEINT)
+        |    FROM m
+        |  UNION ALL SELECT 4, n4, CAST(sx4 AS HUGEINT), CAST(sy4 AS HUGEINT),
+        |    CAST(sxy4 AS HUGEINT), CAST(sxx4 AS HUGEINT), CAST(syy4 AS HUGEINT)
+        |    FROM m
+        |  UNION ALL SELECT 5, n5, CAST(sx5 AS HUGEINT), CAST(sy5 AS HUGEINT),
+        |    CAST(sxy5 AS HUGEINT), CAST(sxx5 AS HUGEINT), CAST(syy5 AS HUGEINT)
+        |    FROM m)
+        |SELECT lag_hours, n_pairs,
+        |  CAST(CAST(n_pairs AS HUGEINT)*sxy - sx*sy AS DOUBLE)
+        |    / sqrt(CAST(CAST(n_pairs AS HUGEINT)*sxx - sx*sx AS DOUBLE)
+        |         * CAST(CAST(n_pairs AS HUGEINT)*syy - sy*sy AS DOUBLE)) AS ccf_r
+        |FROM long""".stripMargin,
   )
 }

@@ -638,4 +638,82 @@ object Analytics {
         s"stack(${checks.size}, $arms) AS (check_name, metric, threshold)")
       .withColumn("passed", col("metric") >= col("threshold"))
   }
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: counts and row-normalized probabilities for every
+    * (from → to) step — the user-flow / next-action readout (and the
+    * sequence prior a session-based recommender starts from). One
+    * per-series lag window (the user_id shuffle), one |types|²-bounded
+    * groupBy, a broadcast join for the row totals; p is one exact
+    * integer divide. */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byTs))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy("from_type").agg(sum("n").as("row_n"))
+    steps.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("row_n"))
+      .select("from_type", "to_type", "n", "row_n", "p")
+  }
+
+  /** Cross-correlation function between the hourly click and purchase
+    * count series, lags 0..maxLag hours — "does click volume lead
+    * purchase volume, and by how much": the causal-direction probe next
+    * to [[acf]]'s self-similarity. The series live on the DENSE hourly
+    * grid (missing hours are genuine zeros — skipping them would bias
+    * every moment), built by exploding `sequence(min_bucket,
+    * max_bucket)`: the grid is CALENDAR-bounded (≤ ~10⁵ rows per
+    * decade of hours), so the no-partition lead window over it is safe
+    * at any fact volume — the fact table only ever feeds the two
+    * groupBys. Exact LONG moments, BigInt driver combine over
+    * maxLag+1 rows, one divide + one sqrt — the [[acf]] recipe. */
+  def ccf(s: SparkSession, d: String, maxLag: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $hourUs").as("b"))
+    def series(t: String, as: String) =
+      ev.where(col("event_type") === t).groupBy("b")
+        .agg(count(lit(1)).as(as))
+    val grid = ev.agg(min("b").as("mn"), max("b").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("b"))
+    val dense = grid
+      .join(series("click", "x"), Seq("b"), "left")
+      .join(series("purchase", "y"), Seq("b"), "left")
+      .select(col("b"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val byB = Window.orderBy("b") // calendar-bounded grid — see scaladoc
+    val lags = 0 to maxLag
+    var laggy = dense
+    for (k <- lags)
+      laggy = laggy.withColumn(s"y$k",
+        if (k == 0) col("y") else lead(col("y"), k).over(byB))
+    val moments = lags.flatMap { k =>
+      val y = col(s"y$k")
+      val p = y.isNotNull
+      Seq(sum(when(p, 1L).otherwise(0L)).as(s"n$k"),
+        sum(when(p, col("x")).otherwise(0L)).as(s"sx$k"),
+        sum(when(p, y).otherwise(0L)).as(s"sy$k"),
+        sum(when(p, col("x") * y).otherwise(0L)).as(s"sxy$k"),
+        sum(when(p, col("x") * col("x")).otherwise(0L)).as(s"sxx$k"),
+        sum(when(p, y * y).otherwise(0L)).as(s"syy$k"))
+    }
+    val row = laggy.agg(moments.head, moments.tail: _*).collect()(0)
+    val out = lags.map { k =>
+      def lv(pfx: String): BigInt = BigInt(row.getAs[Long](s"$pfx$k"))
+      val n = lv("n")
+      val cov = (n * lv("sxy") - lv("sx") * lv("sy")).toDouble
+      val vx = (n * lv("sxx") - lv("sx") * lv("sx")).toDouble
+      val vy = (n * lv("syy") - lv("sy") * lv("sy")).toDouble
+      (k, n.toLong, cov / math.sqrt(vx * vy))
+    }
+    import s.implicits._
+    out.toDF("lag_hours", "n_pairs", "ccf_r")
+  }
 }

@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (188 queries, 155 oracles)") {
-    assert(SparkEntry.queries.size == 188)
-    assert(SparkEntry.oracleSql.size == 155)
+  test("registry carries the full suite (190 queries, 157 oracles)") {
+    assert(SparkEntry.queries.size == 190)
+    assert(SparkEntry.oracleSql.size == 157)
   }
 }
