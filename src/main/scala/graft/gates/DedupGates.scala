@@ -88,6 +88,9 @@ object DedupGates {
     // blocked edit-distance record linkage (vocab vs 3rd-char-deleted
     // dirty side; (lang, prefix2) blocking, levenshtein <= 1 verify)
     "q_fuzzy_join"     -> ((s: SparkSession, d: String) => Dedup.fuzzyVocabJoin(s, d)),
+    // golden-record consolidation per prefix-dup cluster (merge rules +
+    // provenance; the step after detection in entity resolution)
+    "q_survivorship"   -> (Dedup.survivorship _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,5 +360,16 @@ object DedupGates {
         |  AND substr(v.token, 1, 2) = substr(d.query_term, 1, 2)
         |WHERE abs(len(v.token) - len(d.query_term)) <= 1
         |  AND levenshtein(v.token, d.query_term) <= 1""".stripMargin,
+
+    "q_survivorship" ->
+      """SELECT sha256(substring(text, 1, 64)) AS prefix_hash,
+        |  count(*) AS n_members,
+        |  min(doc_id) AS canonical_doc,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
   )
 }
