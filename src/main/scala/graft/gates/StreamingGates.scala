@@ -17,7 +17,9 @@ object StreamingGates {
     // streaming ingest gate: stream-static anti join vs the corpus hash
     // index + within-stream dedup (watermark-bounded state)
     "q_stream_ingest_dedup" -> (graft.streaming.EventStreams.streamIngestDedup _),
-    // streaming (extension): windowed means via Structured Streaming,
+    // streaming (extension): windowed means via Structured Streaming in
+    // Update mode, foreachBatch replace-by-key merged into parquet
+    // snapshots (running-total semantics, no driver materialization) —
     // oracle-checked against the SAME SQL as the batch resample
     "q_stream_resample" -> (graft.streaming.EventStreams.streamResample _),
     // streaming exact dedup: events streamed twice (two unioned file
@@ -27,7 +29,8 @@ object StreamingGates {
     // read back; oracle = the watermark-closed window subset
     "q_stream_sink"    -> (graft.streaming.EventStreams.streamSink _),
     // streaming sessionization via native session_window (event-time gap
-    // sessions), oracled at full timestamp precision
+    // sessions), Append mode -> parquet sink, projected to the settled
+    // region; oracled at full timestamp precision
     "q_stream_sessionize" -> (graft.streaming.EventStreams.streamSessionize _),
     // stream-STREAM inner interval join (click→purchase attribution);
     // drained inner join == batch interval join, which is the oracle
@@ -127,7 +130,12 @@ object StreamingGates {
     // timestamp precision — an event landing exactly on the gap boundary
     // still merges (verified by spec). The batch q_sessionize oracle
     // instead floors epochs to whole seconds (reference-lineage
-    // semantics); both use the strict > split.
+    // semantics); both use the strict > split. The gate's Append-mode
+    // parquet sink emits only watermark-closed sessions, projected to the
+    // settled region (s_end <= max ts - 1 h, exact integer micros) where
+    // emission is engine-boundary-proof; closed sessions are a prefix of
+    // each user's sequence, so the full cumulative numbering filtered by
+    // the same bound matches the gate's renumbering of the projected rows.
     "q_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, value,
@@ -139,11 +147,15 @@ object StreamingGates {
         |    THEN 1 ELSE 0 END AS new_sess FROM o),
         |s AS (
         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f)
-        |SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end,
-        |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-        |FROM s GROUP BY 1, 2""".stripMargin,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end,
+        |    count(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |  FROM s GROUP BY 1, 2),
+        |mx AS (SELECT max(epoch_us(ts)) - 3600000000 AS bound_us FROM events)
+        |SELECT user_id, session_id, s_start, s_end, n_events, value_sum
+        |FROM sess, mx WHERE epoch_us(s_end) <= mx.bound_us""".stripMargin,
 
     // drained inner stream-stream join == the batch interval join; the
     // join condition runs on epoch MICROS (Spark's ts is µs-truncated

@@ -70,8 +70,19 @@ object TextGates {
     "q_countmin"       -> ((s: SparkSession, d: String) => TextAnalytics.countMinProbe(s, d)),
     // tokenize-to-ids: top-64 frequency vocab (TakeOrdered cut, 64-row
     // id window) broadcast against the corpus; docs become position-
-    // ordered id arrays with UNK=0 — the loader handoff format
-    "q_tokenize_ids"   -> ((s: SparkSession, d: String) => TextAnalytics.tokenizeIds(s, d)),
+    // ordered id arrays with UNK=0 — the loader handoff format. The
+    // gate serializes the id array to a ','-joined string: the driver's
+    // hash compare row-sorts via pandas, which cannot hash an
+    // array<int> cell (r9's one red row), so array columns leave the
+    // gate as deterministic scalars (same discipline as the other
+    // array-valued gates). The operator itself keeps the typed array.
+    "q_tokenize_ids"   -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      TextAnalytics.tokenizeIds(s, d).select(col("doc_id"),
+        col("n_tokens"), col("n_oov"),
+        array_join(transform(col("ids"), x => x.cast("string")), ",")
+          .as("ids_csv"))
+    }),
     // PMI collocations (integer minCount cut, six-ln fixed-order tree)
     "q_collocations"   -> ((s: SparkSession, d: String) =>
       TextAnalytics.collocationsPmi(s, d)),
@@ -437,8 +448,9 @@ object TextGates {
 
     // vocab rank ties break on the term string (total order); the
     // parallel unnest zips positions with tokens like q_bigram_logprob;
-    // list(...) ORDER BY pos matches Spark's (pos, id)-struct array_sort;
-    // INTEGER casts keep both engines' id arrays element-type-equal
+    // the id sequence leaves the gate as a ','-joined string (ORDER BY
+    // pos matches Spark's (pos, id)-struct array_sort) — the driver's
+    // pandas row-sort can't hash list cells, so arrays become scalars
     "q_tokenize_ids" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -452,7 +464,7 @@ object TextGates {
         |  FROM c QUALIFY id <= 64)
         |SELECT t.doc_id, count(*) AS n_tokens,
         |  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-        |  list(COALESCE(v.id, 0) ORDER BY t.pos) AS ids
+        |  string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ',' ORDER BY t.pos) AS ids_csv
         |FROM toks t LEFT JOIN vocab v USING (term)
         |GROUP BY 1""".stripMargin,
 
