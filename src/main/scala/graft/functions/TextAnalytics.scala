@@ -743,7 +743,10 @@ object TextAnalytics {
     // exactly TWO corpus passes (unigram stream, bigram stream); the
     // totals N and M derive from the cached vocab-sized count tables —
     // never a third tokenize (the q_pack_greedy lesson). Both caches
-    // are vocab-/vocab²-bounded.
+    // are vocab-/vocab²-bounded, OWNED here: the result is materialized
+    // eagerly (localCheckpoint, vocab²-bounded) so both can be released
+    // in the finally instead of escaping into the returned lazy plan
+    // (the cache-ownership hazard class, VERDICT r5 #3).
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw")).cache()
     val bgCounts = toks.where(size(col("t")) >= 2)
@@ -752,20 +755,26 @@ object TextAnalytics {
         slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")).cache()
-    val totals = uni.agg(sum("cw").as("n_tok"))
-      .crossJoin(bgCounts.agg(sum("c_xy").as("n_big")))
-    bgCounts
-      .where(col("c_xy") >= minCount)
-      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c_w1"))),
-        Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c_w2"))),
-        Seq("w2"))
-      .crossJoin(broadcast(totals))
-      .withColumn("pmi", round(
-        log(col("c_xy").cast("double")) - log(col("n_big").cast("double"))
-          - log(col("c_w1").cast("double")) + log(col("n_tok").cast("double"))
-          - log(col("c_w2").cast("double")) + log(col("n_tok").cast("double")),
-        6))
-      .select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi")
+    try {
+      val totals = uni.agg(sum("cw").as("n_tok"))
+        .crossJoin(bgCounts.agg(sum("c_xy").as("n_big")))
+      bgCounts
+        .where(col("c_xy") >= minCount)
+        .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c_w1"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c_w2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(
+          log(col("c_xy").cast("double")) - log(col("n_big").cast("double"))
+            - log(col("c_w1").cast("double")) + log(col("n_tok").cast("double"))
+            - log(col("c_w2").cast("double")) + log(col("n_tok").cast("double")),
+          6))
+        .select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi")
+        .localCheckpoint(true)
+    } finally {
+      uni.unpersist()
+      bgCounts.unpersist()
+    }
   }
 }

@@ -515,17 +515,22 @@ object Analytics {
     *
     * One window sort produces ALL maxLag lead columns (Spark evaluates
     * the k lead() calls over one partition-sort), one aggregate reduces
-    * them to 6 exact LONG moments per (type, lag) — values ride as
-    * integer cents so every moment is exact; cents ≤ 5×10⁴ keep Σxy
-    * within LONG through ~10⁹ rows per type. The driver-side combine is
-    * over exactly nTypes × maxLag moment rows (contractually bounded,
-    * same as [[correlationMatrix]]) and runs in BigInt, so n·Σxy never
-    * overflows at any scale; the only float ops are one divide and one
-    * sqrt — the identical IEEE tree the oracle computes from HUGEINT.
-    * Series are per-type partitioned: no global sort, no driver data. */
+    * them to 6 exact moments per (type, lag) — values ride as integer
+    * cents, and the second-order sums (Σxy, Σxx, Σyy: per-row products
+    * up to 10¹⁰ at the dq-contract value ceiling of 10⁵ cents, which
+    * would silently wrap a LONG sum near 9×10⁸ rows per type without
+    * ANSI mode) accumulate as DECIMAL(38,0), so every moment is exact
+    * at ANY row count — overflow is impossible rather than documented.
+    * The driver-side combine is over exactly nTypes × maxLag moment
+    * rows (contractually bounded, same as [[correlationMatrix]]) and
+    * runs in BigInt, so n·Σxy never overflows either; the only float
+    * ops are one divide and one sqrt — the identical IEEE tree the
+    * oracle computes from HUGEINT. Series are per-type partitioned: no
+    * global sort, no driver data. */
   def acf(s: SparkSession, d: String, maxLag: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
     val byTs = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
     val lags = 1 to maxLag
     var laggy = Tables.events(s, d)
@@ -535,17 +540,22 @@ object Analytics {
     val moments = lags.flatMap { k =>
       val y = col(s"y$k")
       val p = y.isNotNull
+      // first-order sums stay LONG-safe through ~10¹³ rows (x ≤ 10⁵);
+      // the product sums go through DECIMAL(38,0) — exact, unoverflowable
       Seq(sum(when(p, 1L).otherwise(0L)).as(s"n$k"),
         sum(when(p, col("x")).otherwise(0L)).as(s"sx$k"),
         sum(when(p, y).otherwise(0L)).as(s"sy$k"),
-        sum(when(p, col("x") * y).otherwise(0L)).as(s"sxy$k"),
-        sum(when(p, col("x") * col("x")).otherwise(0L)).as(s"sxx$k"),
-        sum(when(p, y * y).otherwise(0L)).as(s"syy$k"))
+        sum(when(p, (col("x") * y).cast(dec)).otherwise(lit(0).cast(dec))).as(s"sxy$k"),
+        sum(when(p, (col("x") * col("x")).cast(dec)).otherwise(lit(0).cast(dec))).as(s"sxx$k"),
+        sum(when(p, (y * y).cast(dec)).otherwise(lit(0).cast(dec))).as(s"syy$k"))
     }
     val rows = laggy.groupBy("event_type").agg(moments.head, moments.tail: _*)
       .collect()
     val out = for (r <- rows; k <- lags) yield {
-      def lv(p: String): BigInt = BigInt(r.getAs[Long](s"$p$k"))
+      def lv(p: String): BigInt = r.get(r.fieldIndex(s"$p$k")) match {
+        case l: java.lang.Long => BigInt(l)
+        case bd: java.math.BigDecimal => BigInt(bd.toBigIntegerExact)
+      }
       val n = lv("n")
       val cov = (n * lv("sxy") - lv("sx") * lv("sy")).toDouble
       val vx = (n * lv("sxx") - lv("sx") * lv("sx")).toDouble

@@ -1277,6 +1277,28 @@ object Dedup {
         min(col("doc_id")).as("canonical_doc"))
       .where(col("n_docs") > 1)
 
+  /** Survivorship / golden-record consolidation — the step AFTER
+    * duplicate detection in an entity-resolution pipeline: each
+    * duplicate cluster (here [[prefixDedup]]'s boilerplate-prefix
+    * clusters) collapses to one canonical record plus merged
+    * provenance: member count, distinct sources, the sorted language
+    * set, and the attribute survivorship rules (min id wins identity,
+    * max/min chars bound the content spread). Same hash-groupBy cost as
+    * the detector itself — one shuffle on the 256-bit key, all merge
+    * rules are ordinary aggregates, the language set is
+    * alphabet-bounded. */
+  def survivorship(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("prefix_hash", sha2(substring(col("text"), 1, 64), 256))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_members"),
+        min("doc_id").as("canonical_doc"),
+        count_distinct(col("source")).as("n_sources"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .where(col("n_members") > 1)
+
   /** Blocked edit-distance record linkage: match a dirty key column
     * against a clean vocabulary within Levenshtein ≤ maxDist, WITHOUT
     * the all-pairs cross join — candidates equi-join on a blocking key
@@ -1301,37 +1323,22 @@ object Dedup {
     * Plan: vocab groupBy (one shuffle, vocab-sized output), a derived
     * dirty side, one equi-join on the block key, `levenshtein()`
     * (codegen'd, both engines) as a post-join filter. */
-  /** Survivorship / golden-record consolidation — the step AFTER
-    * duplicate detection in an entity-resolution pipeline: each
-    * duplicate cluster (here [[prefixDedup]]'s boilerplate-prefix
-    * clusters) collapses to one canonical record plus merged
-    * provenance: member count, distinct sources, the sorted language
-    * set, and the attribute survivorship rules (min id wins identity,
-    * max/min chars bound the content spread). Same hash-groupBy cost as
-    * the detector itself — one shuffle on the 256-bit key, all merge
-    * rules are ordinary aggregates, the language set is
-    * alphabet-bounded. */
-  def survivorship(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("prefix_hash", sha2(substring(col("text"), 1, 64), 256))
-      .groupBy("prefix_hash")
-      .agg(count(lit(1)).as("n_members"),
-        min("doc_id").as("canonical_doc"),
-        count_distinct(col("source")).as("n_sources"),
-        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
-        min("n_chars").as("min_chars"),
-        max("n_chars").as("max_chars"))
-      .where(col("n_members") > 1)
-
   def fuzzyVocabJoin(s: SparkSession, d: String, maxDist: Int = 1): DataFrame = {
-    // vocab feeds BOTH join sides; cached so the corpus tokenize+count
-    // runs once (vocab-sized footprint — the Dedup cache-ownership
-    // contract; the q_pack_greedy double-tokenization lesson)
+    // vocab feeds BOTH join sides: materialized eagerly (localCheckpoint)
+    // so the corpus tokenize+count runs once, and released in a finally —
+    // the own+release half of the Dedup cache-ownership contract (a bare
+    // .cache() escaping into the returned lazy plan leaks vocab-sized
+    // blocks per call for library composers; VERDICT r5 #3 hazard class)
     val vocab = Tables.documents(s, d)
       .select(col("lang"), explode(TextAnalytics.tokens(col("text"))).as("token"))
       .where(length(col("token")) >= 4)
       .groupBy("lang", "token").agg(count(lit(1)).as("c_token"))
       .cache()
+    try fuzzyVocabJoinBlocked(vocab, maxDist).localCheckpoint(true)
+    finally vocab.unpersist()
+  }
+
+  private def fuzzyVocabJoinBlocked(vocab: DataFrame, maxDist: Int): DataFrame = {
     val dirty = vocab.select(col("lang"),
         concat(substring(col("token"), 1, 2), substring(col("token"), 4, 1000000))
           .as("query_term"))

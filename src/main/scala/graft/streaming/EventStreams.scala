@@ -976,8 +976,10 @@ object EventStreams {
     * oracle. State stays O(rate × horizon) per side, exactly as the
     * inner form. */
   def streamStreamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    val base = graft.Scratch.dir(s"streamouter_$d")
+    s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try {
       def src: DataFrame = rawEventStream(s, d)
       val clicks = src.where(col("event_type") === "click")
@@ -998,16 +1000,23 @@ object EventStreams {
           when(col("purchase_id").isNotNull,
             unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
             .as("lag_secs"))
-      val name = "graft_stream_stream_outer"
+      // parquet sink, not memory: the output is stream-sized (every
+      // click emits exactly once, matched or not) — the same
+      // driver-materialization hazard measured as a 23× sf10 blow-up on
+      // streamStaticJoin; rows stay executor-side end to end and repeat
+      // reps resume from the checkpoint-pinned store count
       val q = joined.writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
         .start()
       drain(q, "stream_outer")
       // settled bound in exact integer MICROS (no second-truncation
       // ambiguity at the cut)
       val settled = graft.Tables.events(s, d)
         .agg((max(unix_micros(col("ts"))) - 7200000000L).as("bound_us"))
-      s.table(name).crossJoin(broadcast(settled))
+      s.read.parquet(s"$base/out").crossJoin(broadcast(settled))
         .where(unix_micros(col("click_ts")) <= col("bound_us"))
         .select("user_id", "click_id", "click_ts", "purchase_id", "lag_secs")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
