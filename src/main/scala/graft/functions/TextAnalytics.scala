@@ -586,6 +586,28 @@ object TextAnalytics {
       depth: Int = 4, k: Int = 20): DataFrame =
     countMinProbeDocs(Tables.documents(s, d), width, depth, k)
 
+  /** Oracle-able verdict form of [[countMinProbe]] — the gate query.
+    * The estimate's VALUE is Murmur3-cell-placed (JVM-side, no
+    * cross-engine oracle), but the sketch's contract is engine-free:
+    * est ≥ exact always (counters only ever overcount), and
+    * overcount ≤ εN at the classic ε = e/width for the probed heavy
+    * hitters. The gate emits the exact top-k counts (oracle-computable:
+    * deterministic count-desc/term-asc cut) beside the two verdicts,
+    * which the DuckDB oracle pins to literal TRUE — the q_hll_merge
+    * gate-evidence pattern: a broken sketch flips a boolean and the row
+    * hash. N rides in as a broadcast single-row aggregate. */
+  def countMinChecked(s: SparkSession, d: String, width: Int = 2048,
+      depth: Int = 4, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tot = docs.select(sum(size(tokens(col("text")))).cast("long").as("n_tok"))
+    countMinProbeDocs(docs, width, depth, k)
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("n_exact"),
+        (col("n_est") >= col("n_exact")).as("est_ge_exact"),
+        (col("overcount").cast("double")
+          <= lit(math.E / width) * col("n_tok")).as("within_eps"))
+  }
+
   /** [[countMinProbe]] over an arbitrary (doc_id, text) frame. */
   def countMinProbeDocs(docs: DataFrame, width: Int = 2048, depth: Int = 4,
       k: Int = 20): DataFrame = {

@@ -33,10 +33,11 @@ object DedupGates {
     "q_triangles"      -> (Dedup.triangleCounts _),
     // train/eval n-gram containment (test-set-leakage guard)
     "q_decontaminate"  -> (Dedup.decontaminate _),
-    // Bloom-filter decontamination (bounded-broadcast scale path; no
-    // oracle — spark.util.sketch bit layout — BloomDecontaminateSpec
-    // pins the no-false-negative + fpp contracts)
-    "q_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
+    // Bloom-filter decontamination (bounded-broadcast scale path): the
+    // gate emits the exact-contaminated subset + the Bloom superset
+    // verdict, oracle-pinned (no-false-negative contract in the hash);
+    // BloomDecontaminateSpec still pins the fpp direction
+    "q_bloom_decontaminate" -> (Dedup.bloomDecontaminateChecked _),
     // duplicated w-token span report (exact-substring-dedup half of
     // Lee et al. 2022; catches boilerplate whole-doc Jaccard misses)
     "q_dup_spans"      -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d)),
@@ -180,6 +181,30 @@ object DedupGates {
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh AS contamination,
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / tot.n_sh >= 0.5 AS contaminated
         |FROM tot LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // the exact-contaminated subset (same derivation as q_decontaminate,
+    // restricted to contaminated rows) that the Bloom pass — which has
+    // no false negatives — must flag as a superset: bloom_flagged is
+    // literal TRUE in the oracle, so a filter dropping a truly
+    // contaminated doc breaks the row hash
+    "q_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |evalsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+        |trainsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_hit FROM trainsh t JOIN evalsh e USING (sh)
+        |  GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM trainsh GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_sh, h.n_hit,
+        |  CAST(h.n_hit AS DOUBLE) / tot.n_sh AS contamination,
+        |  TRUE AS bloom_flagged
+        |FROM tot JOIN hits h USING (doc_id)
+        |WHERE CAST(h.n_hit AS DOUBLE) / tot.n_sh >= 0.5""".stripMargin,
 
     // 8-token sliding windows WITH positions (multiplicity counts);
     // DuckDB list slices are inclusive-bounds like q_chunk's

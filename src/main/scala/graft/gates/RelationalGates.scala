@@ -79,10 +79,11 @@ object RelationalGates {
     // array HOFs (transform/filter/aggregate/zip_with) as a gate row —
     // float→double-first lambdas + left folds match DuckDB list_* exactly
     "q_array_hof"      -> (Relational.arrayHof _),
-    // hash-based sampling is deterministic by KEY (not partitioning), so
-    // the rows-only gate check is stable; the hash itself is JVM-side →
-    // no cross-engine oracle
-    "q_hash_sample"    -> ((s: SparkSession, d: String) => Relational.hashSample(s, d)),
+    // hash-based sampling is deterministic by KEY (not partitioning);
+    // the hash is JVM-side, so the gate emits the sampler's CONTRACT as
+    // oracle-pinned verdicts (repartitioned re-run equality, exact
+    // complement, loose fraction envelope) beside exact totals
+    "q_hash_sample"    -> ((s: SparkSession, d: String) => Relational.hashSampleAudit(s, d)),
     // date-partitioned write + statically pruned read (PartitionFilters
     // — LayoutSpec asserts only the first week's directories are opened)
     "q_partition_prune" -> (Layout.partitionPrunedDaily _),
@@ -107,6 +108,17 @@ object RelationalGates {
   val oracles: Map[String, String] = Map(
     "q_scan_project" ->
       "SELECT event_id, user_id AS terminal_id, value FROM events",
+
+    // the sampler's membership is JVM-hashed (no cross-engine oracle);
+    // the oracle pins the exact totals and every contract verdict to
+    // literal TRUE — a sampler that depends on partitioning, leaks rows
+    // between split halves, or mis-sizes the cut flips a boolean
+    "q_hash_sample" ->
+      """SELECT event_type, count(*) AS n_total,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  TRUE AS rerun_equal, TRUE AS complement_exact,
+        |  TRUE AS user_frac_in_bounds
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the same first-week bound the operator computes driver-side; the
     // partitioned layout must change IO, not answers

@@ -64,10 +64,11 @@ object TextGates {
     // temperature-scaled per-language sampling schedule (p^alpha,
     // DECIMAL-exact normalizer)
     "q_mix_temperature" -> ((s: SparkSession, d: String) => TextAnalytics.mixTemperature(s, d)),
-    // CountMin grid probed at the exact heavy hitters (no oracle:
-    // Murmur3 cell placement; CountMinSpec pins est >= exact and the
-    // eps*N overcount envelope)
-    "q_countmin"       -> ((s: SparkSession, d: String) => TextAnalytics.countMinProbe(s, d)),
+    // CountMin grid probed at the exact heavy hitters: exact top-k
+    // counts + the sketch-contract verdicts (est >= exact, overcount
+    // <= eps*N), oracle-pinned to TRUE — the estimate VALUE stays
+    // JVM-side (Murmur3 cells), its contract rides the hash check
+    "q_countmin"       -> ((s: SparkSession, d: String) => TextAnalytics.countMinChecked(s, d)),
     // tokenize-to-ids: top-64 frequency vocab (TakeOrdered cut, 64-row
     // id window) broadcast against the corpus; docs become position-
     // ordered id arrays with UNK=0 — the loader handoff format. The
@@ -445,6 +446,17 @@ object TextGates {
         |  CAST(floor(round(CAST(w_raw AS DOUBLE) / CAST(z.z AS DOUBLE), 6) * 100000)
         |    AS BIGINT) AS planned_docs
         |FROM w, z""".stripMargin,
+
+    // exact top-20 heavy hitters (count-desc/term-asc total order) with
+    // the sketch-contract verdicts pinned to literal TRUE: est >= exact
+    // (CountMin only overcounts) and overcount <= (e/width)*N
+    "q_countmin" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS n_exact FROM t GROUP BY 1)
+        |SELECT term, n_exact, TRUE AS est_ge_exact, TRUE AS within_eps
+        |FROM c ORDER BY n_exact DESC, term LIMIT 20""".stripMargin,
 
     // vocab rank ties break on the term string (total order); the
     // parallel unnest zips positions with tokens like q_bigram_logprob;

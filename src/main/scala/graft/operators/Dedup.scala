@@ -200,6 +200,29 @@ object Dedup {
       docs.where(col("doc_id") % 20 === 0))
   }
 
+  /** Oracle-able verdict form of [[bloomDecontaminate]] — the gate
+    * query. The Bloom filter's bit layout is spark.util.sketch-specific
+    * (no cross-engine oracle for the FP side), but its SAFETY contract
+    * is engine-free: no false negatives, so the Bloom pass must flag a
+    * SUPERSET of the exactly-contaminated documents. The gate emits the
+    * exact-contaminated subset (doc_id, exact shingle counts — all
+    * DuckDB-computable, the existing q_decontaminate derivation
+    * restricted to contaminated = true) with the Bloom verdict beside
+    * it, pinned to literal TRUE by the oracle: a filter that ever drops
+    * a truly contaminated doc flips the boolean and the row hash. The
+    * exact side is GATE EVIDENCE (a second scan production doesn't
+    * run — production ships only the bounded-broadcast Bloom path);
+    * BloomDecontaminateSpec still pins the fpp direction. */
+  def bloomDecontaminateChecked(s: SparkSession, d: String): DataFrame = {
+    val exact = decontaminate(s, d).where(col("contaminated"))
+      .select("doc_id", "n_sh", "n_hit", "contamination")
+    val bloomFlagged = bloomDecontaminate(s, d)
+      .select(col("doc_id"), col("contaminated").as("bloom_flagged"))
+    exact.join(bloomFlagged, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"), col("contamination"),
+        col("bloom_flagged"))
+  }
+
   /** Duplicated-span detection (the reporting half of exact substring
     * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
     * Models Better"): slide a w-token window over every document WITH
@@ -1288,8 +1311,14 @@ object Dedup {
     * rules are ordinary aggregates, the language set is
     * alphabet-bounded. */
   def survivorship(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("prefix_hash", sha2(substring(col("text"), 1, 64), 256))
+    survivorshipDocs(Tables.documents(s, d))
+
+  /** [[survivorship]] over an arbitrary (doc_id, text, source, lang,
+    * n_chars) frame — the spec entry point (tie-break and multi-source
+    * merge cases run on a planted fixture). */
+  def survivorshipDocs(docs: DataFrame, prefixChars: Int = 64): DataFrame =
+    docs
+      .withColumn("prefix_hash", sha2(substring(col("text"), 1, prefixChars), 256))
       .groupBy("prefix_hash")
       .agg(count(lit(1)).as("n_members"),
         min("doc_id").as("canonical_doc"),

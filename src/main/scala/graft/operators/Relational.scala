@@ -287,6 +287,55 @@ object Relational {
         < (fraction * 10000).toLong)
       .select("event_id", "user_id", "event_type", "value")
 
+  /** Oracle-able audit of [[hashSample]] — the gate form. xxhash64's
+    * bucket placement is JVM-side, so the sample MEMBERSHIP has no
+    * cross-engine oracle; what DOES oracle is the sampler's contract,
+    * emitted as per-event-type invariant verdicts beside exact totals:
+    *
+    *  - `rerun_equal`: the sample re-derived from a REPARTITIONED scan
+    *    (different partitioning, fresh plan) is row-identical —
+    *    count + distinct-user count + Σ event_id signatures all match —
+    *    the "decision depends only on the KEY" claim as a hash-checked
+    *    boolean rather than prose.
+    *  - `complement_exact`: the `>= cut` complement is disjoint and
+    *    exhaustive (n_sampled + n_complement = n_total exactly).
+    *  - `user_frac_in_bounds`: the sampled-user fraction sits inside a
+    *    loose [fraction/3, 2·fraction] envelope — a regression tripwire
+    *    for the cut arithmetic, not a statistical test.
+    *
+    * The DuckDB oracle computes the exact totals and pins every verdict
+    * to literal TRUE — a false verdict breaks the row hash. Cost: two
+    * scans + one vocabulary-sized agg join, all partial-aggregated. */
+  def hashSampleAudit(s: SparkSession, d: String, fraction: Double = 0.1,
+      salt: Long = 42L): DataFrame = {
+    val cut = (fraction * 10000).toLong
+    val base = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+    def pick = pmod(xxhash64(col("user_id"), lit(salt)), lit(10000L)) < cut
+    def digest(df: DataFrame, tag: String): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as(s"n_$tag"),
+        count_distinct(col("user_id")).as(s"u_$tag"),
+        sum(col("event_id")).as(s"sig_$tag"))
+    val s1 = digest(base.where(pick), "s1")
+    val s2 = digest(base.repartition(7, col("event_id")).where(pick), "s2")
+    val compl = base.where(!pick).groupBy("event_type")
+      .agg(count(lit(1)).as("n_compl"))
+    val totals = base.groupBy("event_type").agg(
+      count(lit(1)).as("n_total"),
+      count_distinct(col("user_id")).as("n_users"))
+    totals
+      .join(s1, Seq("event_type")).join(s2, Seq("event_type"))
+      .join(compl, Seq("event_type"))
+      .select(col("event_type"), col("n_total"), col("n_users"),
+        (col("n_s1") === col("n_s2") && col("u_s1") === col("u_s2")
+          && col("sig_s1") === col("sig_s2")).as("rerun_equal"),
+        (col("n_s1") + col("n_compl") === col("n_total")).as("complement_exact"),
+        (col("u_s1").cast("double") / col("n_users") >= fraction / 3
+          && col("u_s1").cast("double") / col("n_users") <= fraction * 2)
+          .as("user_frac_in_bounds"))
+  }
+
   /** Layout extension — the z-order clustering KEY as a gate query:
     * Morton-interleave (user_id bucket, value bucket) into one sortable
     * integer (see `Layout.zvalue` for why; `Layout.zorderLayout` is the
