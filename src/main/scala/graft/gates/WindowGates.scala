@@ -31,6 +31,11 @@ object WindowGates {
     "q_ar_forecast"    -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecast(s, d)),
     "q_holt_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.holtGridSearch(s, d)),
     "q_arima_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaGridSearch(s, d)),
+    // ARIMA-vs-Holt cross-validation: per-series winner + MSE ratio on
+    // the shared walk-forward harness (no oracle: JVM float folds, the
+    // q_holt_forecast class; ForecastCvSpec pins consistency + planted
+    // winners)
+    "q_forecast_cv" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecastCv(s, d)),
     // temporal joins (composition operators; oracled vs DuckDB ASOF JOIN)
     "q_asof_join"      -> (TemporalJoins.asofJoin _),
     "q_range_join"     -> ((s: SparkSession, d: String) => TemporalJoins.rangeJoin(s, d)),

@@ -16,6 +16,12 @@ case class HoltFit(series: Long, alpha: Double, beta: Double, valMse: Double,
 case class ArimaFit(series: Long, p: Int, d: Int, q: Int, valMse: Double,
     step: Int, forecast: Double)
 
+/** Per-series model cross-validation verdict: both families' best
+  * walk-forward MSEs on the identical harness, the winner, and the
+  * Holt/ARIMA MSE ratio (> 1 ⇒ ARIMA fits this series better). */
+case class ForecastCv(series: Long, n_buckets: Int, holt_mse: Double,
+    arima_mse: Double, winner: String, mse_ratio: Double)
+
 /** Autoregressive forecasting + per-series parameter grid search — the
   * engine's replacement for the reference's statsmodels ARIMA walk-forward
   * grid search (`/root/reference/pandas_timeseries_forecast.py:22-55,75-91`,
@@ -367,75 +373,160 @@ object ArForecast {
       .groupByKey(_.series)
       .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
         val raw = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
-        val cut0 = (raw.length * 0.8).toInt
-        val need = pGrid.max + dGrid.max + qGrid.max + 2
-        if (cut0 < need || raw.length - cut0 < 1) Iterator.empty
-        else {
-          var bestP = -1; var bestD = 0; var bestQ = 0
-          var bestMse = Double.PositiveInfinity
-          // everything (p, q)-independent is hoisted per differencing
-          // order: the differenced series, its train mean, ONE
-          // autocovariance pass to the deepest lag any combo needs, and
-          // the stage-1 long-AR residuals per distinct m — without this
-          // the 24-combo grid redid the O(N·m) work 24× (18 s → ~2 s at
-          // sf0.1)
-          for (dd <- dGrid.sorted) {
-            var cur = raw
-            var i = 0
-            while (i < dd) {
-              val prev = cur
-              cur = Array.tabulate(prev.length - 1)(j => prev(j + 1) - prev(j))
-              i += 1
-            }
-            val cut = cut0 - dd // same validation count for every d
-            if (cut > pGrid.min + qGrid.min + 1) {
-              var mean = 0.0
-              var t = 0
-              while (t < cut) { mean += cur(t); t += 1 }
-              mean /= cut
-              val x = Array.tabulate(cur.length)(cur(_) - mean)
-              val xtr = java.util.Arrays.copyOfRange(x, 0, cut)
-              val maxLag = math.max(pGrid.max, hrLongOrder(pGrid.max, qGrid.max, cut))
-              val r = autocovariances(xtr, maxLag)
-              val eByM = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
-              for (p <- pGrid; q <- qGrid) {
-                if (cut > p + q + 1) {
-                  val m = hrLongOrder(p, q, cut)
-                  val valid = q == 0 || (m >= p && cut - m - q > p + q)
-                  if (valid) {
-                    val (phi, theta) =
-                      if (q == 0) (levinson(r, p), Array.empty[Double])
-                      else {
-                        val e = eByM.getOrElseUpdate(m,
-                          longArResiduals(xtr, levinson(r, m)))
-                        val coef = armaOls(xtr, e, p, q, m)
-                        (coef.take(p), coef.drop(p))
-                      }
-                    val (mse, _) = armaWalkForward(x, cut, phi, theta)
-                    // strict < keeps the first argmin in grid order
-                    // (matches the reference's sequential best update);
-                    // dGrid.sorted keeps that order stable
-                    if (!mse.isNaN && mse < bestMse) {
-                      bestMse = mse; bestP = p; bestD = dd; bestQ = q
-                    }
-                  }
-                }
+        bestArimaOrders(raw, pGrid, dGrid, qGrid) match {
+          case None => Iterator.empty
+          case Some((bestP, bestD, bestQ, bestMse)) =>
+            arimaForecast(scala.collection.immutable.ArraySeq.unsafeWrapArray(raw),
+              bestP, bestD, bestQ, horizon)
+              .iterator.zipWithIndex.map { case (f, i) =>
+                ArimaFit(k, bestP, bestD, bestQ, bestMse, i + 1, f)
               }
-            }
-          }
-          if (bestP < 0) Iterator.empty
-          else arimaForecast(scala.collection.immutable.ArraySeq.unsafeWrapArray(raw),
-            bestP, bestD, bestQ, horizon)
-            .iterator.zipWithIndex.map { case (f, i) =>
-              ArimaFit(k, bestP, bestD, bestQ, bestMse, i + 1, f)
-            }
         }
       }
       .toDF()
   }
 
+  /** The per-series grid-search kernel of [[arimaGridSearch]], shared
+    * with [[forecastCv]]: returns the argmin (p, d, q) and its
+    * walk-forward MSE, or None when the series is too short for the
+    * grid. */
+  private[timeseries] def bestArimaOrders(raw: Array[Double], pGrid: Seq[Int],
+      dGrid: Seq[Int], qGrid: Seq[Int]): Option[(Int, Int, Int, Double)] = {
+    val cut0 = (raw.length * 0.8).toInt
+    val need = pGrid.max + dGrid.max + qGrid.max + 2
+    if (cut0 < need || raw.length - cut0 < 1) None
+    else {
+      var bestP = -1; var bestD = 0; var bestQ = 0
+      var bestMse = Double.PositiveInfinity
+      // everything (p, q)-independent is hoisted per differencing
+      // order: the differenced series, its train mean, ONE
+      // autocovariance pass to the deepest lag any combo needs, and
+      // the stage-1 long-AR residuals per distinct m — without this
+      // the 24-combo grid redid the O(N·m) work 24× (18 s → ~2 s at
+      // sf0.1)
+      for (dd <- dGrid.sorted) {
+        var cur = raw
+        var i = 0
+        while (i < dd) {
+          val prev = cur
+          cur = Array.tabulate(prev.length - 1)(j => prev(j + 1) - prev(j))
+          i += 1
+        }
+        val cut = cut0 - dd // same validation count for every d
+        if (cut > pGrid.min + qGrid.min + 1) {
+          var mean = 0.0
+          var t = 0
+          while (t < cut) { mean += cur(t); t += 1 }
+          mean /= cut
+          val x = Array.tabulate(cur.length)(cur(_) - mean)
+          val xtr = java.util.Arrays.copyOfRange(x, 0, cut)
+          val maxLag = math.max(pGrid.max, hrLongOrder(pGrid.max, qGrid.max, cut))
+          val r = autocovariances(xtr, maxLag)
+          val eByM = scala.collection.mutable.HashMap.empty[Int, Array[Double]]
+          for (p <- pGrid; q <- qGrid) {
+            if (cut > p + q + 1) {
+              val m = hrLongOrder(p, q, cut)
+              val valid = q == 0 || (m >= p && cut - m - q > p + q)
+              if (valid) {
+                val (phi, theta) =
+                  if (q == 0) (levinson(r, p), Array.empty[Double])
+                  else {
+                    val e = eByM.getOrElseUpdate(m,
+                      longArResiduals(xtr, levinson(r, m)))
+                    val coef = armaOls(xtr, e, p, q, m)
+                    (coef.take(p), coef.drop(p))
+                  }
+                val (mse, _) = armaWalkForward(x, cut, phi, theta)
+                // strict < keeps the first argmin in grid order
+                // (matches the reference's sequential best update);
+                // dGrid.sorted keeps that order stable
+                if (!mse.isNaN && mse < bestMse) {
+                  bestMse = mse; bestP = p; bestD = dd; bestQ = q
+                }
+              }
+            }
+          }
+        }
+      }
+      if (bestP < 0) None else Some((bestP, bestD, bestQ, bestMse))
+    }
+  }
+
   private val alphaGrid = Seq(0.2, 0.5, 0.8)
   private val betaGrid  = Seq(0.1, 0.3, 0.6)
+
+  /** The per-series Holt grid kernel of [[holtGridSearch]], shared with
+    * [[forecastCv]]: argmin (α, β), its walk-forward MSE, and the
+    * full-series (level, trend) state, or None when too short. */
+  private[timeseries] def bestHoltParams(
+      ys: Array[Double]): Option[(Double, Double, Double, Double, Double)] = {
+    val cut = (ys.length * 0.8).toInt
+    if (cut < 3 || ys.length - cut < 1) None
+    else {
+      var bestA = 0.0; var bestB = 0.0
+      var bestMse = Double.PositiveInfinity
+      var bestLevel = 0.0; var bestTrend = 0.0
+      for (a <- alphaGrid; b <- betaGrid) {
+        val (mse, level, trend) = HoltForecast.holtWalkForward(ys, cut, a, b)
+        // strict < keeps the first argmin, matching minBy on the grid order
+        if (mse < bestMse) {
+          bestMse = mse; bestA = a; bestB = b
+          bestLevel = level; bestTrend = trend
+        }
+      }
+      Some((bestA, bestB, bestMse, bestLevel, bestTrend))
+    }
+  }
+
+  /** ARIMA-vs-Holt model cross-validation — the comparison the two
+    * forecast families share a walk-forward harness for but never ran
+    * against each other (reference intent:
+    * `/root/reference/pandas_timeseries_forecast.py:75-91` — a grid
+    * search selecting by validation MSE; this extends the same argmin
+    * across model FAMILIES, the standard "which model for which
+    * series" routing step before a forecast fleet is deployed). One
+    * shuffle on the series key; per series, both grids run over the
+    * SAME resampled array and 80/20 split, so the MSEs are directly
+    * comparable; emits the winner and the Holt/ARIMA MSE ratio. All
+    * pure JVM math in one flatMapGroups — series where either family
+    * cannot fit (too short for the deepest grid order) are dropped,
+    * keeping the verdict well-defined. Deterministic (both kernels are
+    * fixed-order argmins over fixed grids); no DuckDB oracle — the
+    * walk-forward recursions are JVM float folds (the q_holt_forecast
+    * no-oracle class) — ForecastCvSpec pins winner/ratio consistency
+    * and planted series whose winner is known by construction. */
+  def forecastCv(s: SparkSession, d: String,
+      pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
+      qGrid: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
+    import s.implicits._
+    forecastCvReadings(
+      Tables.events(s, d)
+        .select(col("user_id").as("series"),
+          unix_timestamp(col("ts")).as("epochSec"), col("value"))
+        .as[Reading],
+      pGrid, dGrid, qGrid)
+  }
+
+  /** [[forecastCv]] over an arbitrary readings dataset — the spec entry
+    * point (planted known-winner series). */
+  def forecastCvReadings(readings: Dataset[Reading],
+      pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
+      qGrid: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
+    val s = readings.sparkSession
+    import s.implicits._
+    readings
+      .groupByKey(_.series)
+      .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
+        val raw = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
+        (bestHoltParams(raw), bestArimaOrders(raw, pGrid, dGrid, qGrid)) match {
+          case (Some((_, _, hMse, _, _)), Some((_, _, _, aMse))) =>
+            Iterator.single(ForecastCv(k, raw.length, hMse, aMse,
+              if (aMse < hMse) "arima" else "holt", hMse / aMse))
+          case _ => Iterator.empty
+        }
+      }
+      .toDF()
+  }
 
   /** The reference's walk-forward grid search, distributed per series:
     * fit each (α, β) on the first 80% of the resampled series, score MSE
@@ -458,22 +549,11 @@ object ArForecast {
       .groupByKey(_.series)
       .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
         val ys = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
-        val cut = (ys.length * 0.8).toInt
-        if (cut < 3 || ys.length - cut < 1) Iterator.empty
-        else {
-          var bestA = 0.0; var bestB = 0.0
-          var bestMse = Double.PositiveInfinity
-          var bestLevel = 0.0; var bestTrend = 0.0
-          for (a <- alphaGrid; b <- betaGrid) {
-            val (mse, level, trend) = HoltForecast.holtWalkForward(ys, cut, a, b)
-            // strict < keeps the first argmin, matching minBy on the grid order
-            if (mse < bestMse) {
-              bestMse = mse; bestA = a; bestB = b
-              bestLevel = level; bestTrend = trend
-            }
-          }
-          (1 to horizon).iterator.map(h =>
-            HoltFit(k, bestA, bestB, bestMse, h, bestLevel + h * bestTrend))
+        bestHoltParams(ys) match {
+          case None => Iterator.empty
+          case Some((bestA, bestB, bestMse, bestLevel, bestTrend)) =>
+            (1 to horizon).iterator.map(h =>
+              HoltFit(k, bestA, bestB, bestMse, h, bestLevel + h * bestTrend))
         }
       }
       .toDF()
