@@ -98,6 +98,16 @@ object EventStreams {
       s"getBatch=${tot("getBatch") + tot("latestOffset")}ms " +
       s"offsetLog=${tot("walCommit") + tot("commitOffsets")}ms " +
       s"planning=${tot("queryPlanning")}ms stateUpdateCommit=${stateCommit}ms")
+    // per-batch MARGINAL cost (the number a production stream pays per
+    // trigger, vs the replay-volume total above): one line per drained
+    // batch with its own rows + trigger/addBatch ms, capped at 16
+    // batches so a maxFilesPerTrigger=1 replay stays readable
+    prog.take(16).foreach { p =>
+      System.err.println(s"[stream-audit] $tag batch=${p.batchId} " +
+        s"rows=${p.numInputRows} " +
+        s"trigger=${Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)}ms " +
+        s"addBatch=${Option(p.durationMs.get("addBatch")).map(_.longValue).getOrElse(0L)}ms")
+    }
     q.stop()
   }
 
