@@ -79,6 +79,11 @@ object DedupGates {
     // SemDeDup: centroid-partitioned semantic dedup (no oracle — seeded
     // k-means is JVM-side; SemDedupSpec pins recovery/precision/subset)
     "q_semdedup"       -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
+    // the production parameterization (nClusters = n/25 -> constant
+    // expected cluster size -> O(n) pair space) as a first-class
+    // measurable query; same no-oracle class, same SemDedupSpec
+    // contracts, linearity pinned by the SurvivorshipSpec pair test
+    "q_semdedup_linear" -> ((s: SparkSession, d: String) => Dedup.semDedupLinear(s, d)),
     // post-split exact-content leakage audit (LCG split + sha256 join)
     "q_split_leakage"  -> (Dedup.splitLeakage _),
     // per-key time-horizon debounce (batch twin of the streaming dedup)

@@ -1182,6 +1182,22 @@ object Dedup {
       nClusters: Int = 0, iters: Int = 2): DataFrame =
     semDedupVecs(Similarity.withNorm(s, d), tau, nClusters, iters)
 
+  /** [[semDedup]] at the PRODUCTION parameterization: `nClusters =
+    * n / targetClusterSize`, so the expected cluster size — and with it
+    * the per-vector candidate count — is a CONSTANT, making the
+    * within-cluster pair space O(n) at any corpus size (the √n gate
+    * default grows pairs ~n^1.5: fine for a recall-friendly small-sf
+    * gate, wrong at 100 TB — SCALE.md round-9 diagnosis; the
+    * SurvivorshipSpec pair-space test pins the linearity claim). The
+    * sizing count is one scan; k-means cost grows with nClusters but
+    * each Lloyd round stays one broadcast-assign + one mean shuffle. */
+  def semDedupLinear(s: SparkSession, d: String, tau: Double = 0.95,
+      targetClusterSize: Int = 25, iters: Int = 2): DataFrame = {
+    val e = Similarity.withNorm(s, d)
+    val nc = math.max(4, (e.count() / targetClusterSize).toInt)
+    semDedupVecs(e, tau, nc, iters)
+  }
+
   /** [[semDedup]] over an arbitrary (vec_id, embedding, nrm) frame. */
   def semDedupVecs(e: DataFrame, tau: Double = 0.95, nClusters: Int = 0,
       iters: Int = 2): DataFrame = {
