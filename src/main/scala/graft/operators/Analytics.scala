@@ -514,42 +514,64 @@ object Analytics {
     * orders; this computes the evidence for them).
     *
     * One window sort produces ALL maxLag lead columns (Spark evaluates
-    * the k lead() calls over one partition-sort), one aggregate reduces
-    * them to 6 exact moments per (type, lag) — values ride as integer
-    * cents, and the second-order sums (Σxy, Σxx, Σyy: per-row products
-    * up to 10¹⁰ at the dq-contract value ceiling of 10⁵ cents, which
-    * would silently wrap a LONG sum near 9×10⁸ rows per type without
-    * ANSI mode) accumulate as DECIMAL(38,0), so every moment is exact
-    * at ANY row count — overflow is impossible rather than documented.
-    * The driver-side combine is over exactly nTypes × maxLag moment
-    * rows (contractually bounded, same as [[correlationMatrix]]) and
-    * runs in BigInt, so n·Σxy never overflows either; the only float
-    * ops are one divide and one sqrt — the identical IEEE tree the
-    * oracle computes from HUGEINT. Series are per-type partitioned: no
-    * global sort, no driver data. */
+    * the k lead() calls over one partition-sort), then a TWO-LEVEL
+    * aggregate reduces them to 6 exact moments per (type, lag) — values
+    * ride as integer cents. Level 1 groups by (type, hash-bucket of
+    * event_id, B = 4096 buckets) with plain LONG sums — whole-stage
+    * codegen'd, no per-row BigDecimal (a flat DECIMAL(38,0) aggregate
+    * here measured 4× the wall cost at 10 M rows). Level 2 sums the
+    * ≤ nTypes × B partial rows through DECIMAL(38,0), where the cast is
+    * per-bucket, not per-row, so it is free. Safety: per-row products
+    * are ≤ 10¹⁰ at the dq-contract value ceiling of 10⁵ cents, so a
+    * bucket's LONG Σxy stays exact while the bucket holds ≤ 9.2×10⁸
+    * rows — i.e. ~3.7×10¹² rows per type at B = 4096, two orders past
+    * the 100 TB design point — and the level-2 plan ASSERTS that bound
+    * (assert_true on the max bucket count): past it the query fails
+    * loudly instead of wrapping silently, and B is the dial. The
+    * driver-side combine is over exactly nTypes × maxLag moment rows
+    * (contractually bounded, same as [[correlationMatrix]]) and runs in
+    * BigInt, so n·Σxy never overflows either; the only float ops are
+    * one divide and one sqrt — the identical IEEE tree the oracle
+    * computes from HUGEINT. Series are per-type partitioned: no global
+    * sort, no driver data. */
   def acf(s: SparkSession, d: String, maxLag: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
+    val buckets = 4096
+    // LONG-safe bucket row bound: Σ(x·y) ≤ n_bucket · 10¹⁰ < 2⁶³
+    val bucketRowBound = 920000000L
     val byTs = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
     val lags = 1 to maxLag
     var laggy = Tables.events(s, d)
       .select(col("event_type"), col("ts"), col("event_id"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("x"))
     for (k <- lags) laggy = laggy.withColumn(s"y$k", lead(col("x"), k).over(byTs))
-    val moments = lags.flatMap { k =>
+    val partialMoments = lags.flatMap { k =>
       val y = col(s"y$k")
       val p = y.isNotNull
-      // first-order sums stay LONG-safe through ~10¹³ rows (x ≤ 10⁵);
-      // the product sums go through DECIMAL(38,0) — exact, unoverflowable
       Seq(sum(when(p, 1L).otherwise(0L)).as(s"n$k"),
         sum(when(p, col("x")).otherwise(0L)).as(s"sx$k"),
         sum(when(p, y).otherwise(0L)).as(s"sy$k"),
-        sum(when(p, (col("x") * y).cast(dec)).otherwise(lit(0).cast(dec))).as(s"sxy$k"),
-        sum(when(p, (col("x") * col("x")).cast(dec)).otherwise(lit(0).cast(dec))).as(s"sxx$k"),
-        sum(when(p, (y * y).cast(dec)).otherwise(lit(0).cast(dec))).as(s"syy$k"))
+        sum(when(p, col("x") * y).otherwise(0L)).as(s"sxy$k"),
+        sum(when(p, col("x") * col("x")).otherwise(0L)).as(s"sxx$k"),
+        sum(when(p, y * y).otherwise(0L)).as(s"syy$k"))
     }
-    val rows = laggy.groupBy("event_type").agg(moments.head, moments.tail: _*)
+    val partials = laggy
+      .groupBy(col("event_type"),
+        pmod(xxhash64(col("event_id")), lit(buckets.toLong)).as("bkt"))
+      .agg(count(lit(1)).as("nb"), partialMoments: _*)
+    val mergeMoments = lags.flatMap { k =>
+      Seq(sum(col(s"n$k")).as(s"n$k"),
+        sum(col(s"sx$k")).as(s"sx$k"),
+        sum(col(s"sy$k")).as(s"sy$k"),
+        sum(col(s"sxy$k").cast(dec)).as(s"sxy$k"),
+        sum(col(s"sxx$k").cast(dec)).as(s"sxx$k"),
+        sum(col(s"syy$k").cast(dec)).as(s"syy$k"))
+    } :+ assert_true(max(col("nb")) <= bucketRowBound,
+      lit(s"acf: a hash bucket exceeded $bucketRowBound rows — raise " +
+        "`buckets` to keep the LONG partial moments exact")).as("ovf_guard")
+    val rows = partials.groupBy("event_type").agg(mergeMoments.head, mergeMoments.tail: _*)
       .collect()
     val out = for (r <- rows; k <- lags) yield {
       def lv(p: String): BigInt = r.get(r.fieldIndex(s"$p$k")) match {
