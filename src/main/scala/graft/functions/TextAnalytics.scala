@@ -83,6 +83,42 @@ object TextAnalytics {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
         .as("n_bpe_tokens"))
 
+  /** Heaps'-law vocabulary-growth curve: distinct-vocabulary size and
+    * total token volume after each ingestion decile (docs ordered by
+    * doc_id) — the corpus-curation readout for "is new data still
+    * bringing new vocabulary, or are we re-crawling the same text".
+    * The naive form (count-distinct per prefix) is a per-checkpoint
+    * full re-scan; this is the FIRST-OCCURRENCE formulation: one
+    * groupBy(token).min(doc_id) collapses the corpus to its vocabulary,
+    * and every checkpoint's distinct count is then a conditional sum
+    * over that table — vocab(c) = #{tokens | first_doc < c}. One token
+    * scan + one vocabulary-sized aggregate for ALL checkpoints, exact
+    * (no sketch), and embarrassingly partial-aggregable. Thresholds are
+    * integer `(max_id+1)·k div steps`, carried on a broadcast 1-row max
+    * (the scalar-threshold pattern — no driver collect). */
+  def vocabGrowth(s: SparkSession, d: String, steps: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = docs.agg(max("doc_id").as("mx"))
+    def thr(k: Int): Column = expr(s"(mx + 1) * $k div $steps")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val firsts = tok.groupBy("token").agg(min("doc_id").as("first_doc"))
+    val vAggs = (1 to steps).map(k =>
+      sum(when(col("first_doc") < thr(k), 1L).otherwise(0L)).as(s"v$k"))
+    val vrow = firsts.crossJoin(broadcast(m)).agg(vAggs.head, vAggs.tail: _*)
+    val perDoc = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val dtAggs = (1 to steps).flatMap(k => Seq(
+      sum(when(col("doc_id") < thr(k), 1L).otherwise(0L)).as(s"d$k"),
+      sum(when(col("doc_id") < thr(k), col("n_tok")).otherwise(0L)).as(s"t$k")))
+    val trow = perDoc.crossJoin(broadcast(m)).agg(dtAggs.head, dtAggs.tail: _*)
+    val stepRows = (1 to steps).map(k => struct(
+      lit(k).as("decile"), col(s"d$k").as("n_docs"),
+      col(s"t$k").as("n_tokens"), col(s"v$k").as("vocab")))
+    vrow.crossJoin(trow)
+      .select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.decile"), col("r.n_docs"), col("r.n_tokens"), col("r.vocab"))
+  }
+
   /** TF-IDF top terms per document: term frequencies from one
     * (doc, term) aggregation, document frequencies from a second partial
     * aggregation over the tf rows (distinct (doc, term) by construction —

@@ -42,6 +42,9 @@ object SimilarityGates {
     "q_pq_topk"        -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // IVF-PQ composition: probe nprobe buckets, ADC over codes only
     "q_ivf_pq_topk"    -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    // late-interaction (ColBERT MaxSim) multi-vector top-k — integer
+    // token quantization makes the whole score exact, full hash oracle
+    "q_maxsim"         -> ((s: SparkSession, d: String) => Similarity.maxSimTopK(s, d)),
   )
 
   /** The IVF probe/search oracle — shared verbatim by q_ann_ivf and
@@ -204,5 +207,29 @@ object SimilarityGates {
         |  FROM x)
         |SELECT q_id, pair_type, rank, vec_id, label, round(cos, 4) AS sim
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // MaxSim: 8×8 token reshape, floor(x·10⁴) integer quantization —
+    // every dot/max/sum is exact integer math on both engines
+    "q_maxsim" ->
+      """WITH toks AS (
+        |  SELECT vec_id, label, i // 8 AS t, i % 8 AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS v
+        |  FROM embeddings, range(64) r(i)),
+        |qt AS (SELECT * FROM toks WHERE vec_id % 199 = 0),
+        |dots AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS did, q.t AS qt_i, d.t AS dt_j,
+        |    CAST(SUM(q.v * d.v) AS BIGINT) AS dot
+        |  FROM qt q JOIN toks d
+        |    ON q.dim = d.dim AND q.label = d.label AND d.vec_id <> q.vec_id
+        |  GROUP BY 1, 2, 3, 4),
+        |best AS (SELECT q_id, did, qt_i, MAX(dot) AS m FROM dots GROUP BY 1, 2, 3),
+        |score AS (SELECT q_id, did, CAST(SUM(m) AS BIGINT) AS maxsim
+        |  FROM best GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_id, did AS vec_id, maxsim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY maxsim DESC, did) AS INTEGER) AS rank
+        |  FROM score)
+        |SELECT q_id, vec_id, rank, maxsim FROM ranked WHERE rank <= 5""".stripMargin,
   )
 }

@@ -19,6 +19,8 @@ object TextGates {
     "q_text_stats"     -> (TextAnalytics.textStats _),
     "q_lang_id"        -> (TextAnalytics.langId _),
     "q_token_count"    -> (TextAnalytics.tokenCount _),
+    // Heaps'-law vocab-growth curve via the first-occurrence trick
+    "q_vocab_growth"   -> ((s: SparkSession, d: String) => TextAnalytics.vocabGrowth(s, d)),
     // overlapping token-window chunking (doc -> training/embedding rows)
     "q_chunk"          -> (TextAnalytics.chunk _),
     "q_fingerprint"    -> (TextAnalytics.fingerprint _),
@@ -192,6 +194,26 @@ object TextGates {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // exact distinct-vocab per ingestion decile via min-first-occurrence
+    "q_vocab_growth" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |firsts AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |perdoc AS (
+        |  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+        |  FROM documents),
+        |thr AS (SELECT k, ((mx + 1) * k) // 10 AS c FROM range(1, 11) r(k), m),
+        |dt AS (
+        |  SELECT t.k, count(*) AS n_docs, CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens
+        |  FROM thr t JOIN perdoc p ON p.doc_id < t.c GROUP BY t.k),
+        |vc AS (
+        |  SELECT t.k, count(*) AS vocab FROM thr t
+        |  JOIN firsts f ON f.first_doc < t.c GROUP BY t.k)
+        |SELECT CAST(dt.k AS INTEGER) AS decile, n_docs, n_tokens, vocab
+        |FROM dt JOIN vc USING (k)""".stripMargin,
 
     // chunk 64 / overlap 16 / stride 48; DuckDB list slices are
     // inclusive-bounds and clamp at the list end like Spark's slice()

@@ -18,6 +18,9 @@ object WindowGates {
     "q_quantile"       -> (TimeWindows.quantiles _),
     "q_quantile_trim"  -> (TimeWindows.quantileTrim _),
     "q_quantile_trim_sketch" -> ((s: SparkSession, d: String) => TimeWindows.quantileTrimSketch(s, d)),
+    // mergeable GK sketch contract: rank-error bound holds under two
+    // different partial-merge trees, verdicts oracle-pinned to TRUE
+    "q_quantile_sketch_merge" -> ((s: SparkSession, d: String) => TimeWindows.quantileSketchMerge(s, d)),
     // windows / time series (W1-W6, A7)
     "q_lead_window"    -> (TimeWindows.leadWindow _),
     "q_lead_global"    -> (TimeWindows.leadGlobal _),
@@ -145,6 +148,14 @@ object WindowGates {
         |  round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.75), 4) AS p75
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the estimates are sketch-state-specific; the CONTRACT is not —
+    // oracle pins exact n + both rank-bound verdicts at literal TRUE
+    "q_quantile_sketch_merge" ->
+      """SELECT event_type, CAST(qtile AS DOUBLE) AS qtile, count(*) AS n,
+        |  TRUE AS ok_natural, TRUE AS ok_merged
+        |FROM events, (VALUES (0.5), (0.9), (0.99)) q(qtile)
+        |GROUP BY event_type, qtile""".stripMargin,
 
     "q_quantile_trim" ->
       """SELECT event_type, count(*) AS n,

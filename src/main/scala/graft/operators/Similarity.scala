@@ -826,4 +826,58 @@ object Similarity {
         col("nrm").as("q_nrm"))
     ivfSearch(cents, assigned, q, nprobe, k)
   }
+
+  /** Reshape a 64-d embedding into 8 token-vectors × 8 dims with each
+    * component quantized to `floor(x · 10⁴)` as LONG — the
+    * multi-vector view for [[maxSimTopK]]. floor on the widened double
+    * is bit-identical across engines (float→double widening is exact,
+    * ×10⁴ is one deterministic IEEE op), so every downstream dot/max/
+    * sum is INTEGER arithmetic: the whole MaxSim score is exact and
+    * hash-oracle-able, no rounding-key needed. */
+  private def tokenQuant(c: Column): Column =
+    transform(sequence(lit(0), lit(7)), i =>
+      transform(slice(c, i * lit(8) + lit(1), lit(8)), v =>
+        floor(v.cast("double") * 10000).cast("long")))
+
+  /** Late-interaction (MaxSim) score between two token-vector arrays:
+    * Σ_i max_j ⟨q_i, d_j⟩ — the ColBERT retrieval kernel (Khattab &
+    * Zaharia 2020), computed entirely in Catalyst HOFs (aggregate /
+    * transform / zip_with / array_max) so it stays codegen-friendly
+    * and needs no UDF. */
+  private def maxSimScore(qToks: Column, dToks: Column): Column =
+    aggregate(qToks, lit(0L), (acc, qi) =>
+      acc + array_max(transform(dToks, dj =>
+        aggregate(zip_with(qi, dj, (a, b) => a * b), lit(0L), (s2, x) => s2 + x))))
+
+  /** Multi-vector (late-interaction) retrieval: each embedding is a bag
+    * of token-vectors; candidate score is MaxSim, top-k per query with
+    * the deterministic (score DESC, vec_id) tiebreak. The gate reshapes
+    * the 64-d corpus into 8×8 token bags ([[tokenQuant]]) — stand-in
+    * plumbing for a real multi-vector encoder, with the scoring math
+    * the real thing. Scale shape: candidates are BLOCKED (label here;
+    * the IVF coarse bucket of the mean vector in production — the
+    * [[annIvf]] composition), the query set rides a broadcast, the
+    * corpus streams once; never all-pairs. Token count and dim are
+    * per-array data, so ragged real tokenizations need no schema
+    * change. */
+  def maxSimTopK(s: SparkSession, d: String, queryMod: Int = 199,
+      k: Int = 5): DataFrame =
+    maxSimTopKVecs(Tables.embeddings(s, d), queryMod, k)
+
+  /** [[maxSimTopK]] over a caller-supplied (vec_id, label, embedding)
+    * frame — the spec entry point for planted corpora. */
+  private[graft] def maxSimTopKVecs(e0: DataFrame, queryMod: Int = 199,
+      k: Int = 5): DataFrame = {
+    val e = e0
+      .select(col("vec_id"), col("label"), tokenQuant(col("embedding")).as("toks"))
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label"), col("toks").as("q_toks"))
+    val w = Window.partitionBy("q_id").orderBy(col("maxsim").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("label"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("maxsim", maxSimScore(col("q_toks"), col("toks")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("maxsim"))
+  }
 }

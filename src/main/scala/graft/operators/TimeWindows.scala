@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -160,6 +160,65 @@ object TimeWindows {
       .where(col("value") >= col("q_lo") && col("value") <= col("q_hi"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_trimmed"))
+  }
+
+  /** Mergeable-quantile-sketch contract gate: approx_percentile's
+    * state (Greenwald-Khanna summaries) is a MERGEABLE aggregate — the
+    * property that makes sketch quantiles work at 100 TB, where
+    * per-partition summaries combine up a tree instead of any node
+    * sorting the data. The estimates themselves are engine- and
+    * merge-order-specific, so (per the q_hll_merge / Bloom-superset
+    * pattern) the gate emits what IS engine-free: the sketch's rank
+    * -error CONTRACT, checked exactly. Two sketches are built per
+    * (event_type, percentile) — one over the natural parquet layout,
+    * one over a hash-repartitioned layout (13 partitions, a genuinely
+    * different partial-merge tree) — then one pass over the values
+    * computes each estimate's exact rank window [count(<est),
+    * count(≤est)], and the gate emits per-row booleans asserting the
+    * rank sits within p·n ± (2n/accuracy + 2) for BOTH sketches. The
+    * oracle pins both verdicts to literal TRUE plus the exact n: an
+    * estimate outside its guarantee, under either merge tree, flips a
+    * boolean and fails the hash. Slack is 2/accuracy (double the GK
+    * bound) to be definition-agnostic about the rank convention —
+    * still ~4 ranks at n=10⁴ vs the hundreds any real sketch bug
+    * produces. */
+  private val SketchPs = Seq(0.5, 0.9, 0.99)
+
+  def quantileSketchMerge(s: SparkSession, d: String,
+      accuracy: Int = 10000): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    def ests(df: DataFrame, name: String): DataFrame = df
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"), array(SketchPs.map(lit): _*),
+        lit(accuracy)).as("est"))
+      .select(col("event_type"), posexplode(col("est")).as(Seq("qi", name)))
+    val both = ests(ev, "est_nat")
+      .join(ests(ev.repartition(13, col("event_type"), col("value")), "est_rep"),
+        Seq("event_type", "qi"))
+    sketchRankVerdicts(ev, both, accuracy)
+  }
+
+  /** The exact-rank verdict half of [[quantileSketchMerge]] (split out
+    * so specs can feed deliberately broken estimates and watch the
+    * booleans flip): `both` carries (event_type, qi, est_nat, est_rep),
+    * one pass over `ev` counts each estimate's rank window. */
+  private[graft] def sketchRankVerdicts(ev: DataFrame, both: DataFrame,
+      accuracy: Int): DataFrame = {
+    def ok(lo: Column, hi: Column, target: Column, slack: Column): Column =
+      (lo <= ceil(target + slack)) && (hi >= floor(target - slack))
+    val p = element_at(array(SketchPs.map(lit): _*), col("qi") + 1)
+    ev.join(broadcast(both), Seq("event_type"))
+      .groupBy("event_type", "qi")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("est_nat"), 1L).otherwise(0L)).as("lo_nat"),
+        sum(when(col("value") <= col("est_nat"), 1L).otherwise(0L)).as("hi_nat"),
+        sum(when(col("value") < col("est_rep"), 1L).otherwise(0L)).as("lo_rep"),
+        sum(when(col("value") <= col("est_rep"), 1L).otherwise(0L)).as("hi_rep"))
+      .select(col("event_type"), p.as("qtile"), col("n"),
+        ok(col("lo_nat"), col("hi_nat"), p * col("n"),
+          lit(2.0) * col("n") / accuracy + 2).as("ok_natural"),
+        ok(col("lo_rep"), col("hi_rep"), p * col("n"),
+          lit(2.0) * col("n") / accuracy + 2).as("ok_merged"))
   }
 
   /** W6 — additive seasonal decomposition as a window/agg composition

@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (193 queries, 161 oracles)") {
-    assert(SparkEntry.queries.size == 193)
-    assert(SparkEntry.oracleSql.size == 161)
+  test("registry carries the full suite (196 queries, 164 oracles)") {
+    assert(SparkEntry.queries.size == 196)
+    assert(SparkEntry.oracleSql.size == 164)
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Late-interaction (MaxSim) retrieval contract: the operator's top-k
+  * must be IDENTICAL (ids, ranks, scores) to an independent plain-Scala
+  * brute-force reimplementation of Σ_i max_j ⟨q_i, d_j⟩ over the same
+  * floor(x·10⁴) token quantization and (score DESC, vec_id) tiebreak;
+  * and a planted exact duplicate lands exactly where the ground truth
+  * puts it, with the analytically-known self-score. */
+class MaxSimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent reference: quantize → 8×8 reshape → MaxSim, all loops. */
+  private def refMaxSim(q: Array[Float], d: Array[Float]): Long = {
+    def tok(v: Array[Float], t: Int): Array[Long] =
+      (0 until 8).map(i => math.floor(v(t * 8 + i).toDouble * 10000).toLong).toArray
+    (0 until 8).map { i =>
+      val qi = tok(q, i)
+      (0 until 8).map { j =>
+        val dj = tok(d, j)
+        (0 until 8).map(x => qi(x) * dj(x)).sum
+      }.max
+    }.sum
+  }
+
+  /** Ground-truth top-k per query over the label block. */
+  private def refTopK(corpus: Seq[(Long, Int, Array[Float])], queryMod: Int,
+      k: Int): Map[Long, Seq[(Long, Long)]] =
+    corpus.filter(_._1 % queryMod == 0).map { case (qid, qlab, qv) =>
+      qid -> corpus
+        .filter(c => c._2 == qlab && c._1 != qid)
+        .map(c => (c._1, refMaxSim(qv, c._3)))
+        .sortBy { case (id, score) => (-score, id) }
+        .take(k)
+    }.toMap
+
+  private def loadBase(): Seq[(Long, Int, Array[Float])] =
+    Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect().toSeq
+
+  private def runOp(corpus: Seq[(Long, Int, Array[Float])]): Seq[(Long, Long, Int, Long)] =
+    Similarity.maxSimTopKVecs(
+      corpus.toDF("vec_id", "label", "embedding"), queryMod = 199, k = 5)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+
+  test("operator top-5 is identical to the brute-force reference") {
+    val base = loadBase()
+    val truth = refTopK(base, 199, 5)
+    val out = runOp(base)
+    assert(out.nonEmpty, "no query rows — queryMod too sparse for fixture")
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == truth.keySet)
+    byQ.foreach { case (qid, rows) =>
+      val got = rows.sortBy(_._3).map(r => (r._2, r._4))
+      assert(got == truth(qid), s"top-5 mismatch for query $qid")
+      assert(rows.sortBy(_._3).map(_._3) == (1 to rows.length), "rank gap")
+    }
+  }
+
+  test("a planted exact duplicate lands at its ground-truth rank with the self-score") {
+    val base = loadBase()
+    val orig = base.find(_._1 == 0L).get
+    val maxId = base.map(_._1).max
+    val planted = base :+ ((maxId + 1, orig._2, orig._3))
+    val truth = refTopK(planted, 199, 5)
+    val out = runOp(planted).filter(_._1 == 0L).sortBy(_._3)
+    assert(out.map(r => (r._2, r._4)) == truth(0L))
+    val dup = out.find(_._2 == maxId + 1)
+    assert(dup.isDefined, "exact duplicate missing from the original's top-5")
+    assert(dup.get._4 == refMaxSim(orig._3, orig._3),
+      "duplicate's score must be the analytic self-score")
+  }
+}
