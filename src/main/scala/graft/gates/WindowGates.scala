@@ -39,6 +39,9 @@ object WindowGates {
     // q_holt_forecast class; ForecastCvSpec pins consistency + planted
     // winners)
     "q_forecast_cv" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecastCv(s, d)),
+    // CSS refinement of the HR start at the grid-chosen (p,d,q): both
+    // conditional MSEs per series (no oracle: float folds; ArimaCssSpec)
+    "q_arima_css" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaCss(s, d)),
     // temporal joins (composition operators; oracled vs DuckDB ASOF JOIN)
     "q_asof_join"      -> (TemporalJoins.asofJoin _),
     "q_range_join"     -> ((s: SparkSession, d: String) => TemporalJoins.rangeJoin(s, d)),
