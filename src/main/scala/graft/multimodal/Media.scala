@@ -169,7 +169,7 @@ object Media {
   /** Gate query: perceptual-hash near-dup pairs over the media table —
     * the multimodal leg of the dedup family (exact/minhash/simhash text
     * dedup ⟶ aHash media dedup), sharing `Dedup.bandedHammingPairs`'
-    * 4×16-band blocking and its recall contract (exhaustive at Hamming
+    * 3-of-6-block keying and its recall contract (exhaustive at Hamming
     * ≤ 3), BLOCKED BY `kind`: near-dup candidates only form within one
     * media type, the way a production image-dedup pass partitions its
     * corpus (an image and an audio clip are never dedup candidates even

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -734,9 +734,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document from token hashes (sign-aggregated bit
-    * votes), plus 4×16-bit band keys for bucketed near-dup grouping.
-    * Pure expression pipeline: per-token 64-bit hash (xxhash64), per-bit
-    * ±1 votes aggregated with SQL higher-order functions. */
+    * votes), plus a 4×16-bit band decomposition as readout columns
+    * (the near-dup KEYING itself uses [[bandedHammingPairs]]'
+    * 3-of-6-block combos). Pure expression pipeline: per-token 64-bit
+    * hash (xxhash64), per-bit ±1 votes in a tight typed map. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = TextAnalytics.tokens(col("text"))
@@ -1104,11 +1105,13 @@ object Dedup {
       simhash(s, d).select(col("doc_id").as("id"), col("simhash").as("sig")),
       maxHamming)
 
-  /** GENERIC 4×16-band blocked Hamming near-dup over any (id, sig)
-    * 64-bit signature frame — the shared engine behind [[simhashNearDup]]
-    * (text) and `Media.mediaPhashNearDup` (perceptual hashes). Same
-    * recall contract: exhaustive for Hamming ≤ 3 (pigeonhole), measured
-    * via [[simhashBandRecall]] above that. `blockCols` names extra
+  /** GENERIC blocked Hamming near-dup over any (id, sig) 64-bit
+    * signature frame — the shared engine behind [[simhashNearDup]]
+    * (text) and `Media.mediaPhashNearDup` (perceptual hashes), keyed by
+    * Manku-Manber-Sarma 3-of-6 block combinations (see
+    * [[HBlockShifts]]). Same recall contract: exhaustive for
+    * Hamming ≤ 3 (pigeonhole over the 6 blocks), measured via
+    * [[simhashBandRecall]] above that. `blockCols` names extra
     * columns of `sigs` that must MATCH for two rows to be candidates
     * (e.g. media `kind`: an image and an audio clip are never dedup
     * candidates even if their histograms collide) — block columns join
@@ -1117,31 +1120,52 @@ object Dedup {
     * #3): the signature cache feeds 8 scans (4 band branches × 2 join
     * sides); the (small) pair result is materialized eagerly so the
     * cache never escapes into a lazy plan without an unpersist handle. */
+  /** 6-block split of a 64-bit signature: widths 11,11,11,11,10,10 at
+    * shifts 0,11,22,33,44,54 — the Manku-Manber-Sarma geometry (WWW
+    * 2007 §3, "detecting near-duplicates for web crawling"): keys are
+    * every C(6,3) = 20 choice of THREE blocks (~32-bit keys), so ≤ 3
+    * bit flips damage ≤ 3 blocks, leave ≥ 3 intact, and some 3-block
+    * combo is fully clean — the same exhaustive-at-Hamming-≤3 pigeonhole
+    * as 4×16 banding, but with key space 2³² instead of 2¹⁶. */
+  private val HBlockShifts = Vector(0, 11, 22, 33, 44, 54)
+  private val HBlockWidths = Vector(11, 11, 11, 11, 10, 10)
+  private val HBlockCombos: Seq[Seq[Int]] = (0 to 5).combinations(3).toSeq
+
   def bandedHammingPairs(sigs: DataFrame, maxHamming: Int = 3,
       blockCols: Seq[String] = Nil): DataFrame = {
     val blocks = blockCols.map(col)
-    val sh = sigs.select(col("id") +: col("sig") +: blocks :+
-      col("sig").bitwiseAND(lit(0xFFFFL)).as("band0") :+
-      shiftrightunsigned(col("sig"), 16).bitwiseAND(lit(0xFFFFL)).as("band1") :+
-      shiftrightunsigned(col("sig"), 32).bitwiseAND(lit(0xFFFFL)).as("band2") :+
-      shiftrightunsigned(col("sig"), 48).bitwiseAND(lit(0xFFFFL)).as("band3"): _*)
-      .cache()
+    def blockVal(i: Int): Column =
+      shiftrightunsigned(col("sig"), HBlockShifts(i))
+        .bitwiseAND(lit((1L << HBlockWidths(i)) - 1))
+    // one struct per 3-of-6 combo: (combo idx, 3 block values packed
+    // into 11-bit lanes). 2¹⁶-keyed 4×16 banding saturates once the
+    // corpus passes ~10⁵ rows — bucket occupancy grows linearly and the
+    // within-bucket pair term goes QUADRATIC (measured: 12.25 s at
+    // 500 k docs → 136 s at 1.5 M, the sf30 step's catch). The 20
+    // combo keys cost 5× the map rows but are ~2³²-sparse: expected
+    // background bucket size stays ≪ 1 far past 10⁹ rows.
+    val keyStructs = HBlockCombos.zipWithIndex.map { case (c, idx) =>
+      struct(lit(idx).as("combo"),
+        (blockVal(c(0)) * lit(1L << 22) + blockVal(c(1)) * lit(1L << 11)
+          + blockVal(c(2))).as("key"))
+    }
+    val sh = sigs.select(col("id") +: col("sig") +: blocks: _*).cache()
     try {
-      val byBand = (0 to 3).map { b =>
-        sh.select(col("id") +: col("sig") +: blocks :+
-          col(s"band$b").as("band") :+ lit(b).as("band_idx"): _*)
-      }.reduce(_.unionAll(_))
+      val keyed = sh.select(col("id") +: col("sig") +: blocks :+
+        explode(array(keyStructs: _*)).as("ck"): _*)
+        .select(col("id") +: col("sig") +: blocks :+
+          col("ck.combo").as("combo") :+ col("ck.key").as("key"): _*)
       // bit_count is a single codegen'd popcount — never an interpreted
       // 64-step HOF fold
       val hamming = expr("bit_count(a_sim ^ b_sim)")
       // hamming-filter BEFORE distinct: the popcount is one codegen'd op per
       // joined row, so filtering first shrinks the distinct's shuffle input
-      // from every band collision (~4× pairs) to only passing pairs
-      byBand.as("a")
-        .join(byBand.as("b"),
+      // from every key collision (~20× pairs) to only passing pairs
+      keyed.as("a")
+        .join(keyed.as("b"),
           blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-            .foldLeft(col("a.band") === col("b.band")
-              && col("a.band_idx") === col("b.band_idx")
+            .foldLeft(col("a.key") === col("b.key")
+              && col("a.combo") === col("b.combo")
               && col("a.id") < col("b.id"))(_ && _))
         .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
           col("a.sig").as("a_sim"), col("b.sig").as("b_sim"))
@@ -1153,32 +1177,36 @@ object Dedup {
     } finally sh.unpersist()
   }
 
-  /** Measured recall of the 4×16-band blocking against EXACT Hamming
+  /** Measured recall of the 3-of-6-block keying against EXACT Hamming
     * ground truth: a fixed probe set (first `nProbes` ids — deterministic)
     * is broadcast against every signature, each probe-partner pair gets
     * its true Hamming distance (one codegen'd popcount) and a
-    * band-collision flag, and the result is one row per distance h ≤
-    * maxH with pair counts and CUMULATIVE recall at ≤ h. This is the
-    * q_ann_recall pattern applied to simhash: the blocking's loss above
-    * the guaranteed radius is a number in the gate output, not a
-    * scaladoc adjective. Scale shape: the ground-truth side is the
-    * all-partners scan of a BOUNDED broadcast probe set (nProbes × N
-    * popcounts, embarrassingly parallel, no shuffle until the ≤ 65-row
-    * groupBy); the bounded global window orders ≤ maxH+1 rows. */
+    * key-collision flag (some 3-block combo fully clean ⟺ at least 3
+    * of the 6 blocks equal — the combinatorial identity that lets the
+    * flag be a block-equality COUNT instead of 20 key comparisons), and
+    * the result is one row per distance h ≤ maxH with pair counts and
+    * CUMULATIVE recall at ≤ h. This is the q_ann_recall pattern applied
+    * to simhash: the blocking's loss above the guaranteed radius is a
+    * number in the gate output, not a scaladoc adjective. Scale shape:
+    * the ground-truth side is the all-partners scan of a BOUNDED
+    * broadcast probe set (nProbes × N popcounts, embarrassingly
+    * parallel, no shuffle until the ≤ 65-row groupBy); the bounded
+    * global window orders ≤ maxH+1 rows. */
   def simhashBandRecall(sigs: DataFrame, nProbes: Int = 200,
       maxH: Int = 12): DataFrame = {
-    def bands(c: org.apache.spark.sql.Column, p: String) = Seq(
-      c.bitwiseAND(lit(0xFFFFL)).as(s"${p}0"),
-      shiftrightunsigned(c, 16).bitwiseAND(lit(0xFFFFL)).as(s"${p}1"),
-      shiftrightunsigned(c, 32).bitwiseAND(lit(0xFFFFL)).as(s"${p}2"),
-      shiftrightunsigned(c, 48).bitwiseAND(lit(0xFFFFL)).as(s"${p}3"))
+    def bands(c: org.apache.spark.sql.Column, p: String) =
+      HBlockShifts.indices.map(i =>
+        shiftrightunsigned(c, HBlockShifts(i))
+          .bitwiseAND(lit((1L << HBlockWidths(i)) - 1)).as(s"$p$i"))
     val base = sigs.select(col("doc_id"), col("simhash"))
     val probes = base.orderBy("doc_id").limit(nProbes)
       .select(col("doc_id").as("p_id") +: col("simhash").as("p_sim")
         +: bands(col("simhash"), "p_b"): _*)
     val part = base.select(col("doc_id") +: col("simhash")
       +: bands(col("simhash"), "b"): _*)
-    val blocked = (0 to 3).map(i => col(s"p_b$i") === col(s"b$i")).reduce(_ || _)
+    val blocked = HBlockShifts.indices
+      .map(i => when(col(s"p_b$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _) >= 3
     val w = Window.orderBy("hamming")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     broadcast(probes).join(part, col("p_id") < col("doc_id"))
