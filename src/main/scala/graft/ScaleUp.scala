@@ -70,16 +70,29 @@ object ScaleUp {
       new java.io.File(tmp).delete(): Unit
     }
 
+    // Offset strides are derived from each table's ACTUAL max id, not a
+    // fixed constant: a fixed stride is only collision-free for ONE
+    // application. Chaining ScaleUp (sf10 → sf30) put source ids past
+    // the old 10 M stride and silently produced duplicate ids (sf30:
+    // 1.5 M doc rows, 510 k distinct doc_ids) — caught by the round-10
+    // banded-vs-exact pair-set audit, which surfaced "a_id = b_id"
+    // near-dup pairs that can only exist when two rows share an id.
+    def stride(df: org.apache.spark.sql.DataFrame, idCol: String): Long =
+      df.agg(max(col(idCol))).head.getLong(0) + 1L
+
     val ev = Tables.events(spark, src)
+    val evStride = stride(ev, "event_id")
+    val userStride = stride(ev, "user_id")
     writeSingle(copies { k =>
       ev.select(
-        (col("event_id") + lit(k.toLong * 10_000_000_000L)).as("event_id"),
+        (col("event_id") + lit(k.toLong * evStride)).as("event_id"),
         (unix_micros(col("ts")) * 1000L).as("ts"),
-        (col("user_id") + lit(k.toLong * 1_000_000L)).as("user_id"),
+        (col("user_id") + lit(k.toLong * userStride)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }, "events.parquet")
 
     val docs = Tables.documents(spark, src)
+    val docStride = stride(docs, "doc_id")
     writeSingle(copies { k =>
       val text =
         if (k == 0) col("text")
@@ -89,12 +102,13 @@ object ScaleUp {
              |    THEN concat(t, ' zq${k}x', CAST(i % 97 AS STRING))
              |    ELSE t END), ' ')""".stripMargin)
       docs.select(
-        (col("doc_id") + lit(k.toLong * 10_000_000L)).as("doc_id"),
+        (col("doc_id") + lit(k.toLong * docStride)).as("doc_id"),
         text.as("text"), col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents.parquet")
 
     val emb = Tables.embeddings(spark, src)
+    val vecStride = stride(emb, "vec_id")
     writeSingle(copies { k =>
       val vec =
         if (k == 0) col("embedding")
@@ -103,7 +117,7 @@ object ScaleUp {
              |  (x, i) -> CAST(x + (pmod(hash(vec_id, i, $k), 1000) - 500) / 10000.0
              |    AS FLOAT))""".stripMargin)
       emb.select(
-        (col("vec_id") + lit(k.toLong * 10_000_000L)).as("vec_id"),
+        (col("vec_id") + lit(k.toLong * vecStride)).as("vec_id"),
         vec.as("embedding"), col("label"))
     }, "embeddings.parquet")
 

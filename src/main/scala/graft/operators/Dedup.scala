@@ -582,7 +582,19 @@ object Dedup {
     * without it the background-collision candidate term grows with
     * pairs·j², which the sf10 run measured at 9× the EXACT variant's
     * cost — the cap restores the linear bound that justifies this
-    * variant's existence. */
+    * variant's existence.
+    *
+    * REGIME GUIDANCE (from the sf30 three-point curve, SCALE.md
+    * round 10): at permissive thresholds (τ ≤ 0.2) against a corpus
+    * dense enough that the df-cap bites, the prefilter's economics
+    * invert — the 128-wide signature scan plus the r = 2 background
+    * candidate mass cost MORE than the capped exact join it avoids
+    * (404 s vs 163 s at 1.5 M docs; outputs identical to 25 k pairs).
+    * The banded form's regime is HIGH-τ dedup (τ ≥ 0.6 with r = 4,
+    * the [[minhashBandedDocs]] shape), where the S-curve prunes hard;
+    * for τ ≤ 0.2 prefer [[ngramJaccardDocs]] — its df-capped posting
+    * join is already linear and was sublinear measured (1.5× per 3×
+    * step). */
   def ngramJaccardBanded(s: SparkSession, d: String,
       threshold: Double = 0.2, maxDf: Long = 100L): DataFrame =
     ngramJaccardBandedDocs(Tables.documents(s, d), threshold, maxDf)
