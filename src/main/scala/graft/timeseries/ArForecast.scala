@@ -336,10 +336,17 @@ object ArForecast {
             val x = Array.tabulate(cur.length)(cur(_) - mean)
             val hrMse = armaWalkForward(x, 0, phi, theta)._1
             val (_, _, cssMse) = cssRefine(x, phi, theta)
+            // an unstable HR start can give a NON-FINITE conditional MSE
+            // on the full series (the grid only validated the train
+            // prefix); BigDecimal(Infinity) throws, so round only finite
+            // values — descent may still repair such a start (any finite
+            // move beats Infinity), which is the refinement working
+            def round6(v: Double): Double =
+              if (java.lang.Double.isFinite(v))
+                BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              else v
             Iterator.single((k, p, dd, q, cur.length.toLong,
-              BigDecimal(hrMse).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-              BigDecimal(cssMse).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-              cssMse <= hrMse))
+              round6(hrMse), round6(cssMse), cssMse <= hrMse))
         }
       }
       .toDF("series", "p", "d", "q", "n", "hr_mse", "css_mse", "improved")
