@@ -880,4 +880,42 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), col("maxsim"))
   }
+
+  /** The PRODUCTION MaxSim composition [[maxSimTopK]]'s scaladoc names:
+    * a FIXED broadcast query set (vec_id < nQueries — linear in the
+    * corpus, unlike the q_maxsim gate's `% 199` set that grows with n)
+    * routed through the IVF coarse index — each query MaxSim-scores only
+    * the nprobe probed buckets of its single-vector view, never a label
+    * block. Cost per query is nprobe·√N candidate scorings; the corpus
+    * pays one assignment pass (shared with [[annIvf]]'s `assignWith`).
+    * Probe ranking reuses the round(cos, 6) key on the full embedding;
+    * candidate ranking is the exact integer MaxSim (maxsim DESC, vec_id)
+    * — both deterministic, so the gate carries a full DuckDB oracle. */
+  def maxSimTopKIvf(s: SparkSession, d: String, nQueries: Int = 10,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = withNorm(s, d)
+    val nc = centroidCount(e.count())
+    val centArr = seedCents(e, nc)
+    val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
+    val assigned = assignWith(e, centArr)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("p_sim_key").desc, col("c_id"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("p_sim_key",
+        round(floatDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("p_rank", row_number().over(wProbe))
+      .where(col("p_rank") <= nprobe)
+      .select(col("q_id"), tokenQuant(col("q_emb")).as("q_toks"),
+        col("c_id").as("bucket"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("maxsim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("maxsim", maxSimScore(col("q_toks"), tokenQuant(col("embedding"))))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("bucket"), col("rank"), col("maxsim"))
+  }
 }

@@ -60,6 +60,48 @@ class MaxSimSpec extends SparkTestBase {
     }
   }
 
+  test("IVF-routed top-5 is identical to an independent probe+score reference") {
+    val base = loadBase().sortBy(_._1)
+    val n = base.length
+    val nc = Similarity.centroidCount(n.toLong)
+    val cents = base.filter(_._1 < nc).map(c => (c._1, c._3))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      (0 until a.length).map(i => a(i).toDouble * b(i).toDouble).sum
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    // assignment: exact cosine, ties to the lowest c_id (ascending scan)
+    val bucketOf = base.map { case (id, _, v) =>
+      var bestId = -1L; var bestSim = Double.NegativeInfinity
+      cents.foreach { case (cid, cv) =>
+        val sim = dot(v, cv) / (nrm(v) * nrm(cv))
+        if (sim > bestSim) { bestSim = sim; bestId = cid }
+      }
+      id -> bestId
+    }.toMap
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val truth = base.filter(_._1 < 10).map { case (qid, _, qv) =>
+      val probed = cents
+        .map { case (cid, cv) => (cid, r6(dot(qv, cv) / (nrm(qv) * nrm(cv)))) }
+        .sortBy { case (cid, key) => (-key, cid) }
+        .take(2).map(_._1).toSet
+      qid -> base
+        .filter(c => probed(bucketOf(c._1)) && c._1 != qid)
+        .map(c => (c._1, refMaxSim(qv, c._3)))
+        .sortBy { case (id, score) => (-score, id) }
+        .take(5)
+    }.toMap
+    val out = Similarity.maxSimTopKIvf(spark, sf)
+      .select("q_id", "vec_id", "rank", "maxsim")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == truth.keySet)
+    byQ.foreach { case (qid, rows) =>
+      val got = rows.sortBy(_._3).map(r => (r._2, r._4))
+      assert(got == truth(qid), s"IVF-routed top-5 mismatch for query $qid")
+    }
+  }
+
   test("a planted exact duplicate lands at its ground-truth rank with the self-score") {
     val base = loadBase()
     val orig = base.find(_._1 == 0L).get
