@@ -49,6 +49,14 @@ object SimilarityGates {
     // through the IVF coarse buckets (nprobe·√N candidates per query,
     // linear corpus cost) instead of q_maxsim's n²/199 label blocks
     "q_maxsim_ivf"     -> ((s: SparkSession, d: String) => Similarity.maxSimTopKIvf(s, d)),
+    // sign-bit binary quantization: 64-d float → ONE long, Hamming
+    // (bit_count ⊕) top-m prefilter, exact-cosine rerank — 32× smaller
+    // hot set, integer candidate math, full oracle
+    "q_ann_binary"     -> ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),
+    // hybrid sparse+dense retrieval: doc-to-doc BM25 ranks ⊕ cosine
+    // ranks fused by reciprocal-rank fusion (1/(60+r)), integer-quantized
+    // lexical scores so the whole ranking is hash-exact
+    "q_hybrid_rrf"     -> ((s: SparkSession, d: String) => Similarity.hybridRrf(s, d)),
   )
 
   /** The IVF probe/search oracle — shared verbatim by q_ann_ivf and
@@ -292,5 +300,109 @@ object SimilarityGates {
         |      ORDER BY maxsim DESC, vec_id) AS INTEGER) AS rank
         |  FROM score)
         |SELECT q_id, vec_id, bucket, rank, maxsim FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // binary quantization: identical sign-bit packing (strict > 0), 64-bit
+    // signature, bit_count(xor) Hamming, exact-cosine rerank of the top-20
+    "q_ann_binary" ->
+      """WITH sg AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm,
+        |    -- bit 63 is the sign bit: DuckDB's checked 1 << 63 overflows,
+        |    -- so it contributes the two's-complement constant (Spark's
+        |    -- shiftleft wraps to exactly this value); list_sum goes
+        |    -- through HUGEINT, the final value is a valid long
+        |    CAST(list_sum(list_transform(generate_series(0, 63),
+        |      i -> CASE WHEN embedding[i + 1] <= 0 THEN CAST(0 AS BIGINT)
+        |           WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |           ELSE (CAST(1 AS BIGINT) << i) END)) AS BIGINT) AS sig
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, sig AS q_sig
+        |  FROM sg WHERE vec_id < 10),
+        |h AS (
+        |  SELECT q.q_id, e.vec_id, e.embedding, e.nrm, q.q_emb, q.q_nrm,
+        |    bit_count(xor(e.sig, q.q_sig)) AS hamming
+        |  FROM sg e, q WHERE e.vec_id <> q.q_id),
+        |cand AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY hamming, vec_id) AS h_rank FROM h) t
+        |  WHERE h_rank <= 20),
+        |x AS (
+        |  SELECT q_id, vec_id, hamming,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / (q_nrm * nrm) AS cos
+        |  FROM cand),
+        |r AS (
+        |  SELECT q_id, vec_id, hamming, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, vec_id) AS INTEGER) AS rank
+        |  FROM x)
+        |SELECT q_id, vec_id, hamming, rank, round(cos, 4) AS sim
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // hybrid RRF: integer-quantized doc-to-doc BM25 rank list ⊕ cosine
+    // rank list, fused on floor(Σ 1/(60+r) · 10¹²) with doc_id tiebreak
+    "q_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+        |qterms AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id < 5),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |lexs AS (
+        |  SELECT q.q_id, t.doc_id,
+        |    CAST(SUM(CAST(floor(
+        |      ln((CAST(c.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl
+        |          / (CAST(c.n_tokens AS DOUBLE) / c.n_docs)))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS lex_score
+        |  FROM qterms q JOIN tf t USING (term) JOIN df d USING (term)
+        |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN corpus c
+        |  WHERE t.doc_id <> q.q_id
+        |  GROUP BY 1, 2),
+        |lexr AS (
+        |  SELECT q_id, doc_id, r_lex FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY lex_score DESC, doc_id) AS INTEGER) AS r_lex FROM lexs) t
+        |  WHERE r_lex <= 20),
+        |sx AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |  WHERE e.vec_id <> q.vec_id),
+        |semr AS (
+        |  SELECT q_id, doc_id, r_sem FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, doc_id) AS INTEGER) AS r_sem FROM sx) t
+        |  WHERE r_sem <= 20),
+        |fused AS (
+        |  SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+        |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+        |    COALESCE(l.r_lex, 0) AS r_lex, COALESCE(s.r_sem, 0) AS r_sem
+        |  FROM lexr l FULL JOIN semr s ON l.q_id = s.q_id AND l.doc_id = s.doc_id),
+        |scored AS (
+        |  SELECT q_id, doc_id, r_lex, r_sem,
+        |    (CASE WHEN r_lex > 0 THEN 1.0 / (r_lex + 60) ELSE 0.0 END +
+        |     CASE WHEN r_sem > 0 THEN 1.0 / (r_sem + 60) ELSE 0.0 END) AS rrf
+        |  FROM fused),
+        |ranked AS (
+        |  SELECT q_id, doc_id, r_lex, r_sem, rrf,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY CAST(floor(rrf * 1000000000000.0) AS BIGINT) DESC, doc_id)
+        |      AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, doc_id, rank, r_lex, r_sem, round(rrf, 6) AS rrf
+        |FROM ranked WHERE rank <= 10""".stripMargin,
   )
 }

@@ -69,9 +69,29 @@ object WindowGates {
     // trailing-hour DISTINCT type count (collect_set over the RANGE
     // frame — the cardinality twin of q_window_range)
     "q_window_distinct" -> (TemporalJoins.rangeDistinctTypes _),
+    // trailing-8 EWMA per user series (α = 1/2, exact dyadic weights,
+    // fixed-order lag sum — raw doubles hash-match, no rounding key)
+    "q_ewma"           -> ((s: SparkSession, d: String) => TimeWindows.ewma(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    // trailing-8 EWMA: lag columns + the same left-associative 8-term
+    // weighted sum; α = 1/2 weights are exact dyadic doubles, so the
+    // raw ewma double is bit-identical cross-engine
+    "q_ewma" -> {
+      val terms = (0 until 8).map(i => math.pow(0.5, i))
+      val num = terms.zipWithIndex
+        .map { case (w, i) => s"COALESCE(lag(value, $i) OVER w * $w, 0.0)" }
+        .mkString(" + ")
+      val den = terms.zipWithIndex
+        .map { case (w, i) =>
+          s"CASE WHEN lag(value, $i) OVER w IS NOT NULL THEN $w ELSE 0.0 END" }
+        .mkString(" + ")
+      s"""SELECT user_id, event_id, ts, value, ($num) / ($den) AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+    },
+
     // integer epoch-micros RANGE frame on both engines (Spark
     // unix_micros / DuckDB epoch_us) — frame membership is exact; RANGE
     // includes all ts peers so no tiebreak column is needed

@@ -918,4 +918,113 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("bucket"), col("rank"), col("maxsim"))
   }
+
+  /** Sign-bit binary quantization ANN: each 64-d embedding packs into ONE
+    * 64-bit LONG (bit i set iff component i > 0 — 32× smaller than the
+    * float vector), candidates come from a Hamming-distance top-m scan
+    * (`bit_count(sig XOR q_sig)` — three codegen'd integer ops per
+    * comparison), and the m survivors are re-ranked by exact cosine. The
+    * standard memory/recall trade for billion-vector corpora: the
+    * signature table is what stays hot, the float vectors are read only
+    * for the m rerank rows per query. Every stage is deterministic
+    * (integer Hamming ties → vec_id; rerank keys on round(cos, 6)), so
+    * the gate carries a full DuckDB oracle. Composes with [[annIvf]] the
+    * same way [[maxSimTopKIvf]] does when even the linear signature scan
+    * is too much. */
+  def annBinary(s: SparkSession, d: String, nQueries: Int = 10, m: Int = 20,
+      k: Int = 5): DataFrame = {
+    val sigExpr = expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+        |  acc + IF(element_at(embedding, i + 1) > CAST(0 AS FLOAT),
+        |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+    val e = withNorm(s, d).withColumn("sig", sigExpr)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("sig").as("q_sig"))
+    val wHam = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    val cands = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming", bit_count(col("sig").bitwiseXOR(col("q_sig"))))
+      .withColumn("h_rank", row_number().over(wHam))
+      .where(col("h_rank") <= m)
+    val wTop = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
+    cands
+      .withColumn("cos", floatDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("sim_key", round(col("cos"), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("hamming"), col("rank"),
+        round(col("cos"), 4).as("sim"))
+  }
+
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion (Cormack
+    * et al. 2009): per query document, a lexical candidate list (doc-to-
+    * doc Okapi BM25 — the query's distinct terms scored against every
+    * doc containing one) and a semantic list (cosine over the aligned
+    * embedding) fuse by `Σ 1/(60 + rank)`, missing list ⇒ 0. The
+    * per-term BM25 weights are INTEGER-quantized (`floor(w·10⁶)` LONG)
+    * before the per-doc sum so the lexical score is order-independent —
+    * the variable-term-count analog of [[graft.functions.TextAnalytics
+    * .bm25]]'s fixed-column trick — and the fused ordering keys on
+    * `floor(rrf·10¹²)` with a doc_id tiebreak, so the whole gate is
+    * hash-oracle-able.
+    *
+    * Scale shape: query terms ride a broadcast, so the tf shuffle
+    * carries query-term occurrences only; doc lengths are one partial
+    * agg over the token stream; the dense side is the [[cosineTopK]]
+    * broadcast scan (the [[annIvf]] bucket probe replaces it when the
+    * corpus outgrows a linear scan); fusion joins two nList-bounded
+    * rank lists. */
+  def hybridRrf(s: SparkSession, d: String, nQueries: Int = 5, nList: Int = 20,
+      kRrf: Int = 60, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.TextAnalytics.tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+    val qterms = toks.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    val tf = toks
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wLex = Window.partitionBy("q_id").orderBy(col("lex_score").desc, col("doc_id"))
+    val lex = broadcast(qterms)
+      .join(tf, Seq("term"))
+      .where(col("doc_id") =!= col("q_id"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("n_tokens").cast("double") / col("n_docs"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("wq", floor(col("idf") * (col("tf") * (lit(k1) + lit(1.0)))
+        / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+        * 1000000.0).cast("long"))
+      .groupBy("q_id", "doc_id").agg(sum("wq").as("lex_score"))
+      .withColumn("r_lex", row_number().over(wLex))
+      .where(col("r_lex") <= nList)
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+    val e = withNorm(s, d)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wSem = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
+    val sem = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim_key",
+        round(floatDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6))
+      .withColumn("r_sem", row_number().over(wSem))
+      .where(col("r_sem") <= nList)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_sem"))
+    val wR = Window.partitionBy("q_id").orderBy(col("rrf_key").desc, col("doc_id"))
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("r_lex", coalesce(col("r_lex"), lit(0)))
+      .withColumn("r_sem", coalesce(col("r_sem"), lit(0)))
+      .withColumn("rrf",
+        when(col("r_lex") > 0, lit(1.0) / (col("r_lex") + kRrf)).otherwise(lit(0.0)) +
+        when(col("r_sem") > 0, lit(1.0) / (col("r_sem") + kRrf)).otherwise(lit(0.0)))
+      .withColumn("rrf_key", floor(col("rrf") * 1000000000000.0).cast("long"))
+      .withColumn("rank", row_number().over(wR))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("r_lex"), col("r_sem"),
+        round(col("rrf"), 6).as("rrf"))
+  }
 }

@@ -274,4 +274,32 @@ object TimeWindows {
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("value_sum"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("value_sum"))
+
+  /** Trailing exponentially-weighted moving average per user series —
+    * the pandas `ewm(alpha=1/2, adjust=True)` smoother bounded to the
+    * last `terms` observations (the bound is what keeps it a plain
+    * ROWS-frame window instead of a sequential per-series recursion;
+    * with α = 1/2 the dropped tail weighs < 2⁻⁸ of the total). α = 1/2
+    * makes every weight an exact dyadic double, the numerator is a
+    * FIXED-ORDER 8-term sum (reduceLeft, mirrored left-associative in
+    * the oracle), and the denominator Σ 0.5^i over the non-null lags is
+    * exact — so the raw double hash-matches cross-engine with no
+    * rounding key (the q_correlation discipline). Rows earlier than
+    * `terms` in their series just normalize over the lags that exist.
+    * One shuffle on the series key; the frame is O(terms) state per
+    * row at any scale. */
+  def ewma(s: SparkSession, d: String, terms: Int = 8): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lags = (0 until terms).map(i => lag(col("value"), i).over(w))
+    val weights = (0 until terms).map(i => math.pow(0.5, i))
+    val num = lags.zip(weights)
+      .map { case (l, wt) => coalesce(l * lit(wt), lit(0.0)) }
+      .reduceLeft(_ + _)
+    val den = lags.zip(weights)
+      .map { case (l, wt) => when(l.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    Tables.events(s, d)
+      .withColumn("ewma", num / den)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("ewma"))
+  }
 }
