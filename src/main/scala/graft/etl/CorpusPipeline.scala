@@ -269,6 +269,43 @@ object CorpusPipeline {
     * dropped docs after embedding; missing vectors (doc_only) mean the
     * embedding job has a backlog. Shuffles once on the id; the report
     * side is a 3-row aggregate. */
+  /** Right-to-be-forgotten propagation audit: a deletion-request list
+    * (every doc_id ≡ 0 mod 97 — the deterministic stand-in for a legal
+    * deletion feed) is anti-joined through every derived surface keyed
+    * by the document id — the raw corpus and the aligned embedding table
+    * — each purged table is STAGED to parquet (the real deletion, not a
+    * view), re-read, and audited: one row per table with the before /
+    * requested / after counts and a re-read leak count that must be 0.
+    * The deletion list rides a broadcast (legal feeds are tiny relative
+    * to the corpus); each purge is one anti-join scan, embarrassingly
+    * parallel at any scale; the audit is one aggregate per staged table.
+    * Fully oracle-able: counts are integers and the purge semantics are
+    * one SQL anti-join. */
+  def forgetAudit(s: SparkSession, d: String, mod: Int = 97): DataFrame = {
+    val del = Tables.documents(s, d)
+      .where(col("doc_id") % mod === 0)
+      .select(col("doc_id").as("del_id"))
+    val surfaces: Seq[(String, DataFrame, String)] = Seq(
+      ("documents", Tables.documents(s, d), "doc_id"),
+      ("embeddings", Tables.embeddings(s, d), "vec_id"))
+    surfaces.map { case (name, t, idCol) =>
+      val path = graft.Scratch.dir(s"forget_${name}_$d")
+      t.join(broadcast(del), t(idCol) === col("del_id"), "left_anti")
+        .write.mode("overwrite").parquet(path)
+      val reread = s.read.parquet(path)
+      val nBefore = t.select(count(lit(1)).as("n_before"))
+      val nReq = t.join(broadcast(del), t(idCol) === col("del_id"), "left_semi")
+        .select(count(lit(1)).as("n_requested"))
+      val after = reread
+        .join(broadcast(del), reread(idCol) === col("del_id"), "left")
+        .select(count(lit(1)).as("n_after"),
+          count(col("del_id")).as("n_leaked"))
+      nBefore.crossJoin(nReq).crossJoin(after)
+        .select(lit(name).as("tbl"), col("n_before"), col("n_requested"),
+          col("n_after"), col("n_leaked"))
+    }.reduce(_ unionByName _)
+  }
+
   def integrityAudit(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id").as("id"), lit(1).as("has_doc"))

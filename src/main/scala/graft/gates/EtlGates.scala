@@ -33,6 +33,11 @@ object EtlGates {
     // docs ↔ embeddings referential-integrity audit (linked / doc_only /
     // vec_only with id ranges — the pre-training dangling-reference gate)
     "q_integrity"      -> (graft.etl.CorpusPipeline.integrityAudit _),
+    // right-to-be-forgotten propagation: anti-join the deletion list
+    // through docs + aligned embeddings, stage the purged tables, audit
+    // before/requested/after counts and a re-read leak count (must be 0)
+    "q_forget_audit"   -> ((s: SparkSession, d: String) =>
+      graft.etl.CorpusPipeline.forgetAudit(s, d)),
     // α=0.5 temperature-resampled language mixing weights + keep rates
     "q_lang_sample"    -> (graft.etl.CorpusPipeline.langSample _),
     // sequence packing: token-budget shards (two-level distributed
@@ -131,6 +136,23 @@ object EtlGates {
         |  FROM documents d FULL OUTER JOIN v ON d.doc_id = v.vec_id)
         |SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
         |FROM j GROUP BY 1""".stripMargin,
+
+    // deletion-propagation audit: one anti-join per surface; counts are
+    // integers, n_leaked is 0 by the anti-join semantics the gate
+    // re-verifies from the staged files
+    "q_forget_audit" ->
+      """WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+        |SELECT 'documents' AS tbl,
+        |  (SELECT count(*) FROM documents) AS n_before,
+        |  (SELECT count(*) FROM documents WHERE doc_id IN (SELECT doc_id FROM del)) AS n_requested,
+        |  (SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM del)) AS n_after,
+        |  CAST(0 AS BIGINT) AS n_leaked
+        |UNION ALL
+        |SELECT 'embeddings' AS tbl,
+        |  (SELECT count(*) FROM embeddings) AS n_before,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id IN (SELECT doc_id FROM del)) AS n_requested,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM del)) AS n_after,
+        |  CAST(0 AS BIGINT) AS n_leaked""".stripMargin,
 
     // share is one exact division of exact integer sums; weight is IEEE
     // sqrt (correctly rounded on both engines) — both raw. target_share

@@ -19,6 +19,9 @@ object SimilarityGates {
     "q_ann_ivf"        -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     // index persisted to parquet and reloaded — same answers, same oracle
     "q_ann_index_io"   -> ((s: SparkSession, d: String) => Similarity.annIvfIndexIO(s, d)),
+    // incremental index maintenance: base build + one-batch append under
+    // frozen centroids answers identically to the one-shot build
+    "q_ann_index_append" -> ((s: SparkSession, d: String) => Similarity.annIvfIndexAppend(s, d)),
     // contrastive pair mining: per anchor, top-k same-label positives +
     // top-k nearest WRONG-label hard negatives
     "q_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
@@ -196,6 +199,7 @@ object SimilarityGates {
 
     "q_ann_ivf" -> AnnIvfOracle,
     "q_ann_index_io" -> AnnIvfOracle,
+    "q_ann_index_append" -> AnnIvfOracle,
 
     "q_hard_negatives" ->
       """WITH q AS (

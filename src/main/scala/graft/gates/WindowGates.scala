@@ -39,6 +39,10 @@ object WindowGates {
     // q_holt_forecast class; ForecastCvSpec pins consistency + planted
     // winners)
     "q_forecast_cv" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecastCv(s, d)),
+    // Holt-Winters additive-seasonal (daily m=48 season over the 30-min
+    // grid; no oracle: float folds — HwSeasonalSpec pins exact-seasonal
+    // recovery, determinism, and the seasonal-beats-Holt MSE ordering)
+    "q_hw_seasonal" -> ((s: SparkSession, d: String) => HoltForecast.hwForecast(s, d)),
     // CSS refinement of the HR start at the grid-chosen (p,d,q): both
     // conditional MSEs per series (no oracle: float folds; ArimaCssSpec)
     "q_arima_css" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaCss(s, d)),

@@ -827,6 +827,46 @@ object Similarity {
     ivfSearch(cents, assigned, q, nprobe, k)
   }
 
+  /** Incremental IVF index MAINTENANCE — the build-once/append-many
+    * lifecycle that keeps a 100 TB vector index usable between full
+    * rebuilds: the base corpus builds and persists the index with a
+    * capacity-planned centroid count (centroids are FROZEN at build
+    * time), and a later ingest batch pays ONE assignment pass over just
+    * the new vectors, appended to the bucket-partitioned postings — the
+    * base postings are never rewritten. Because the centroids are
+    * byte-identical to what a full rebuild over base+batch would seed
+    * (lowest-id seeds live in the base half) and assignment is
+    * per-vector, the appended index answers IDENTICALLY to q_ann_ivf's
+    * one-shot build — the gate shares AnnIvfOracle, and IvfAppendSpec
+    * pins bit-equality against [[annIvf]]. */
+  def annIvfIndexAppend(s: SparkSession, d: String, nprobe: Int = 2,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val path = graft.Scratch.dir(s"ivf_append_$d")
+    val e = withNorm(s, d)
+    val n = e.count()
+    val nc = centroidCount(n)
+    // capacity planning: the frozen centroid count reflects the corpus
+    // the index will GROW to, not the base batch it starts from
+    val splitAt = math.max(n / 2, nc.toLong)
+    val base = e.where(col("vec_id") < splitAt)
+    val batch = e.where(col("vec_id") >= splitAt)
+    val centArr = seedCents(base, nc)
+    centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assignWith(base, centArr).repartition(col("bucket"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    // the incremental step: assign ONLY the new batch, append its postings
+    assignWith(batch, centArr).repartition(col("bucket"))
+      .write.mode("append").parquet(s"$path/postings")
+    val cents = s.read.parquet(s"$path/centroids")
+    val assigned = s.read.parquet(s"$path/postings")
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    ivfSearch(cents, assigned, q, nprobe, k)
+  }
+
   /** Reshape a 64-d embedding into 8 token-vectors × 8 dims with each
     * component quantized to `floor(x · 10⁴)` as LONG — the
     * multi-vector view for [[maxSimTopK]]. floor on the widened double

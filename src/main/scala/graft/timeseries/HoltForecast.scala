@@ -206,6 +206,84 @@ object HoltForecast {
       .toDF("series", "bucket", "y")
   }
 
+  /** Holt-Winters ADDITIVE-seasonal recurrences (period m, published
+    * closed form — Winters 1960; the triple-smoothing extension of
+    * [[holtFit]]):
+    *   ℓ_t = α(y_t − s_{t−m}) + (1−α)(ℓ_{t−1} + b_{t−1})
+    *   b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − ℓ_t) + (1−γ)s_{t−m}
+    * Standard initialization from the first two seasons: ℓ = mean of
+    * season 1, b = (mean₂ − mean₁)/m, s_i = y_i − ℓ. A strict left fold
+    * (deterministic, bit-reproducible — the [[holtFit]] discipline).
+    * For a zero-trend series that is EXACTLY period-m additive, the
+    * initialization is exact and every update is a fixed point, so the
+    * forecasts are bit-exact continuations (HwSeasonalSpec pins this).
+    * Returns (level, trend, seasonal index array, phase) where `phase`
+    * is n % m — the seasonal slot the NEXT observation would land in. */
+  def hwFit(ys: IndexedSeq[Double], alpha: Double, beta: Double,
+      gamma: Double, m: Int): (Double, Double, Array[Double], Int) = {
+    require(m >= 2, s"period must be >= 2, got $m")
+    require(ys.length >= 2 * m, s"need >= 2 seasons (${2 * m}), got ${ys.length}")
+    var mean1 = 0.0
+    var mean2 = 0.0
+    var i = 0
+    while (i < m) { mean1 += ys(i); mean2 += ys(m + i); i += 1 }
+    mean1 /= m; mean2 /= m
+    var level = mean1
+    var trend = (mean2 - mean1) / m
+    val seas = Array.tabulate(m)(j => ys(j) - level)
+    var t = m
+    while (t < ys.length) {
+      val sIdx = t % m
+      val prevL = level
+      level = alpha * (ys(t) - seas(sIdx)) + (1 - alpha) * (level + trend)
+      trend = beta * (level - prevL) + (1 - beta) * trend
+      seas(sIdx) = gamma * (ys(t) - level) + (1 - gamma) * seas(sIdx)
+      t += 1
+    }
+    (level, trend, seas, ys.length % m)
+  }
+
+  /** h-step Holt-Winters forecast from a fitted state:
+    * ŷ_{n+h} = ℓ + h·b + s_{(n+h−1) mod m}. */
+  def hwForecastPoint(level: Double, trend: Double, seas: Array[Double],
+      phase: Int, h: Int): Double =
+    level + h * trend + seas((phase + h - 1) % seas.length)
+
+  /** Whole-table entry: events → per-user Holt-Winters additive-seasonal
+    * forecast over the 30-min resampled+interpolated grid, DAILY season
+    * (m = 48 buckets), horizon steps. No quantile trim (trimming deletes
+    * grid points and would de-align the seasonal index). Same
+    * groupByKey/flatMapGroups shape as [[forecast]]: one shuffle on the
+    * series key, O(buckets) per-group state; series shorter than two
+    * seasons emit nothing. No oracle (float folds — the q_holt_forecast
+    * class); HwSeasonalSpec pins exact-seasonal recovery, determinism,
+    * and the seasonal-beats-Holt MSE ordering on planted data. */
+  def hwForecast(s: SparkSession, d: String, alpha: Double = 0.5,
+      beta: Double = 0.3, gamma: Double = 0.3, m: Int = 48,
+      horizon: Int = 6, bucketSec: Long = 1800L): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id").as("series"),
+        unix_timestamp(col("ts")).as("epochSec"),
+        col("value"))
+      .as[Reading]
+      .groupByKey(_.series)
+      .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
+        val dense = resampleArray(it.map(r => (r.epochSec, r.value)), bucketSec)
+        if (dense.length < 2 * m) Iterator.empty
+        else {
+          val ys = scala.collection.immutable.ArraySeq.unsafeWrapArray(dense)
+          val (level, trend, seas, phase) = hwFit(ys, alpha, beta, gamma, m)
+          (1 to horizon).iterator.map { h =>
+            (k, h, hwForecastPoint(level, trend, seas, phase, h),
+              level, trend, seas((phase + h - 1) % m), ys.length)
+          }
+        }
+      }
+      .toDF("series", "step", "forecast", "level", "trend", "seasonal", "n_obs")
+  }
+
   /** Whole-table entry: events → per-user Holt forecast, horizon steps of
     * 30 minutes each. */
   def forecast(s: SparkSession, d: String,
