@@ -21,6 +21,9 @@ object AnalyticsGates {
     "q_cohort"         -> (graft.operators.Analytics.cohortRetention _),
     // per-type equi-width value histogram (bit-exact bin arithmetic)
     "q_histogram"      -> ((s: SparkSession, d: String) => graft.operators.Analytics.histogram(s, d)),
+    // robust median/MAD outlier report (the heavy-tail-safe twin of
+    // q_anomaly_zscore's mean/stddev cut; med/mad rounded before the cut)
+    "q_mad_outliers"   -> ((s: SparkSession, d: String) => graft.operators.Analytics.madOutliers(s, d)),
     // ANALYZE-style column profile (one-pass multi-distinct aggregate)
     "q_profile"        -> (graft.operators.Analytics.profile _),
     // per-user cumulative balance (DECIMAL-exact running window)
@@ -358,6 +361,23 @@ object AnalyticsGates {
 
     // Welch t from exact DECIMAL moments; one fixed IEEE tree on both
     // engines (see q_correlation for the moment discipline)
+    // exact interpolated percentiles agree to the 4-dp rounding (the
+    // q_quantile class); the cut uses the ROUNDED med/mad so the
+    // boundary constant is bit-identical cross-engine
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n, max(m.med) AS med, max(d.mad) AS mad,
+        |  CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
     "q_ab_test" ->
       """WITH m AS (
         |  SELECT event_type, count(*) AS n,

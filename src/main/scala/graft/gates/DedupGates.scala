@@ -18,6 +18,9 @@ object DedupGates {
     // LLM-pipeline: dedup
     "q_dedup_exact"    -> (Dedup.exact _),
     "q_ngram_jaccard"  -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    // ASYMMETRIC containment pairs (shared/min(|A|,|B|) — the quote /
+    // doc-in-doc detector Jaccard's symmetric denominator misses)
+    "q_ngram_containment" -> ((s: SparkSession, d: String) => Dedup.ngramContainment(s, d)),
     // transitive closure of the near-dup pair graph (connected
     // components) and the cleaned corpus it induces
     "q_dedup_clusters" -> (Dedup.dedupClusters _),
@@ -115,6 +118,16 @@ object DedupGates {
         |JOIN sizes sa ON p.a_id = sa.doc_id
         |JOIN sizes sb ON p.b_id = sb.doc_id
         |WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12""".stripMargin,
+
+    // same shared pair CTEs, asymmetric min-denominator score
+    "q_ngram_containment" ->
+      s"""WITH $NgramPairCtes
+        |SELECT p.a_id, p.b_id, p.shared, sa.n_sh AS a_n, sb.n_sh AS b_n,
+        |  CAST(p.shared AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+        |FROM pairs p
+        |JOIN sizes sa ON p.a_id = sa.doc_id
+        |JOIN sizes sb ON p.b_id = sb.doc_id
+        |WHERE CAST(p.shared AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5""".stripMargin,
 
     // oriented triangle join over the SAME thresholded edge set (the
     // shared JpairsCte keeps it in lockstep with the cluster oracles);

@@ -279,6 +279,35 @@ object Analytics {
       .select("user_id", "n_events", "entropy")
   }
 
+  /** Robust outlier report per event type: median / MAD (median absolute
+    * deviation) with the 1.4826 normal-consistency constant — the
+    * heavy-tail-safe twin of q_anomaly_zscore's mean/stddev cut (one
+    * extreme value drags a mean; it cannot drag a median). Two exact
+    * percentile passes (the q_quantile machinery: sort-based exact
+    * aggregate per type, |types| groups) joined back onto one conditional
+    * count; med/mad are rounded to 4 dp BEFORE the cut on both engines so
+    * the cut constant is bit-identical (the q_quantile rounding
+    * discipline — raw exact-percentile doubles can differ by ULPs across
+    * engines). Output is |types| rows. */
+  def madOutliers(s: SparkSession, d: String, k: Double = 3.0): DataFrame = {
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val mad = ev.join(med, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"),
+        count(lit(1)).as("n"))
+    ev.join(med, Seq("event_type"))
+      .join(mad.select("event_type", "mad"), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("med")) >
+          lit(k) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .select("event_type", "n", "med", "mad", "n_outliers")
+  }
+
   /** MERGE / upsert — the lakehouse write primitive (MERGE INTO ... WHEN
     * MATCHED UPDATE / WHEN NOT MATCHED INSERT) expressed as one full
     * outer join + per-column coalesce: updates win where keys collide,

@@ -109,6 +109,39 @@ object Dedup {
       .select("a_id", "b_id", "shared", "a_n", "b_n", "jaccard")
   }
 
+  /** ASYMMETRIC n-gram containment pairs — the quote/subset detector
+    * Jaccard misses: `shared / min(|A|, |B|)` is high whenever the
+    * smaller document's shingles sit INSIDE the larger one (quotation,
+    * boilerplate inclusion, doc-in-doc duplication), even when the size
+    * mismatch keeps Jaccard below any sane threshold. Same df-capped
+    * posting self-join as [[ngramJaccardDocs]] (identical candidate set
+    * and scale shape — the denominators attach to PAIRS, never ride the
+    * postings), so the only delta is the containment score and its cut.
+    * Fully oracle-able via the shared NgramPairCtes block. */
+  def ngramContainment(s: SparkSession, d: String,
+      threshold: Double = 0.5, maxDf: Long = 100L): DataFrame =
+    ngramContainmentDocs(Tables.documents(s, d), threshold, maxDf)
+
+  /** [[ngramContainment]] over an arbitrary documents frame (same
+    * session-owned posting cache discipline as [[ngramJaccardDocs]]). */
+  def ngramContainmentDocs(docs: DataFrame,
+      threshold: Double = 0.5, maxDf: Long = 100L): DataFrame = {
+    val sh = rarePostings(docs, maxDf).cache()
+    val sizes = docSizes(docs)
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("a_n"), col("b_n")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select("a_id", "b_id", "shared", "a_n", "b_n", "containment")
+  }
+
   /** Train/eval decontamination: for every train document, the fraction
     * of its distinct n-gram shingles that appear ANYWHERE in the eval
     * (benchmark) corpus — the standard guard against test-set leakage in
