@@ -18,10 +18,20 @@ import org.apache.spark.sql.functions._
   *   ts is re-emitted as raw int64 NANOS (plain parquet INT64), the
   *   same physical shape Tables.events expects from the driver files.
   * - documents ×k: ids offset; for k>0 every third token gets a
-  *   copy-salted suffix token appended, which breaks ~all 3-token
-  *   shingles across copies — cross-copy Jaccard collapses, so the
-  *   near-dup pair graph scales like independently-drawn docs instead
-  *   of exploding into |copies|²-per-group cliques.
+  *   salt token appended that is derived from the COPY-UNIQUE new
+  *   doc_id (hash(new_id, i)), which breaks ~all 3-token shingles
+  *   across copies — cross-copy Jaccard collapses, so the near-dup
+  *   pair graph scales like independently-drawn docs instead of
+  *   exploding into |copies|²-per-group cliques. The salt must key on
+  *   the NEW id, not the level-local copy index k: a k-keyed salt is
+  *   only diversifying for ONE application — chained (sf1 → sf10) it
+  *   regenerates identical texts (salt_j(base) arrives once via the
+  *   carried level-1 copy and again via salt_j applied to the carried
+  *   base) and reuses the same ~9·97 salt tokens at every level, so
+  *   distinct shingles grew only 1.4× for 10× postings and the df-capped
+  *   pair work grew 24× per 10× step (round-11 audit: 29.2 M pair
+  *   postings at sf1 → 698 M at sf10) — the bench then measures a
+  *   fixture artifact, not the operator.
   * - embeddings ×k: ids offset; for k>0 each component gets a hash-
   *   derived jitter in [-0.05, 0.05) — copies stay isotropic but are
   *   not byte-identical (identical vectors would stack every copy into
@@ -99,7 +109,9 @@ object ScaleUp {
         else expr(
           s"""array_join(transform(split(text, ' '),
              |  (t, i) -> CASE WHEN i % 3 = 2
-             |    THEN concat(t, ' zq${k}x', CAST(i % 97 AS STRING))
+             |    THEN concat(t, ' zs',
+             |      CAST(pmod(hash(doc_id + ${k.toLong} * ${docStride}L, i), 1000000)
+             |        AS STRING))
              |    ELSE t END), ' ')""".stripMargin)
       docs.select(
         (col("doc_id") + lit(k.toLong * docStride)).as("doc_id"),
