@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   *   derived jitter in [-0.05, 0.05) — copies stay isotropic but are
   *   not byte-identical (identical vectors would stack every copy into
   *   one ANN bucket and measure a fixture artifact, not the operator).
+  *   Like the document salt, the jitter keys on the COPY-UNIQUE new
+  *   vec_id: keyed on (source id, level-local k) it is chaining-unsafe
+  *   — jitter_j applied to the carried base reproduces the carried
+  *   level-1 copy j BYTE-IDENTICALLY, planting duplicated vector
+  *   groups (the hidden mass behind q_embed_neardup's noisy chained-
+  *   fixture constants in earlier rounds).
   * - TPC-H dims (region..lineitem): copied as-is (only the broadcast
   *   join reads them; dims don't grow with fact volume).
   */
@@ -126,8 +132,8 @@ object ScaleUp {
         if (k == 0) col("embedding")
         else expr(
           s"""transform(embedding,
-             |  (x, i) -> CAST(x + (pmod(hash(vec_id, i, $k), 1000) - 500) / 10000.0
-             |    AS FLOAT))""".stripMargin)
+             |  (x, i) -> CAST(x + (pmod(hash(vec_id + ${k.toLong} * ${vecStride}L, i),
+             |    1000) - 500) / 10000.0 AS FLOAT))""".stripMargin)
       emb.select(
         (col("vec_id") + lit(k.toLong * vecStride)).as("vec_id"),
         vec.as("embedding"), col("label"))
