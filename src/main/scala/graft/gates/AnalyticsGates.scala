@@ -88,6 +88,17 @@ object AnalyticsGates {
     // lags 0..5 (missing hours are genuine zeros; acf's exact recipe)
     "q_ccf"            -> ((s: SparkSession, d: String) =>
       graft.operators.Analytics.ccf(s, d)),
+    // PSI drift monitor per type between time halves (fixed 10-bin grid,
+    // smoothed probabilities from exact counts)
+    "q_psi"            -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.psi(s, d)),
+    // two-sample Kolmogorov–Smirnov D between click and view values
+    // (running sums over the ≤10⁵-row distinct-value grid)
+    "q_ks_test"        -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.ksTest(s, d)),
+    // winsorized per-type mean at the rounded exact [p01, p99] fences
+    // (DECIMAL-exact sum of the clamped column)
+    "q_winsorize"      -> (graft.operators.Analytics.winsorize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -595,5 +606,98 @@ object AnalyticsGates {
         |    / sqrt(CAST(CAST(n_pairs AS HUGEINT)*sxx - sx*sx AS DOUBLE)
         |         * CAST(CAST(n_pairs AS HUGEINT)*syy - sy*sy AS DOUBLE)) AS ccf_r
         |FROM long""".stripMargin,
+
+    // split point is integer micros (floor div — exact cross-engine);
+    // the term sum runs over the DENSE 10-bin grid: a bin empty in both
+    // halves still contributes whenever the half totals differ
+    "q_psi" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN us <= mid THEN 'ref' ELSE 'cur' END AS half,
+        |    CAST(least(floor(value / 100.0), 9.0) AS INT) AS bin
+        |  FROM e, mid),
+        |c AS (
+        |  SELECT event_type, half, bin, count(*) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |sp AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN half = 'ref' THEN n ELSE 0 END) AS nr,
+        |    sum(CASE WHEN half = 'cur' THEN n ELSE 0 END) AS nc
+        |  FROM c GROUP BY 1, 2),
+        |g AS (
+        |  SELECT t.event_type, CAST(r.range AS INT) AS bin
+        |  FROM (SELECT DISTINCT event_type FROM sp) t CROSS JOIN range(10) r),
+        |w AS (
+        |  SELECT g.event_type, g.bin,
+        |    coalesce(sp.nr, 0) AS nr, coalesce(sp.nc, 0) AS nc
+        |  FROM g LEFT JOIN sp USING (event_type, bin)),
+        |t AS (
+        |  SELECT event_type, sum(nr) AS tr, sum(nc) AS tc
+        |  FROM w GROUP BY 1)
+        |SELECT w.event_type, CAST(max(tr) AS BIGINT) AS n_ref,
+        |  CAST(max(tc) AS BIGINT) AS n_cur,
+        |  round(sum(
+        |    ((CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)
+        |      - (CAST(nr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0))
+        |    * ln(((CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))
+        |       / ((CAST(nr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0)))),
+        |    6) AS psi_value,
+        |  round(sum(
+        |    ((CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)
+        |      - (CAST(nr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0))
+        |    * ln(((CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))
+        |       / ((CAST(nr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0)))),
+        |    6) > 0.2 AS drifted
+        |FROM w JOIN t USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    // running integer sums over the distinct-value grid; one divide per
+    // side, max |ΔF| — identical IEEE tree to the Spark plan
+    "q_ks_test" ->
+      """WITH c AS (
+        |  SELECT value,
+        |    count(*) FILTER (WHERE event_type = 'click') AS ca,
+        |    count(*) FILTER (WHERE event_type = 'view') AS cb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT
+        |    sum(ca) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+        |    sum(cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+        |  FROM c),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |m AS (
+        |  SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |    max(abs(CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb))
+        |      AS d_raw
+        |  FROM cum, t)
+        |SELECT n_a, n_b, round(d_raw, 6) AS d_stat,
+        |  round(d_raw * sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), 6)
+        |    AS ks_scaled
+        |FROM m""".stripMargin,
+
+    // fences are the ROUNDED exact percentiles (the q_quantile class);
+    // the clamped sum runs in DECIMAL(18,4) so the only IEEE step is
+    // the final divide
+    "q_winsorize" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.01), 4) AS lo,
+        |    round(quantile_cont(value, 0.99), 4) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n, max(f.lo) AS lo, max(f.hi) AS hi,
+        |  CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  round(CAST(sum(CAST(least(greatest(e.value, f.lo), f.hi)
+        |      AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS wmean
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -777,4 +777,115 @@ object Analytics {
     import s.implicits._
     out.toDF("lag_hours", "n_pairs", "ccf_r")
   }
+
+  /** Population Stability Index per event type between the first and
+    * second half of the time range — the standard "has the serving
+    * distribution drifted from the reference window" monitor a feature
+    * pipeline runs on every refresh. The epoch split point is integer
+    * micros ((min+max) div 2, exact cross-engine); bins are the FIXED
+    * 10×100 grid over the dq-contracted [0,1000] value range (fixed
+    * bins, not quantile bins, so the bin edges are constants and the
+    * whole report is one partial-aggregated groupBy — no percentile
+    * pass, no second scan). PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)
+    * with +0.5/bin smoothing so empty bins stay finite; all
+    * probabilities derive from exact integer counts, one identical IEEE
+    * ln/multiply tree per bin (the q_type_entropy discipline), rounded
+    * at 6 dp. Scale shape: one scan, one groupBy on (type, half, bin)
+    * — |types|·2·10 groups — then a driver-free |types|-row combine. */
+  def psi(s: SparkSession, d: String, bins: Int = 10): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      expr("unix_micros(ts)").as("us"), col("value"))
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val binned = ev.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        when(col("us") <= col("mid"), lit("ref")).otherwise(lit("cur")).as("half"),
+        least(floor(col("value") / lit(100.0)), lit(bins - 1L)).cast("int").as("bin"))
+      .groupBy("event_type", "half", "bin").agg(count(lit(1)).as("n"))
+    val sparse = binned.groupBy("event_type", "bin")
+      .agg(sum(when(col("half") === "ref", col("n")).otherwise(0L)).as("nr"),
+        sum(when(col("half") === "cur", col("n")).otherwise(0L)).as("nc"))
+    // densify to the FULL bin grid: a bin empty in both halves still
+    // contributes (its smoothed p's differ whenever the half sizes do),
+    // so the sum must run over all |types|·bins cells, not just the
+    // observed ones — the grid is tiny (≤ 10·|types| rows)
+    val grid = sparse.select("event_type").distinct()
+      .crossJoin(s.range(bins).select(col("id").cast("int").as("bin")))
+    val wide = grid.join(sparse, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+    val tot = wide.groupBy("event_type")
+      .agg(sum("nr").as("tr"), sum("nc").as("tc"))
+    val pr = (col("nr").cast("double") + lit(0.5)) /
+      (col("tr").cast("double") + lit(0.5) * bins)
+    val pc = (col("nc").cast("double") + lit(0.5)) /
+      (col("tc").cast("double") + lit(0.5) * bins)
+    wide.join(broadcast(tot), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("tr").as("n_ref"), max("tc").as("n_cur"),
+        round(sum((pc - pr) * log(pc / pr)), 6).as("psi_value"))
+      .withColumn("drifted", col("psi_value") > lit(0.2))
+      .select("event_type", "n_ref", "n_cur", "psi_value", "drifted")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the click and view
+    * value distributions — the non-parametric "same distribution?"
+    * readout next to [[abTest]]'s mean-difference t. D = max |F_a −
+    * F_b| over the pooled distinct values: counts per (value, side),
+    * two running integer sums over the value-ordered grid, one divide
+    * each, max of the abs difference. The no-partition window is safe
+    * at any fact volume because it runs on the DISTINCT-value grid,
+    * which the 2-dp [0,1000] dq contract bounds at ≤ 10⁵ rows (the
+    * [[ccf]] calendar-grid argument, in value space) — the fact table
+    * only feeds the first groupBy. `ks_scaled` = D·√(n·m/(n+m)), the
+    * scale-free statistic compared against c(α) (1.358 at α=.05). */
+  def ksTest(s: SparkSession, d: String,
+             typeA: String = "click", typeB: String = "view"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, d)
+      .where(col("event_type").isin(typeA, typeB))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+    val byV = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    counts
+      .withColumn("fa", sum("ca").over(byV))
+      .withColumn("fb", sum("cb").over(byV))
+      .crossJoin(broadcast(tot)) // 1-row totals — the scalar-threshold pattern
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max(abs(col("fa").cast("double") / col("na") -
+          col("fb").cast("double") / col("nb"))).as("d_raw"))
+      .select(col("n_a"), col("n_b"), round(col("d_raw"), 6).as("d_stat"),
+        round(col("d_raw") * sqrt(col("n_a").cast("double") * col("n_b") /
+          (col("n_a") + col("n_b"))), 6).as("ks_scaled"))
+  }
+
+  /** Winsorized per-type mean — the robust-location twin of
+    * [[madOutliers]]: clamp every value into the ROUNDED exact
+    * [p01, p99] band, count what clipped on each side, and average the
+    * clamped column through an exact DECIMAL(18,4) sum (clamped values
+    * are 2-dp data or the 4-dp rounded fences, so the sum is exact and
+    * the single final divide is the only IEEE step). Same pass
+    * structure as q_quantile_trim (one percentile pass per type + one
+    * conditional aggregate), |types| groups end to end; where the trim
+    * DROPS the tails, winsorizing PINS them to the fence — the version
+    * that keeps n constant for downstream ratios. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val fences = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.01)"), 4).as("lo"),
+        round(expr("percentile(value, 0.99)"), 4).as("hi"))
+    ev.join(fences, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max("lo").as("lo"), max("hi").as("hi"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum(least(greatest(col("value"), col("lo")), col("hi"))
+          .cast("decimal(18,4)")).cast("double") / count(lit(1)), 6)
+          .as("wmean"))
+      .select("event_type", "n", "lo", "hi", "n_clip_lo", "n_clip_hi", "wmean")
+  }
 }

@@ -302,4 +302,55 @@ object TimeWindows {
       .withColumn("ewma", num / den)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("ewma"))
   }
+
+  /** SAX (Symbolic Aggregate approXimation) per (event_type, day): the
+    * day's value series → 8 three-hour PAA segments → one 8-letter word
+    * over the 4-symbol alphabet, cut at the N(0,1) quartile breakpoints
+    * ±0.6745 after per-day z-normalisation — the classic symbolic index
+    * a series store builds so "find days shaped like this one" becomes
+    * an equality join on `sax_word` instead of a distance scan
+    * (Lin/Keogh/Lonardi/Chiu, DMKD 2007). Exactness: all means come
+    * from exact integer cent sums carried in DECIMAL(38,0) (no LONG
+    * overflow at any volume — the overflow-proof [[graft.operators.Analytics.acf]]
+    * variant), z is one fixed divide/sqrt tree rounded at 6 dp before
+    * the breakpoint compare, and flat days (σ=0) read 'b'. Empty
+    * segments print '_' so the word is always length 8. Scale shape:
+    * one scan → groupBy(type, day, segment) partial agg → |types|·days
+    * ·8 rows → one 8-column conditional pivot per (type, day). */
+  def sax(s: SparkSession, d: String): DataFrame = {
+    val segs = 0 to 7
+    val ev = Tables.events(s, d).select(
+      col("event_type"), to_date(col("ts")).as("day"),
+      expr("hour(ts) div 3").as("seg"),
+      expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("x"))
+    val segAgg = ev.groupBy("event_type", "day", "seg")
+      .agg(count(lit(1)).as("sn"),
+        sum(col("x").cast("decimal(38,0)")).as("ssx"))
+    val dayCols = Seq(sum("sn").as("n"), sum("ssx").as("sx")) ++
+      segs.map(i => max(when(col("seg") === i,
+        col("ssx").cast("double") / col("sn"))).as(s"m$i"))
+    val dayAgg = segAgg.groupBy("event_type", "day")
+      .agg(dayCols.head, dayCols.tail: _*)
+    // second exact pass for Σx² (kept off the segment rows so the
+    // segment groupBy stays 2 long columns wide)
+    val sq = Tables.events(s, d).select(
+      col("event_type"), to_date(col("ts")).as("day"),
+      expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("x"))
+      .groupBy("event_type", "day")
+      .agg(sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    val mu = col("sx").cast("double") / col("n")
+    // var ≤ 0 (incl. the tiny-negative cancellation case on a flat day)
+    // short-circuits to 'b' BEFORE sqrt, so z is never NaN
+    val varc = col("sxx").cast("double") / col("n") - mu * mu
+    def sym(i: Int): Column = {
+      val z = round((col(s"m$i") - mu) / sqrt(varc), 6)
+      when(col(s"m$i").isNull, lit("_"))
+        .when(varc <= 0.0, lit("b"))
+        .when(z < -0.6745, lit("a")).when(z < 0.0, lit("b"))
+        .when(z < 0.6745, lit("c")).otherwise(lit("d"))
+    }
+    dayAgg.join(sq, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n"),
+        concat(segs.map(sym): _*).as("sax_word"))
+  }
 }

@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (206 queries, 172 oracles)") {
-    assert(SparkEntry.queries.size == 206)
-    assert(SparkEntry.oracleSql.size == 172)
+  test("registry carries the full suite (210 queries, 176 oracles)") {
+    assert(SparkEntry.queries.size == 210)
+    assert(SparkEntry.oracleSql.size == 176)
   }
 }
