@@ -608,51 +608,38 @@ object AnalyticsGates {
         |FROM long""".stripMargin,
 
     // split point is integer micros (floor div — exact cross-engine);
-    // the term sum runs over the DENSE 10-bin grid: a bin empty in both
-    // halves still contributes whenever the half totals differ
-    "q_psi" ->
-      """WITH e AS (
-        |  SELECT event_type, epoch_us(ts) AS us, value FROM events),
-        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
-        |b AS (
-        |  SELECT event_type,
-        |    CASE WHEN us <= mid THEN 'ref' ELSE 'cur' END AS half,
-        |    CAST(least(floor(value / 100.0), 9.0) AS INT) AS bin
-        |  FROM e, mid),
-        |c AS (
-        |  SELECT event_type, half, bin, count(*) AS n
-        |  FROM b GROUP BY 1, 2, 3),
-        |sp AS (
-        |  SELECT event_type, bin,
-        |    sum(CASE WHEN half = 'ref' THEN n ELSE 0 END) AS nr,
-        |    sum(CASE WHEN half = 'cur' THEN n ELSE 0 END) AS nc
-        |  FROM c GROUP BY 1, 2),
-        |g AS (
-        |  SELECT t.event_type, CAST(r.range AS INT) AS bin
-        |  FROM (SELECT DISTINCT event_type FROM sp) t CROSS JOIN range(10) r),
-        |w AS (
-        |  SELECT g.event_type, g.bin,
-        |    coalesce(sp.nr, 0) AS nr, coalesce(sp.nc, 0) AS nc
-        |  FROM g LEFT JOIN sp USING (event_type, bin)),
-        |t AS (
-        |  SELECT event_type, sum(nr) AS tr, sum(nc) AS tc
-        |  FROM w GROUP BY 1)
-        |SELECT w.event_type, CAST(max(tr) AS BIGINT) AS n_ref,
-        |  CAST(max(tc) AS BIGINT) AS n_cur,
-        |  round(sum(
-        |    ((CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)
-        |      - (CAST(nr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0))
-        |    * ln(((CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))
-        |       / ((CAST(nr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0)))),
-        |    6) AS psi_value,
-        |  round(sum(
-        |    ((CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0)
-        |      - (CAST(nr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0))
-        |    * ln(((CAST(nc AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + 5.0))
-        |       / ((CAST(nr AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + 5.0)))),
-        |    6) > 0.2 AS drifted
-        |FROM w JOIN t USING (event_type)
-        |GROUP BY 1""".stripMargin,
+    // mirrors the Spark plan's fixed-literal shape: 20 conditional
+    // counts per type, then one LEFT-ASSOCIATED 10-term ln tree (SQL +
+    // parses left-assoc, matching reduceLeft) — generated so both
+    // engines carry the identical expression per bin
+    "q_psi" -> {
+      val cnt = (0 until 10).flatMap(b => Seq(
+        s"count(*) FILTER (WHERE us <= mid AND bin = $b) AS nr$b",
+        s"count(*) FILTER (WHERE us > mid AND bin = $b) AS nc$b"))
+        .mkString(",\n    ")
+      val tr = (0 until 10).map(b => s"nr$b").mkString(" + ")
+      val tc = (0 until 10).map(b => s"nc$b").mkString(" + ")
+      def p(n: String, t: String) =
+        s"(CAST($n AS DOUBLE) + 0.5) / (CAST($t AS DOUBLE) + 5.0)"
+      val terms = (0 until 10).map(b =>
+        s"(${p(s"nc$b", "tc")} - ${p(s"nr$b", "tr")})" +
+          s" * ln(${p(s"nc$b", "tc")} / ${p(s"nr$b", "tr")})")
+        .mkString("\n    + ")
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) AS us,
+         |    least(floor(value / 100.0), 9.0) AS bin
+         |  FROM events),
+         |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+         |c AS (
+         |  SELECT event_type,
+         |    $cnt
+         |  FROM e, mid GROUP BY 1),
+         |w AS (SELECT c.*, $tr AS tr, $tc AS tc FROM c)
+         |SELECT event_type, tr AS n_ref, tc AS n_cur,
+         |  round($terms, 6) AS psi_value,
+         |  round($terms, 6) > 0.2 AS drifted
+         |FROM w""".stripMargin
+    },
 
     // running integer sums over the distinct-value grid; one divide per
     // side, max |ΔF| — identical IEEE tree to the Spark plan

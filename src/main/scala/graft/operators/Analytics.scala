@@ -788,44 +788,42 @@ object Analytics {
     * whole report is one partial-aggregated groupBy — no percentile
     * pass, no second scan). PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)
     * with +0.5/bin smoothing so empty bins stay finite; all
-    * probabilities derive from exact integer counts, one identical IEEE
-    * ln/multiply tree per bin (the q_type_entropy discipline), rounded
-    * at 6 dp. Scale shape: one scan, one groupBy on (type, half, bin)
-    * — |types|·2·10 groups — then a driver-free |types|-row combine. */
+    * probabilities derive from exact integer counts, and because the
+    * bin count is a FIXED literal the whole report is one groupBy(type)
+    * carrying 2·bins conditional counts — the pivot-fixed-list
+    * discipline — with PSI as one fixed LEFT-ASSOCIATED 10-term
+    * ln/multiply tree (the q_type_entropy discipline; no row-order-
+    * dependent double sum anywhere), rounded at 6 dp. Scale shape: one
+    * min/max pre-pass (timestamp column only) + ONE fact scan into a
+    * |types|-group aggregate; every bin term — including bins empty in
+    * both halves, whose smoothed p's still differ whenever the half
+    * totals do — is a projection over that one row. */
   def psi(s: SparkSession, d: String, bins: Int = 10): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_type"),
       expr("unix_micros(ts)").as("us"), col("value"))
     val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
-    val binned = ev.crossJoin(broadcast(mid))
-      .select(col("event_type"),
-        when(col("us") <= col("mid"), lit("ref")).otherwise(lit("cur")).as("half"),
-        least(floor(col("value") / lit(100.0)), lit(bins - 1L)).cast("int").as("bin"))
-      .groupBy("event_type", "half", "bin").agg(count(lit(1)).as("n"))
-    val sparse = binned.groupBy("event_type", "bin")
-      .agg(sum(when(col("half") === "ref", col("n")).otherwise(0L)).as("nr"),
-        sum(when(col("half") === "cur", col("n")).otherwise(0L)).as("nc"))
-    // densify to the FULL bin grid: a bin empty in both halves still
-    // contributes (its smoothed p's differ whenever the half sizes do),
-    // so the sum must run over all |types|·bins cells, not just the
-    // observed ones — the grid is tiny (≤ 10·|types| rows)
-    val grid = sparse.select("event_type").distinct()
-      .crossJoin(s.range(bins).select(col("id").cast("int").as("bin")))
-    val wide = grid.join(sparse, Seq("event_type", "bin"), "left")
-      .select(col("event_type"), col("bin"),
-        coalesce(col("nr"), lit(0L)).as("nr"),
-        coalesce(col("nc"), lit(0L)).as("nc"))
-    val tot = wide.groupBy("event_type")
-      .agg(sum("nr").as("tr"), sum("nc").as("tc"))
-    val pr = (col("nr").cast("double") + lit(0.5)) /
-      (col("tr").cast("double") + lit(0.5) * bins)
-    val pc = (col("nc").cast("double") + lit(0.5)) /
-      (col("tc").cast("double") + lit(0.5) * bins)
-    wide.join(broadcast(tot), Seq("event_type"))
+    val binCol = least(floor(col("value") / lit(100.0)), lit(bins - 1L))
+    val isRef = col("us") <= col("mid")
+    val aggCols = (0 until bins).flatMap { b =>
+      Seq(sum(when(isRef && binCol === b, 1L).otherwise(0L)).as(s"nr$b"),
+        sum(when(!isRef && binCol === b, 1L).otherwise(0L)).as(s"nc$b"))
+    }
+    val counts = ev.crossJoin(broadcast(mid))
       .groupBy("event_type")
-      .agg(max("tr").as("n_ref"), max("tc").as("n_cur"),
-        round(sum((pc - pr) * log(pc / pr)), 6).as("psi_value"))
-      .withColumn("drifted", col("psi_value") > lit(0.2))
-      .select("event_type", "n_ref", "n_cur", "psi_value", "drifted")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("tr", (0 until bins).map(b => col(s"nr$b")).reduceLeft(_ + _))
+      .withColumn("tc", (0 until bins).map(b => col(s"nc$b")).reduceLeft(_ + _))
+    val terms = (0 until bins).map { b =>
+      val pr = (col(s"nr$b").cast("double") + lit(0.5)) /
+        (col("tr").cast("double") + lit(0.5) * bins)
+      val pc = (col(s"nc$b").cast("double") + lit(0.5)) /
+        (col("tc").cast("double") + lit(0.5) * bins)
+      (pc - pr) * log(pc / pr)
+    }
+    counts
+      .withColumn("psi_value", round(terms.reduceLeft(_ + _), 6))
+      .select(col("event_type"), col("tr").as("n_ref"), col("tc").as("n_cur"),
+        col("psi_value"), (col("psi_value") > lit(0.2)).as("drifted"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the click and view
