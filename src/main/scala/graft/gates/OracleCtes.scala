@@ -127,4 +127,52 @@ object OracleCtes {
       |    list_sum(list_transform(generate_series(1, 64),
       |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
       |  FROM a JOIN a b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** SAX words per (event_type, day) — exact cent sums in
+    * DECIMAL(38,0), mu/var/z one fixed divide/sqrt tree, z rounded
+    * 6 dp BEFORE the ±0.6745 breakpoint compare, var ≤ 0 (flat day)
+    * short-circuiting to 'b' ahead of sqrt — shared by `q_sax` and
+    * `q_sax_join` so the word table can never drift between the index
+    * build and the index use. Terminal CTE: `saxw(event_type, day, n,
+    * sax_word)`. The 8 per-segment CASE arms are generated from one
+    * template (the q_psi discipline). */
+  private[gates] val SaxCtes: String = {
+    val ms = (0 to 7).map(i =>
+      s"    max(CASE WHEN seg = $i THEN CAST(ssx AS DOUBLE) / sn END) AS m$i")
+      .mkString(",\n")
+    val arms = (0 to 7).map { i =>
+      s"""    CASE WHEN m$i IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
+         |      WHEN round((m$i - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
+         |      WHEN round((m$i - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
+         |      WHEN round((m$i - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
+         |      ELSE 'd' END""".stripMargin
+    }.mkString(",\n")
+    s"""sax_e AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) // 3 AS seg,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+       |  FROM events),
+       |sax_sa AS (
+       |  SELECT event_type, day, seg, count(*) AS sn,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS ssx
+       |  FROM sax_e GROUP BY 1, 2, 3),
+       |sax_da AS (
+       |  SELECT event_type, day, sum(sn) AS n, sum(ssx) AS sx,
+       |$ms
+       |  FROM sax_sa GROUP BY 1, 2),
+       |sax_sq AS (
+       |  SELECT event_type, day,
+       |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+       |  FROM sax_e GROUP BY 1, 2),
+       |sax_z AS (
+       |  SELECT sax_da.*, sax_sq.sxx,
+       |    CAST(sx AS DOUBLE) / n AS mu,
+       |    CAST(sxx AS DOUBLE) / n
+       |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS varc
+       |  FROM sax_da JOIN sax_sq USING (event_type, day)),
+       |saxw AS (
+       |  SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       |  concat(
+       |$arms) AS sax_word
+       |  FROM sax_z)""".stripMargin
+  }
 }

@@ -79,6 +79,13 @@ object WindowGates {
     // SAX symbolic index per (type, day): 8×3h PAA segments → 4-symbol
     // word at the ±0.6745 breakpoints (exact cent sums, z rounded 6 dp)
     "q_sax"            -> ((s: SparkSession, d: String) => TimeWindows.sax(s, d)),
+    // shape-mates via an EQUALITY join on sax_word — the symbolic index
+    // replacing a distance scan (the reason the index exists)
+    "q_sax_join"       -> ((s: SparkSession, d: String) => TimeWindows.saxJoin(s, d)),
+    // banded DTW day-over-day shape drift (48-slot profiles, |i−j| ≤ 4;
+    // no oracle: JVM float fold — DtwSpec pins the kernel against the
+    // unbanded O(n²) reference, identity, symmetry, a hand warp)
+    "q_dtw_shift"      -> ((s: SparkSession, d: String) => TimeWindows.dtwDayShift(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,81 +465,20 @@ object WindowGates {
         |  END AS y
         |FROM x""".stripMargin,
 
-    // exact cent sums in DECIMAL(38,0) both sides; mu/var/z are one
-    // fixed divide/sqrt tree; z rounded 6 dp BEFORE the breakpoint
-    // compare; var ≤ 0 (flat day) short-circuits to 'b' ahead of sqrt
+    // shared SaxCtes (OracleCtes) — the word table q_sax_join also
+    // reads, so index build and index use can never drift
     "q_sax" ->
-      """WITH e AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) // 3 AS seg,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-        |  FROM events),
-        |sa AS (
-        |  SELECT event_type, day, seg, count(*) AS sn,
-        |    sum(CAST(x AS DECIMAL(38,0))) AS ssx
-        |  FROM e GROUP BY 1, 2, 3),
-        |da AS (
-        |  SELECT event_type, day, sum(sn) AS n, sum(ssx) AS sx,
-        |    max(CASE WHEN seg = 0 THEN CAST(ssx AS DOUBLE) / sn END) AS m0,
-        |    max(CASE WHEN seg = 1 THEN CAST(ssx AS DOUBLE) / sn END) AS m1,
-        |    max(CASE WHEN seg = 2 THEN CAST(ssx AS DOUBLE) / sn END) AS m2,
-        |    max(CASE WHEN seg = 3 THEN CAST(ssx AS DOUBLE) / sn END) AS m3,
-        |    max(CASE WHEN seg = 4 THEN CAST(ssx AS DOUBLE) / sn END) AS m4,
-        |    max(CASE WHEN seg = 5 THEN CAST(ssx AS DOUBLE) / sn END) AS m5,
-        |    max(CASE WHEN seg = 6 THEN CAST(ssx AS DOUBLE) / sn END) AS m6,
-        |    max(CASE WHEN seg = 7 THEN CAST(ssx AS DOUBLE) / sn END) AS m7
-        |  FROM sa GROUP BY 1, 2),
-        |sq AS (
-        |  SELECT event_type, day,
-        |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
-        |  FROM e GROUP BY 1, 2),
-        |z AS (
-        |  SELECT da.*, sq.sxx,
-        |    CAST(sx AS DOUBLE) / n AS mu,
-        |    CAST(sxx AS DOUBLE) / n
-        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS varc
-        |  FROM da JOIN sq USING (event_type, day))
-        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
-        |  concat(
-        |    CASE WHEN m0 IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
-        |      WHEN round((m0 - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
-        |      WHEN round((m0 - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
-        |      WHEN round((m0 - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
-        |      ELSE 'd' END,
-        |    CASE WHEN m1 IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
-        |      WHEN round((m1 - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
-        |      WHEN round((m1 - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
-        |      WHEN round((m1 - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
-        |      ELSE 'd' END,
-        |    CASE WHEN m2 IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
-        |      WHEN round((m2 - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
-        |      WHEN round((m2 - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
-        |      WHEN round((m2 - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
-        |      ELSE 'd' END,
-        |    CASE WHEN m3 IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
-        |      WHEN round((m3 - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
-        |      WHEN round((m3 - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
-        |      WHEN round((m3 - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
-        |      ELSE 'd' END,
-        |    CASE WHEN m4 IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
-        |      WHEN round((m4 - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
-        |      WHEN round((m4 - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
-        |      WHEN round((m4 - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
-        |      ELSE 'd' END,
-        |    CASE WHEN m5 IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
-        |      WHEN round((m5 - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
-        |      WHEN round((m5 - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
-        |      WHEN round((m5 - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
-        |      ELSE 'd' END,
-        |    CASE WHEN m6 IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
-        |      WHEN round((m6 - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
-        |      WHEN round((m6 - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
-        |      WHEN round((m6 - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
-        |      ELSE 'd' END,
-        |    CASE WHEN m7 IS NULL THEN '_' WHEN varc <= 0.0 THEN 'b'
-        |      WHEN round((m7 - mu) / sqrt(varc), 6) < -0.6745 THEN 'a'
-        |      WHEN round((m7 - mu) / sqrt(varc), 6) < 0.0 THEN 'b'
-        |      WHEN round((m7 - mu) / sqrt(varc), 6) < 0.6745 THEN 'c'
-        |      ELSE 'd' END) AS sax_word
-        |FROM z""".stripMargin,
+      s"""WITH $SaxCtes
+         |SELECT event_type, day, n, sax_word FROM saxw""".stripMargin,
+
+    // the index being USED: shape-mates per (type, day) via an
+    // EQUALITY join on sax_word — the join a distance scan becomes
+    // once the symbolic index exists
+    "q_sax_join" ->
+      s"""WITH $SaxCtes,
+         |m AS (SELECT sax_word, count(*) AS n_days FROM saxw GROUP BY 1)
+         |SELECT s.event_type, s.day, s.sax_word,
+         |  CAST(m.n_days - 1 AS BIGINT) AS n_mates
+         |FROM saxw s JOIN m USING (sax_word)""".stripMargin,
   )
 }

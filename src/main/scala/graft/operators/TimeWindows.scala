@@ -353,4 +353,95 @@ object TimeWindows {
       .select(col("event_type"), col("day"), col("n"),
         concat(segs.map(sym): _*).as("sax_word"))
   }
+
+  /** The SAX index being USED: for every (type, day), how many OTHER
+    * series-days share its exact word — "find days shaped like this
+    * one" as an EQUALITY join on `sax_word` (one hash shuffle on an
+    * 8-char key over the |series|·days word table) instead of a
+    * pairwise distance scan. This is the whole point of symbolizing:
+    * at 100 TB the word table is still only one row per series-day,
+    * and shape lookup is a co-partitioned join, not an O(n²) sweep. */
+  def saxJoin(s: SparkSession, d: String): DataFrame = {
+    val words = sax(s, d)
+    val mates = words.groupBy("sax_word").agg(count(lit(1)).as("n_days"))
+    words.join(mates, Seq("sax_word"))
+      .select(col("event_type"), col("day"), col("sax_word"),
+        (col("n_days") - lit(1L)).as("n_mates"))
+  }
+
+  /** Sakoe-Chiba banded dynamic time warping between each day's 48-slot
+    * 30-min mean profile and the PREVIOUS day's — "how far did today's
+    * shape drift from yesterday's, allowing small time misalignment"
+    * (the drift question q_psi answers for value DISTRIBUTIONS, asked
+    * of series SHAPE; Sakoe & Chiba, IEEE TASSP 1978). Consecutive-day
+    * pairing keeps the pair count LINEAR in series-days — no pair
+    * explosion; an all-pairs shape search belongs to [[saxJoin]]'s
+    * equality-join index, with DTW as its verify stage. Plan: one scan
+    * → groupBy(type, day) with 48 conditional slot means from exact
+    * cent sums (missing slots densified to the day mean) → a
+    * series-key lag window → a typed per-row kernel (the
+    * HoltForecast pattern: O(48·band) per row, no state across rows).
+    * No oracle (JVM float fold) — DtwSpec pins identity, symmetry, the
+    * unbanded O(n²) reference, and a hand-built warp example. */
+  def dtwDayShift(s: SparkSession, d: String, band: Int = 4): DataFrame = {
+    val slotUs = 1800000000L
+    val dayUs = 86400000000L
+    val ev = Tables.events(s, d).select(
+      col("event_type"), to_date(col("ts")).as("day"),
+      expr(s"(unix_micros(ts) % $dayUs) div $slotUs").as("slot"),
+      expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("x"))
+    val slots = 0 until 48
+    val aggCols =
+      Seq(sum(col("x").cast("decimal(38,0)")).as("sx"),
+        count(lit(1)).as("n")) ++
+      slots.flatMap(i => Seq(
+        sum(when(col("slot") === i, col("x")).otherwise(0L))
+          .cast("decimal(38,0)").as(s"s$i"),
+        sum(when(col("slot") === i, 1L).otherwise(0L)).as(s"c$i")))
+    val dayMean = col("sx").cast("double") / col("n")
+    val profile = ev.groupBy("event_type", "day")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("event_type"), col("day"),
+        array(slots.map(i =>
+          when(col(s"c$i") > 0, col(s"s$i").cast("double") / col(s"c$i"))
+            .otherwise(dayMean)): _*).as("cur"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val paired = profile
+      .withColumn("prev", lag(col("cur"), 1).over(byDay))
+      .where(col("prev").isNotNull)
+    val s2 = s
+    import s2.implicits._
+    paired.select("event_type", "day", "cur", "prev")
+      .as[(String, java.sql.Date, Seq[Double], Seq[Double])]
+      .map { case (t, day, cur, prev) =>
+        (t, day, math.sqrt(TimeWindows.dtwSq(cur.toArray, prev.toArray, band)))
+      }
+      .toDF("event_type", "day", "dtw_dist")
+  }
+
+  /** Banded squared-distance DTW kernel (Sakoe-Chiba |i−j| ≤ band).
+    * O(n·band) time, two rolling rows of memory — per-executor-row
+    * cost is constant, which is what lets [[dtwDayShift]] run as a
+    * narrow typed map at any series count. */
+  private[graft] def dtwSq(a: Array[Double], b: Array[Double], band: Int): Double = {
+    val n = a.length; val m = b.length
+    val inf = Double.PositiveInfinity
+    var prev = Array.fill(m + 1)(inf)
+    var cur = Array.fill(m + 1)(inf)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      var j = math.max(1, i - band)
+      val jMax = math.min(m, i + band)
+      while (j <= jMax) {
+        val c = (a(i - 1) - b(j - 1)) * (a(i - 1) - b(j - 1))
+        cur(j) = c + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
 }

@@ -115,4 +115,18 @@ class DriftStatsSpec extends SparkTestBase {
     val gotWord = got.find(r => r._1 == t0 && r._2.toString == d0.toString).get._4
     assert(gotWord == word, s"brute-force SAX word mismatch: $gotWord vs $word")
   }
+
+  test("sax shape-mates agree with a brute-force word-frequency count") {
+    val words = TimeWindows.sax(spark, sf)
+      .as[(String, java.sql.Date, Long, String)].collect()
+    val freq = words.groupBy(_._4).map { case (w, rs) => w -> rs.length }
+    val mates = TimeWindows.saxJoin(spark, sf)
+      .as[(String, java.sql.Date, String, Long)].collect()
+    assert(mates.length == words.length, "one row per (type, day), n preserved")
+    mates.foreach { case (t, day, w, m) =>
+      assert(m == freq(w) - 1L, s"($t,$day) mates $m != ${freq(w) - 1}")
+    }
+    // Σ n_mates counts each matching unordered pair exactly twice
+    assert(mates.map(_._4).sum % 2 == 0)
+  }
 }

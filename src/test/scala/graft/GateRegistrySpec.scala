@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (210 queries, 176 oracles)") {
-    assert(SparkEntry.queries.size == 210)
-    assert(SparkEntry.oracleSql.size == 176)
+  test("registry carries the full suite (212 queries, 177 oracles)") {
+    assert(SparkEntry.queries.size == 212)
+    assert(SparkEntry.oracleSql.size == 177)
   }
 }
