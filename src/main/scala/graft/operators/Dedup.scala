@@ -1317,9 +1317,17 @@ object Dedup {
     import org.apache.spark.sql.graft.VectorExpressions.floatDot
     val nc = if (nClusters > 0) nClusters
       else Similarity.centroidCount(e.count())
+    // beyond the broadcast-clamp scale a flat nearest-centroid scan is
+    // n·nc dots — quadratic under the linear parameterization (nc ∝ n);
+    // route through the two-level assignment instead (the round-11 sf30
+    // find: 21.4 → 207 s per 3× step, restored to ~linear — SCALE.md).
+    // Below the threshold the flat scan is both cheaper and exact, and
+    // keeps the small-sf gate outputs bit-identical.
+    val hier = nc > 512
     // refineCentroids owns its cache lifecycle over e for the Lloyd rounds
-    val cents = Similarity.refineCentroids(e, nc, iters)
-    val assigned = Similarity.assignWith(e, cents)
+    val cents = Similarity.refineCentroids(e, nc, iters, hier)
+    val assigned = (if (hier) Similarity.assignWithHier(e, cents)
+      else Similarity.assignWith(e, cents))
       .withColumnRenamed("bucket", "cluster")
     // within-cluster near-dup partners with a LOWER id: one shuffle on
     // cluster; ~√n clusters keep the pair space linear in the corpus

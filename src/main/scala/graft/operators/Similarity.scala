@@ -93,7 +93,15 @@ object Similarity {
     * empty buckets keep their previous centroid. The mapGroups
     * materializes one bucket (≈√N vectors) per task — bounded by the
     * same argument that bounds the IVF bucket size. */
-  def refineCentroids(e: DataFrame, nCentroids: Int, iters: Int): Array[Cent] = {
+  def refineCentroids(e: DataFrame, nCentroids: Int, iters: Int): Array[Cent] =
+    refineCentroids(e, nCentroids, iters, hier = false)
+
+  /** [[refineCentroids]] with an opt-in hierarchical assignment pass
+    * ([[assignWithHier]]) for large centroid sets — the Lloyd rounds
+    * are where a linear-in-n centroid count would otherwise go
+    * quadratic (see assignWithHier's scaladoc). */
+  def refineCentroids(e: DataFrame, nCentroids: Int, iters: Int,
+      hier: Boolean): Array[Cent] = {
     val s = e.sparkSession
     import s.implicits._
     // every round re-reads e (assignment pass + mean shuffle); cache for
@@ -102,16 +110,17 @@ object Similarity {
     // nothing lazy escapes that still depends on the cached plan
     val cached = e.cache()
     try {
-      refineLoop(cached, nCentroids, iters)
+      refineLoop(cached, nCentroids, iters, hier)
     } finally cached.unpersist()
   }
 
-  private def refineLoop(e: DataFrame, nCentroids: Int, iters: Int): Array[Cent] = {
+  private def refineLoop(e: DataFrame, nCentroids: Int, iters: Int,
+      hier: Boolean = false): Array[Cent] = {
     val s = e.sparkSession
     import s.implicits._
     var cents = seedCents(e, nCentroids)
     for (_ <- 1 to iters) {
-      val means = assignWith(e, cents)
+      val means = (if (hier) assignWithHier(e, cents) else assignWith(e, cents))
         .select(col("vec_id"), col("embedding"), col("bucket"))
         .as[(Long, Array[Float], Long)]
         .groupByKey(_._3)
@@ -170,6 +179,100 @@ object Similarity {
           val sim = dot / (nrm * c._3)
           if (sim > bestSim) { bestSim = sim; bestId = c._1 }
           i += 1
+        }
+        (id, emb, nrm, bestId)
+      }
+      .toDF("vec_id", "embedding", "nrm", "bucket")
+  }
+
+  /** Two-level (coarse-routed) nearest-centroid assignment — the fix
+    * for the quadratic trap [[assignWith]] walks into when the centroid
+    * count GROWS WITH the corpus: at SemDeDup's production
+    * parameterization (nClusters = n/targetSize) a flat scan costs
+    * n·nc·dim = O(n²·dim/targetSize), and the round-11 sf30 run
+    * measured exactly that (q_semdedup_linear 21.4 s at sf10 →
+    * 207-226 s at sf30 ≈ the predicted 9×). Here the centroid set is
+    * first grouped DRIVER-SIDE into ≈√nc coarse cells (lowest-id
+    * centroids as coarse seeds — the seedCents scheme one level up);
+    * each vector then scores the √nc coarse seeds, probes the top
+    * `probes` cells, and scans only their members: O(√nc·(1+probes))
+    * dots per vector instead of nc. The trade is the standard IVF one
+    * — the true nearest centroid can hide in an unprobed cell (the
+    * SemDedupSpec hier test measures agreement vs the flat scan) —
+    * but IDENTICAL vectors follow identical probe paths, so the
+    * exact-duplicates-co-cluster contract that SemDeDup's correctness
+    * rests on is preserved by construction. Deterministic: fixed seed
+    * choice, fixed scan order, strict `>` everywhere (first-best wins,
+    * matching assignWith). */
+  def assignWithHier(e: DataFrame, cents: Array[Cent], probes: Int = 8): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val ncc = math.max(1, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val seeds = cents.sortBy(_._1).take(ncc)
+    def simOf(a: Cent, b: Cent): Double = {
+      var d = 0.0; var k = 0
+      val x = a._2; val y = b._2
+      while (k < x.length) { d += x(k).toDouble * y(k).toDouble; k += 1 }
+      d / (a._3 * b._3)
+    }
+    // nc·√nc·dim driver flops — ≤ 4096·64·64 ≈ 1.7e7 at the broadcast
+    // clamp, and nc/targetSize·√(nc)·dim ≈ 2.4e8 at sf30's 24k — cheap
+    val groups = Array.fill(ncc)(scala.collection.mutable.ArrayBuffer.empty[Cent])
+    cents.foreach { c =>
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < ncc) {
+        val sim = simOf(c, seeds(i))
+        if (sim > bestSim) { bestSim = sim; best = i }
+        i += 1
+      }
+      groups(best) += c
+    }
+    val grouped = groups.map(_.toArray)
+    val bcSeeds = s.sparkContext.broadcast(seeds)
+    val bcGroups = s.sparkContext.broadcast(grouped)
+    val p = math.min(probes, ncc)
+    e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)]
+      .map { case (id, emb, nrm) =>
+        val sds = bcSeeds.value; val grp = bcGroups.value
+        val sims = new Array[Double](sds.length)
+        var i = 0
+        while (i < sds.length) {
+          val c = sds(i); val cemb = c._2
+          var dot = 0.0; var k = 0
+          while (k < emb.length) { dot += emb(k).toDouble * cemb(k).toDouble; k += 1 }
+          sims(i) = dot / (nrm * c._3)
+          i += 1
+        }
+        // top-p coarse cells, deterministic (sim desc, cell idx asc)
+        val probeCells = new Array[Int](p)
+        val taken = new Array[Boolean](sds.length)
+        var t = 0
+        while (t < p) {
+          var best = -1; var bestSim = Double.NegativeInfinity
+          var j = 0
+          while (j < sims.length) {
+            if (!taken(j) && sims(j) > bestSim) { bestSim = sims(j); best = j }
+            j += 1
+          }
+          taken(best) = true; probeCells(t) = best; t += 1
+        }
+        var bestId = -1L
+        var bestSim = Double.NegativeInfinity
+        t = 0
+        while (t < p) {
+          val cell = grp(probeCells(t))
+          var j = 0
+          while (j < cell.length) {
+            val c = cell(j); val cemb = c._2
+            var dot = 0.0; var k = 0
+            while (k < emb.length) { dot += emb(k).toDouble * cemb(k).toDouble; k += 1 }
+            val sim = dot / (nrm * c._3)
+            if (sim > bestSim) { bestSim = sim; bestId = c._1 }
+            j += 1
+          }
+          t += 1
         }
         (id, emb, nrm, bestId)
       }

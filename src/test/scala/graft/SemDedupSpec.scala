@@ -63,4 +63,43 @@ class SemDedupSpec extends SparkTestBase {
     assert(gotDropped.subsetOf(bruteDropped),
       s"invented pairs: ${gotDropped -- bruteDropped}")
   }
+
+  test("hierarchical assignment tracks the flat scan and keeps exact dups co-clustered") {
+    val e = Similarity.withNorm(spark, sf)
+    val n = e.count()
+    val nc = math.max(4, (n / 5).toInt) // force a large centroid set
+    val cents = Similarity.refineCentroids(e, nc, iters = 1, hier = true)
+    val flat = Similarity.assignWith(e, cents)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val hier = Similarity.assignWithHier(e, cents)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(hier.keySet == flat.keySet)
+    // the probe may miss the true nearest cell for borderline vectors;
+    // on this corpus agreement must stay high (the IVF recall argument
+    // — and this tiny-cluster setup is the adversarial case: cells of
+    // ~5 members mean each unprobed cell hides more candidates than at
+    // production scale, where cells hold ~√nc centroids)
+    val agree = flat.count { case (id, b) => hier(id) == b }.toDouble / flat.size
+    assert(agree >= 0.85, s"hier/flat agreement $agree")
+    // probing EVERY cell removes the approximation entirely: the scan
+    // order differs from flat but on tie-free data the argmax is the same
+    val ncc = math.ceil(math.sqrt(cents.length.toDouble)).toInt
+    val full = Similarity.assignWithHier(e, cents, probes = ncc)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(full == flat, "full-probe hier must equal the flat scan")
+    // identical vectors follow identical probe paths -> same cluster
+    val slim = e.select("vec_id", "embedding", "nrm")
+    val row = slim.where(col("vec_id") === 11L).collect().head
+    val twin = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(9999L, row.getAs[Any]("embedding"),
+        row.getAs[Double]("nrm"))), slim.schema)
+    val both = Similarity.assignWithHier(slim.unionByName(twin), cents)
+      .where(col("vec_id").isin(11L, 9999L))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(both(11L) == both(9999L), "identical vectors split across clusters")
+    // determinism: identical recompute
+    val again = Similarity.assignWithHier(e, cents)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(again == hier)
+  }
 }
