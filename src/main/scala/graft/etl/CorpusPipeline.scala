@@ -327,4 +327,84 @@ object CorpusPipeline {
       .groupBy("status")
       .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
   }
+
+  /** Deterministically synthesized "crawl URL" per document — the driver
+    * corpus has no URL column, so (like q_integrity's failure planting and
+    * q_normalize_redact's noise) the messy input is derived from doc_id
+    * arithmetic: mixed-case scheme/host, optional `www.`, per-doc path,
+    * optional trailing slash, utm_* tracking params in both non-final and
+    * final positions, and an optional fragment. Per-row, shuffle-free. */
+  private[graft] def withRawUrl(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.withColumn("raw_url", concat(
+      when(id % 5 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit("-Example"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net"), lit(".dev")),
+        (id % 4).cast("int") + 1),
+      lit("/A/b"), (id % 7).cast("string"),
+      when(id % 2 === 0, lit("/")).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit("?utm_source=feed&id="), (id % 11).cast("string")))
+        .when(id % 4 === 1, concat(lit("?id="), (id % 11).cast("string"), lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(id % 6 === 0, lit("#sec")).otherwise(lit(""))))
+  }
+
+  /** Canonical-URL dedup (the CommonCrawl-style URL-level pass that runs
+    * BEFORE content dedup at 100 TB — exact, hash-partitioned, no pair
+    * graph): strip fragment, lowercase scheme+authority, drop `www.`,
+    * remove utm_* tracking params, strip the trailing path slash, then
+    * keep the lowest doc_id per canonical URL. Every step is a scalar
+    * regex/replace (whole-stage codegen; no backreferences, so the same
+    * patterns run identically on Java regex and RE2/DuckDB for the
+    * oracle); the only shuffle is the final window over canon_url, which
+    * at scale is a hash-partitioned dedup on a high-cardinality key — the
+    * cheapest dedup shape there is. */
+  /** Adds `canon_url` to any frame carrying a `raw_url` column. */
+  private[graft] def canonicalizeUrls(withUrl: DataFrame): DataFrame =
+    withUrl
+      .withColumn("u1", regexp_replace(col("raw_url"), "#[^#]*$", ""))
+      // authority = scheme://host (up to the first /, ? or #): lowercase
+      // it, leave the case-sensitive path/query bytes untouched
+      .withColumn("pre", lower(regexp_extract(col("u1"), "^[A-Za-z]+://[^/?#]*", 0)))
+      .withColumn("rest", col("u1").substr(length(col("pre")) + 1, lit(1 << 20)))
+      .withColumn("pre", regexp_replace(col("pre"), "^(https://|http://)www\\.", "$1"))
+      .withColumn("rest", regexp_replace(col("rest"), "utm_[a-z]+=[^&]*&", ""))
+      .withColumn("rest", regexp_replace(col("rest"), "[?&]utm_[a-z]+=[^&]*$", ""))
+      .withColumn("rest", regexp_replace(col("rest"), "/\\?", "?"))
+      .withColumn("rest", regexp_replace(col("rest"), "/$", ""))
+      .withColumn("canon_url", concat(col("pre"), col("rest")))
+      .drop("u1", "pre", "rest")
+
+  def urlCanonical(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("canon_url").orderBy("doc_id")
+    canonicalizeUrls(withRawUrl(Tables.documents(s, d)))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "raw_url", "canon_url", "keep")
+  }
+
+  /** Per-domain document caps (the anti-domain-dominance pass of a crawl
+    * pipeline): registrable domain from the canonical host, then keep the
+    * top `cap` docs per domain by quality proxy (n_chars DESC, doc_id ASC
+    * tiebreak). The gate reports per-domain kept/dropped aggregates. The
+    * window partitions on domain — skewed mega-domains are exactly what
+    * AQE skew-split handles, and a 100 TB run would pre-filter domains
+    * with count <= cap (the vast majority) before windowing the rest. */
+  def domainCap(s: SparkSession, d: String, cap: Int = 15): DataFrame = {
+    val canon = urlCanonical(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("host", regexp_extract(col("canon_url"), "^https?://([^/?#]*)", 1))
+      .withColumn("domain", regexp_extract(col("host"), "[^.]+\\.[^.]+$", 0))
+    val w = Window.partitionBy("domain")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    canon
+      .withColumn("rn", row_number().over(w))
+      .withColumn("kept", col("rn") <= cap)
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+        min(when(col("kept"), col("n_chars"))).as("min_kept_chars"))
+  }
 }

@@ -52,6 +52,13 @@ object EtlGates {
     // window partition bounded by chunkDocs)
     "q_length_batches" -> ((s: SparkSession, d: String) =>
       graft.etl.Packing.lengthBatches(s, d)),
+    // canonical-URL dedup: fragment/www./utm_* normalization (scalar
+    // regex chain, codegen) + keep lowest doc_id per canonical URL
+    "q_url_canonical"  -> (graft.etl.CorpusPipeline.urlCanonical _),
+    // per-registrable-domain document caps (anti-domain-dominance):
+    // top-15 by n_chars DESC, doc_id tiebreak; per-domain kept/dropped
+    "q_domain_cap"     -> ((s: SparkSession, d: String) =>
+      graft.etl.CorpusPipeline.domainCap(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +356,75 @@ object EtlGates {
         |  (row_number() OVER (PARTITION BY n_tokens // 64, doc_id // 1024
         |    ORDER BY doc_id) - 1) // 16 AS batch_idx
         |FROM t""".stripMargin,
+
+    // the synthesized raw_url and every canonicalization step mirror the
+    // Spark chain 1:1; none of the regexes use backreferences and each
+    // pattern matches at most once per URL, so Java-regex
+    // (replace-all) and RE2 (replace-first) agree byte-for-byte
+    "q_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '-Example'
+        |    || (['.com','.org','.net','.dev'])[CAST(doc_id % 4 AS INT) + 1]
+        |    || '/A/b' || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+        |             WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_campaign=x'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS raw_url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, raw_url,
+        |    regexp_replace(raw_url, '#[^#]*$', '') AS u1 FROM raw),
+        |c2 AS (SELECT doc_id, raw_url, u1,
+        |    lower(regexp_extract(u1, '^[A-Za-z]+://[^/?#]*', 0)) AS pre0 FROM c1),
+        |c3 AS (SELECT doc_id, raw_url,
+        |    replace(pre0, '://www.', '://') AS pre,
+        |    substr(u1, CAST(length(pre0) + 1 AS INT)) AS rest FROM c2),
+        |c4 AS (SELECT doc_id, raw_url, pre,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+        |      'utm_[a-z]+=[^&]*&', ''), '[?&]utm_[a-z]+=[^&]*$', ''),
+        |      '/\?', '?'), '/$', '') AS rest2 FROM c3),
+        |canon AS (SELECT doc_id, raw_url, pre || rest2 AS canon_url FROM c4)
+        |SELECT doc_id, raw_url, canon_url,
+        |  (row_number() OVER (PARTITION BY canon_url ORDER BY doc_id)) = 1 AS keep
+        |FROM canon""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH raw AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '-Example'
+        |    || (['.com','.org','.net','.dev'])[CAST(doc_id % 4 AS INT) + 1]
+        |    || '/A/b' || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 11 AS VARCHAR)
+        |             WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR) || '&utm_campaign=x'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS raw_url
+        |  FROM documents),
+        |c2 AS (SELECT doc_id, n_chars,
+        |    regexp_replace(raw_url, '#[^#]*$', '') AS u1 FROM raw),
+        |c3 AS (SELECT doc_id, n_chars, u1,
+        |    lower(regexp_extract(u1, '^[A-Za-z]+://[^/?#]*', 0)) AS pre0 FROM c2),
+        |canon AS (SELECT doc_id, n_chars,
+        |    replace(pre0, '://www.', '://')
+        |      || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           substr(u1, CAST(length(pre0) + 1 AS INT)),
+        |           'utm_[a-z]+=[^&]*&', ''), '[?&]utm_[a-z]+=[^&]*$', ''),
+        |           '/\?', '?'), '/$', '') AS canon_url FROM c3),
+        |h AS (SELECT doc_id, n_chars,
+        |    regexp_extract(regexp_extract(canon_url, '^https?://([^/?#]*)', 1),
+        |      '[^.]+\.[^.]+$', 0) AS domain FROM canon),
+        |r AS (SELECT domain, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM h)
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  min(CASE WHEN rn <= 15 THEN n_chars END) AS min_kept_chars
+        |FROM r GROUP BY 1""".stripMargin,
   )
 }
