@@ -391,8 +391,12 @@ object CorpusPipeline {
     * AQE skew-split handles, and a 100 TB run would pre-filter domains
     * with count <= cap (the vast majority) before windowing the rest. */
   def domainCap(s: SparkSession, d: String, cap: Int = 15): DataFrame = {
-    val canon = urlCanonical(s, d)
-      .join(Tables.documents(s, d).select("doc_id", "n_chars"), Seq("doc_id"))
+    // canonicalize directly — NOT via urlCanonical, whose per-URL keep
+    // window (a full sort-shuffle over canon_url) this pass never reads;
+    // n_chars rides along from the scan, so there is no re-join either.
+    // The only shuffle left is the domain window itself.
+    val canon = canonicalizeUrls(withRawUrl(Tables.documents(s, d)))
+      .select("doc_id", "n_chars", "canon_url")
       .withColumn("host", regexp_extract(col("canon_url"), "^https?://([^/?#]*)", 1))
       .withColumn("domain", regexp_extract(col("host"), "[^.]+\\.[^.]+$", 0))
     val w = Window.partitionBy("domain")
