@@ -1474,13 +1474,17 @@ object Dedup {
     * (vocab normalization before token counting, source-name
     * reconciliation, …).
     *
-    * Recall contract: a single blocking key only finds edits that
-    * PRESERVE the key — (lang, first-2-chars) covers every edit at
-    * position ≥ 3, which is exactly the perturbation family the gate
-    * fixture plants (3rd-char deletions). Production edits at position
-    * < 3 need the standard multi-pass scheme (union a suffix-block or
-    * sorted-neighborhood pass — same plan, second key); the cost stays
-    * Σ block² « n² for any key with bounded block sizes. The gate's
+    * Recall contract (the GATE SEMANTICS, unchanged): pairs share
+    * (lang, first-2-chars) — every edit at position ≥ 3, which is
+    * exactly the perturbation family the gate fixture plants (3rd-char
+    * deletions). Production edits at position < 3 need the standard
+    * multi-pass scheme (union a suffix-block pass — same plan, second
+    * key). EXECUTION at maxDist=1 does not join on the prefix, though:
+    * prefix blocks inherit the corpus' prefix skew (one mega-prefix
+    * family makes Σ block² quadratic — see fuzzyVocabJoinBlocked),
+    * so candidates come from a FastSS deletion-neighborhood join whose
+    * block sizes are bounded by true match multiplicity, with the
+    * prefix condition as a post-filter; output is bit-identical. The gate's
     * dirty side is derived deterministically from the corpus vocabulary
     * itself (3rd char deleted from every token ≥ 4 chars), so both
     * engines rebuild identical inputs — the planted-fixture pattern of
@@ -1504,17 +1508,55 @@ object Dedup {
     finally vocab.unpersist()
   }
 
+  /** `{x} ∪ del1(x)`: the string plus every single-character deletion —
+    * the FastSS deletion neighborhood for distance 1 (Bocek et al. 2007,
+    * public; also SymSpell). Two strings are within Levenshtein 1 IFF
+    * their neighborhoods intersect: equal strings share x; a
+    * substitution at position i shares the deletion at i; an
+    * insertion/deletion shares the shorter string itself. Pure Catalyst
+    * HOF (codegen), no UDF; array_union dedupes repeated-char deletions. */
+  private def deletionNeighborhood(c: org.apache.spark.sql.Column) =
+    array_union(array(c), transform(sequence(lit(1), length(c)),
+      i => concat(c.substr(lit(1), i - lit(1)), c.substr(i + lit(1), length(c)))))
+
   private def fuzzyVocabJoinBlocked(vocab: DataFrame, maxDist: Int): DataFrame = {
     val dirty = vocab.select(col("lang"),
         concat(substring(col("token"), 1, 2), substring(col("token"), 4, 1000000))
           .as("query_term"))
       .distinct()
     val block = (t: org.apache.spark.sql.Column) => substring(t, 1, 2)
-    vocab.withColumn("bk", block(col("token")))
-      .join(dirty.withColumn("bk", block(col("query_term"))), Seq("lang", "bk"))
+    val candidates =
+      if (maxDist == 1) {
+        // Deletion-neighborhood (FastSS) candidate generation: join on
+        // (lang, shared-variant) instead of (lang, 2-char prefix). The
+        // prefix block's size is set by the corpus' prefix DISTRIBUTION —
+        // a mega-prefix (a salt family, "un-"/"re-" in a web vocab) makes
+        // Σ block² quadratic (measured: the clean-fixture salt family
+        // "zs…" put ~10⁶ tokens in ONE (lang, "zs") block at sf1 and the
+        // old join ran 15+ min where r10's skew-free fixture took 0.9 s).
+        // Variant keys collide only when strings are genuinely within
+        // distance 1, so block sizes are bounded by true match
+        // multiplicity, not by key skew; the expansion is a linear
+        // ~(len+1)× explode on both sides. Distance-1 equivalence is
+        // exact (see deletionNeighborhood), so with the same post-filters
+        // the output is bit-identical to the prefix-blocked join; one
+        // pair can share several variants, hence the distinct().
+        vocab.withColumn("variant", explode(deletionNeighborhood(col("token"))))
+          .join(dirty.withColumn("variant",
+            explode(deletionNeighborhood(col("query_term")))), Seq("lang", "variant"))
+          .where(block(col("token")) === block(col("query_term")))
+      } else {
+        // multi-edit linkage keeps the prefix-block + length-prefilter
+        // shape (deletion neighborhoods grow combinatorially past d=1);
+        // bounded-block-size caveat documented in the method scaladoc
+        vocab.withColumn("bk", block(col("token")))
+          .join(dirty.withColumn("bk", block(col("query_term"))), Seq("lang", "bk"))
+      }
+    candidates
       .where(abs(length(col("token")) - length(col("query_term"))) <= maxDist
         && levenshtein(col("token"), col("query_term")) <= maxDist)
       .select(col("lang"), col("token"), col("query_term"),
         levenshtein(col("token"), col("query_term")).as("dist"), col("c_token"))
+      .distinct()
   }
 }

@@ -107,6 +107,48 @@ class BatchThreeOpsSpec extends SparkTestBase {
     }
   }
 
+  test("deletion-neighborhood execution matches brute force on a prefix-skewed vocab") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // every token shares the mega-prefix "zs" (the clean-fixture salt
+    // family that sent the prefix-blocked join quadratic) + near-collision
+    // families: zs1234/zs1235 (substitution), zs777/zs7777 (insertion)
+    val toks = Seq("zs1234", "zs1235", "zs7777", "zs777x", "zs9000",
+      "zsab", "zsabc")
+    val dir = java.nio.file.Files.createTempDirectory("fuzzyskew").toString
+    toks.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.fuzzyVocabJoin(spark, dir)
+      .select("lang", "token", "query_term", "dist")
+      .as[(String, String, String, Int)].collect().toSet
+    // brute-force reference of the GATE SEMANTICS: same lang (all en),
+    // same 2-char prefix, |Δlen| <= 1, lev <= 1, dirty = 3rd-char-deleted
+    val dirty = toks.map(t => t.substring(0, 2) + t.substring(3)).distinct
+    val want = (for {
+      t <- toks; q <- dirty
+      if t.substring(0, 2) == q.substring(0, 2)
+      if math.abs(t.length - q.length) <= 1 && lev(t, q) <= 1
+    } yield ("en", t, q, lev(t, q))).toSet
+    assert(got == want, s"got ${got.size} want ${want.size}: " +
+      s"missing=${want -- got} extra=${got -- want}")
+    // the substitution family must be present: zs1234's deletion zs134?
+    // no — the cross-family hit zs234 (from zs1234) vs zs1235 is BLOCKED
+    // by the prefix rule, but zs123 (not derivable) is absent; the pin
+    // that matters: zs7777 -> zs777 (deletion) also matches token zs777x?
+    // lev(zs777x, zs777)=1 and prefixes agree -> must be found
+    assert(got.contains(("en", "zs777x", "zs777", 1)))
+    assert(got.contains(("en", "zs7777", "zs777", 1)))
+  }
+
   test("chi-square readout is internally consistent") {
     val rows = Analytics.chiSquare(spark, sf).collect()
     val (tot, cells) = rows.partition(_.getAs[String]("event_type") == "__TOTAL__")
