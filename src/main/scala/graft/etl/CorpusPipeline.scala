@@ -386,22 +386,44 @@ object CorpusPipeline {
   /** Per-domain document caps (the anti-domain-dominance pass of a crawl
     * pipeline): registrable domain from the canonical host, then keep the
     * top `cap` docs per domain by quality proxy (n_chars DESC, doc_id ASC
-    * tiebreak). The gate reports per-domain kept/dropped aggregates. The
-    * window partitions on domain — skewed mega-domains are exactly what
-    * AQE skew-split handles, and a 100 TB run would pre-filter domains
-    * with count <= cap (the vast majority) before windowing the rest. */
+    * tiebreak). The gate reports per-domain kept/dropped aggregates.
+    *
+    * 100 TB shape: in a real crawl the vast majority of domains hold
+    * fewer than `cap` documents and need NO ranking at all — so the plan
+    * splits on a domain-count pre-pass (one aggregate, broadcast back as
+    * a semi/anti filter): under-cap domains go straight to their final
+    * aggregate (everything kept, no sort anywhere), and the row_number
+    * window runs only over the over-cap minority, whose residual skew
+    * (one mega-domain) is the AQE skew-split case. Output is identical
+    * to windowing everything — under-cap domains keep all docs by
+    * definition. */
   def domainCap(s: SparkSession, d: String, cap: Int = 15): DataFrame = {
     // canonicalize directly — NOT via urlCanonical, whose per-URL keep
     // window (a full sort-shuffle over canon_url) this pass never reads;
     // n_chars rides along from the scan, so there is no re-join either.
-    // The only shuffle left is the domain window itself.
+    // materialized once (eager, lineage-truncating — the own-nothing
+    // variant of the cache-ownership contract): the count pre-pass and
+    // the split branches all read the same canonicalized projection
+    // instead of re-running the scan + regex chain per branch. A real
+    // pipeline lands this projection as an ETL intermediate table.
     val canon = canonicalizeUrls(withRawUrl(Tables.documents(s, d)))
-      .select("doc_id", "n_chars", "canon_url")
-      .withColumn("host", regexp_extract(col("canon_url"), "^https?://([^/?#]*)", 1))
-      .withColumn("domain", regexp_extract(col("host"), "[^.]+\\.[^.]+$", 0))
+      .select(col("doc_id"), col("n_chars"),
+        regexp_extract(
+          regexp_extract(col("canon_url"), "^https?://([^/?#]*)", 1),
+          "[^.]+\\.[^.]+$", 0).as("domain"))
+      .localCheckpoint(true)
+    val overCap = canon.groupBy("domain").agg(count(lit(1)).as("n"))
+      .where(col("n") > cap).select("domain")
+    val small = canon.join(broadcast(overCap), Seq("domain"), "left_anti")
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        min(col("n_chars")).as("min_kept_chars"))
     val w = Window.partitionBy("domain")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
-    canon
+    val big = canon.join(broadcast(overCap), Seq("domain"), "left_semi")
       .withColumn("rn", row_number().over(w))
       .withColumn("kept", col("rn") <= cap)
       .groupBy("domain")
@@ -410,5 +432,6 @@ object CorpusPipeline {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"),
         min(when(col("kept"), col("n_chars"))).as("min_kept_chars"))
+    small.unionByName(big)
   }
 }

@@ -62,6 +62,25 @@ class UrlCanonicalSpec extends SparkTestBase {
     }
   }
 
+  test("under-cap domains take the windowless path with identical aggregates") {
+    // same staged corpus shape as above, but cap=10 > every domain's 5
+    // docs: all four domains route through the no-sort branch and must
+    // report everything kept
+    val dir = java.nio.file.Files.createTempDirectory("urlcapsmall").toString
+    val docs = (0L until 20L).map { i =>
+      (i, "t", "en", "srcA", if (i < 10) 100L else 50L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusPipeline.domainCap(spark, dir, cap = 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 4)
+    for ((dom, nDocs, nKept, keptChars, minKept) <- out) {
+      assert(nDocs == 5L && nKept == 5L, s"$dom must keep everything")
+      assert(keptChars == (if (dom.endsWith(".com") || dom.endsWith(".org")) 400L else 350L))
+      assert(minKept == 50L, s"$dom min")
+    }
+  }
+
   test("urlCanonical keep flag marks exactly one doc per canonical URL") {
     val dir = java.nio.file.Files.createTempDirectory("urlkeep").toString
     // ids 0 and 9240 (lcm(2,3,4,5,6,7,11)=4620 -> same mods for all synth
