@@ -81,6 +81,11 @@ object AnalyticsGates {
     // declarative data-quality constraint suite (one aggregate pass +
     // lazy stack reshape into check verdict rows)
     "q_dq_checks"      -> (graft.operators.Analytics.dqChecks _),
+    // k-anonymity audit over (event_type, day, value-bucket)
+    // quasi-identifier groups (exact distinct-user counts; bounded-grid
+    // output) — the pre-release privacy gate next to forget_audit
+    "q_k_anonymity"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.kAnonymity(s, d)),
     // first-order Markov transition matrix over user event sequences
     // (counts + row-normalized p; |types|²-bounded output)
     "q_transition_matrix" -> (graft.operators.Analytics.transitionMatrix _),
@@ -497,6 +502,17 @@ object AnalyticsGates {
         |    * (count(DISTINCT dow) - 1) FROM cells) AS DOUBLE),
         |  CAST(sum(CAST(round(contrib, 6) AS DECIMAL(18,6))) AS DOUBLE)
         |FROM sc2""".stripMargin,
+
+    // fixed-width literal bucket edges; counts and distinct counts are
+    // exact integers, so the whole row hash-matches with no rounding
+    "q_k_anonymity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  LEAST(GREATEST(CAST(floor(value / 100) AS BIGINT), 0), 9) AS vbucket,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(DISTINCT user_id) < 5 AS suppressed
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // each metric is a ratio of two exact integers — one correctly-
     // rounded divide per row, no rounding key needed

@@ -886,4 +886,31 @@ object Analytics {
           .as("wmean"))
       .select("event_type", "n", "lo", "hi", "n_clip_lo", "n_clip_hi", "wmean")
   }
+
+  /** k-anonymity audit over quasi-identifier groups — the privacy gate
+    * that runs BEFORE an event extract is released for training
+    * (alongside [[graft.etl.CorpusPipeline.forgetAudit]]'s deletion
+    * propagation and the redaction pass): a released row is k-anonymous
+    * iff at least k distinct individuals share its quasi-identifier
+    * combination (Sweeney 2002, public). Quasi-identifiers here:
+    * (event_type, day, fixed-width value bucket) — fixed 100-unit
+    * buckets over the dq-contract 0..1000 range rather than quantile
+    * bins, so the bucket edges are literals on both engines. One
+    * partial-aggregated groupBy over the fact table (count + exact
+    * distinct-user count per group); `suppressed` flags the groups a
+    * release must drop or generalize. Group cardinality is bounded by
+    * |types| × days × 10 buckets, so the output never scales with the
+    * fact volume — the same bounded-grid argument as [[psi]]/[[ksTest]]. */
+  def kAnonymity(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    kAnonymityEvents(Tables.events(s, d), k)
+
+  /** [[kAnonymity]] over an arbitrary events frame — the testable form. */
+  private[graft] def kAnonymityEvents(ev: DataFrame, k: Int): DataFrame =
+    ev.withColumn("day", to_date(col("ts")))
+      .withColumn("vbucket",
+        least(greatest(floor(col("value") / 100), lit(0L)), lit(9L)))
+      .groupBy("event_type", "day", "vbucket")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("suppressed", col("n_users") < k)
 }

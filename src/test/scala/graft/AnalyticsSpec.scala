@@ -76,4 +76,24 @@ class AnalyticsSpec extends SparkTestBase {
     assert(last.except(expect).count() == 0)
     assert(expect.except(last).count() == 0)
   }
+
+  test("k-anonymity flags exactly the under-k quasi-identifier groups") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // group A: 6 distinct users (safe at k=5); group B: 6 rows but only
+    // 3 distinct users (suppressed — row count alone must NOT clear it);
+    // group C: value 1000 lands in the clamped top bucket with 1 user
+    val rows =
+      (1L to 6L).map(u => (u, ts0, u, "click", 50.0)) ++
+      (7L to 12L).map(u => (u, ts0, 100L + u % 3, "view", 250.0)) ++
+      Seq((20L, ts0, 99L, "error", 1000.0))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.kAnonymityEvents(ev, k = 5)
+      .select("event_type", "vbucket", "n", "n_users", "suppressed")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("click") == ("click", 0L, 6L, 6L, false))
+    assert(out("view") == ("view", 2L, 6L, 3L, true))
+    assert(out("error") == ("error", 9L, 1L, 1L, true))
+  }
 }

@@ -28,7 +28,7 @@ class GateRegistrySpec extends AnyFunSuite {
   }
 
   test("registry carries the full suite (212 queries, 177 oracles)") {
-    assert(SparkEntry.queries.size == 214)
-    assert(SparkEntry.oracleSql.size == 179)
+    assert(SparkEntry.queries.size == 215)
+    assert(SparkEntry.oracleSql.size == 180)
   }
 }
