@@ -81,6 +81,40 @@ class UrlCanonicalSpec extends SparkTestBase {
     }
   }
 
+  test("canonicalization is idempotent and output never carries stripped artifacts") {
+    // 200 synthetic URLs sweeping every branch combination the generator
+    // can produce, plus hand-built edge shapes
+    val urls = (0L until 200L).map { i =>
+      val scheme = if (i % 5 == 0) "HTTPS://" else if (i % 5 == 1) "http://" else "https://"
+      val www = if (i % 3 == 0) "WWW." else if (i % 3 == 1) "www." else ""
+      val q = (i % 4) match {
+        case 0 => s"?utm_source=feed&id=${i % 11}"
+        case 1 => s"?id=${i % 11}&utm_campaign=x"
+        case 2 => s"?utm_medium=a"
+        case _ => ""
+      }
+      (i, s"${scheme}${www}Host$i-Example.ORG/Path/${i % 7}" +
+        (if (i % 2 == 0) "/" else "") + q + (if (i % 6 == 0) "#frag" else ""))
+    } ++ Seq((900L, "https://bare-host.com"), (901L, "HTTP://WWW.X-Y.COM/#only-frag"))
+    val once = CorpusPipeline.canonicalizeUrls(urls.toDF("doc_id", "raw_url"))
+      .select("doc_id", "canon_url").as[(Long, String)].collect().toMap
+    val twice = CorpusPipeline.canonicalizeUrls(
+      once.toSeq.toDF("doc_id", "raw_url"))
+      .select("doc_id", "canon_url").as[(Long, String)].collect().toMap
+    for ((id, c) <- once) {
+      assert(twice(id) == c, s"not idempotent for $id: $c -> ${twice(id)}")
+      assert(!c.contains("#"), s"fragment survived: $c")
+      assert(!c.contains("://www."), s"www survived: $c")
+      assert(!c.contains("utm_"), s"utm param survived: $c")
+      assert(!c.endsWith("/") || c.endsWith("://"), s"trailing slash survived: $c")
+      assert(!c.endsWith("?"), s"dangling ? survived: $c")
+      val host = c.split("://")(1).takeWhile(ch => ch != '/' && ch != '?')
+      assert(host == host.toLowerCase, s"host not lowercased: $c")
+      assert(c.takeWhile(_ != ':') == c.takeWhile(_ != ':').toLowerCase,
+        s"scheme not lowercased: $c")
+    }
+  }
+
   test("urlCanonical keep flag marks exactly one doc per canonical URL") {
     val dir = java.nio.file.Files.createTempDirectory("urlkeep").toString
     // ids 0 and 9240 (lcm(2,3,4,5,6,7,11)=4620 -> same mods for all synth
