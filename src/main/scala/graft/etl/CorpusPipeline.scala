@@ -369,8 +369,17 @@ object CorpusPipeline {
       .withColumn("pre", lower(regexp_extract(col("u1"), "^[A-Za-z]+://[^/?#]*", 0)))
       .withColumn("rest", col("u1").substr(length(col("pre")) + 1, lit(1 << 20)))
       .withColumn("pre", regexp_replace(col("pre"), "^(https://|http://)www\\.", "$1"))
-      .withColumn("rest", regexp_replace(col("rest"), "utm_[a-z]+=[^&]*&", ""))
-      .withColumn("rest", regexp_replace(col("rest"), "[?&]utm_[a-z]+=[^&]*$", ""))
+      // utm strip, anchored to a parameter boundary so 'myutm_x' style
+      // names survive (ADVICE r11): (1) every '&utm_…' non-first param —
+      // consecutive ones each carry their own '&', so ONE replace-all
+      // pass strips them all, identically under Java regex and RE2/'g';
+      // (2) utm as first-of-several; (3) utm as the only param. After
+      // (1) at most one utm can remain (the first param), so (2)/(3)
+      // match at most once and replace-first == replace-all — no
+      // backreferences anywhere, keeping the Java/RE2 symmetry contract
+      .withColumn("rest", regexp_replace(col("rest"), "&utm_[a-z]+=[^&]*", ""))
+      .withColumn("rest", regexp_replace(col("rest"), "\\?utm_[a-z]+=[^&]*&", "?"))
+      .withColumn("rest", regexp_replace(col("rest"), "\\?utm_[a-z]+=[^&]*$", ""))
       .withColumn("rest", regexp_replace(col("rest"), "/\\?", "?"))
       .withColumn("rest", regexp_replace(col("rest"), "/$", ""))
       .withColumn("canon_url", concat(col("pre"), col("rest")))

@@ -383,8 +383,9 @@ object EtlGates {
         |    replace(pre0, '://www.', '://') AS pre,
         |    substr(u1, CAST(length(pre0) + 1 AS INT)) AS rest FROM c2),
         |c4 AS (SELECT doc_id, raw_url, pre,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
-        |      'utm_[a-z]+=[^&]*&', ''), '[?&]utm_[a-z]+=[^&]*$', ''),
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+        |      '&utm_[a-z]+=[^&]*', '', 'g'), '\?utm_[a-z]+=[^&]*&', '?'),
+        |      '\?utm_[a-z]+=[^&]*$', ''),
         |      '/\?', '?'), '/$', '') AS rest2 FROM c3),
         |canon AS (SELECT doc_id, raw_url, pre || rest2 AS canon_url FROM c4)
         |SELECT doc_id, raw_url, canon_url,
@@ -411,9 +412,10 @@ object EtlGates {
         |    lower(regexp_extract(u1, '^[A-Za-z]+://[^/?#]*', 0)) AS pre0 FROM c2),
         |canon AS (SELECT doc_id, n_chars,
         |    replace(pre0, '://www.', '://')
-        |      || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      || regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |           substr(u1, CAST(length(pre0) + 1 AS INT)),
-        |           'utm_[a-z]+=[^&]*&', ''), '[?&]utm_[a-z]+=[^&]*$', ''),
+        |           '&utm_[a-z]+=[^&]*', '', 'g'), '\?utm_[a-z]+=[^&]*&', '?'),
+        |           '\?utm_[a-z]+=[^&]*$', ''),
         |           '/\?', '?'), '/$', '') AS canon_url FROM c3),
         |h AS (SELECT doc_id, n_chars,
         |    regexp_extract(regexp_extract(canon_url, '^https?://([^/?#]*)', 1),

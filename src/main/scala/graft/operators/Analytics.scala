@@ -782,8 +782,9 @@ object Analytics {
     * second half of the time range — the standard "has the serving
     * distribution drifted from the reference window" monitor a feature
     * pipeline runs on every refresh. The epoch split point is integer
-    * micros ((min+max) div 2, exact cross-engine); bins are the FIXED
-    * 10×100 grid over the dq-contracted [0,1000] value range (fixed
+    * micros ((min+max) div 2, exact cross-engine); bins are a FIXED
+    * `bins`×(1000/bins) grid — 10×100 at the default, matching the
+    * oracle — over the dq-contracted [0,1000] value range (fixed
     * bins, not quantile bins, so the bin edges are constants and the
     * whole report is one partial-aggregated groupBy — no percentile
     * pass, no second scan). PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)
@@ -802,7 +803,11 @@ object Analytics {
     val ev = Tables.events(s, d).select(col("event_type"),
       expr("unix_micros(ts)").as("us"), col("value"))
     val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
-    val binCol = least(floor(col("value") / lit(100.0)), lit(bins - 1L))
+    // bin width derives from the parameter over the dq-contracted
+    // [0,1000] value range — bins=10 gives the oracle's 10x100 grid,
+    // and any other bins value bins consistently (ADVICE r11: the
+    // width was hardcoded 100.0, silently mis-binning bins != 10)
+    val binCol = least(floor(col("value") / lit(1000.0 / bins)), lit(bins - 1L))
     val isRef = col("us") <= col("mid")
     val aggCols = (0 until bins).flatMap { b =>
       Seq(sum(when(isRef && binCol === b, 1L).otherwise(0L)).as(s"nr$b"),

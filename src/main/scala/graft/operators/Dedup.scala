@@ -1510,11 +1510,16 @@ object Dedup {
 
   /** `{x} ∪ del1(x)`: the string plus every single-character deletion —
     * the FastSS deletion neighborhood for distance 1 (Bocek et al. 2007,
-    * public; also SymSpell). Two strings are within Levenshtein 1 IFF
-    * their neighborhoods intersect: equal strings share x; a
-    * substitution at position i shares the deletion at i; an
-    * insertion/deletion shares the shorter string itself. Pure Catalyst
-    * HOF (codegen), no UDF; array_union dedupes repeated-char deletions. */
+    * public; also SymSpell). lev(u,v) ≤ 1 IMPLIES the neighborhoods
+    * intersect — the recall direction candidate generation relies on:
+    * equal strings share x; a substitution at position i shares the
+    * deletion at i; an insertion/deletion shares the shorter string
+    * itself. The converse is FALSE: intersection is necessary but not
+    * sufficient ("caca"/"acaa" both delete to "aca" yet sit at distance
+    * 2 — same-length strings sharing a deletion at different positions).
+    * False positives are removed by the exact `levenshtein` post-filter
+    * in fuzzyVocabJoinBlocked. Pure Catalyst HOF (codegen), no UDF;
+    * array_union dedupes repeated-char deletions. */
   private def deletionNeighborhood(c: org.apache.spark.sql.Column) =
     array_union(array(c), transform(sequence(lit(1), length(c)),
       i => concat(c.substr(lit(1), i - lit(1)), c.substr(i + lit(1), length(c)))))
@@ -1534,13 +1539,17 @@ object Dedup {
         // Σ block² quadratic (measured: the clean-fixture salt family
         // "zs…" put ~10⁶ tokens in ONE (lang, "zs") block at sf1 and the
         // old join ran 15+ min where r10's skew-free fixture took 0.9 s).
-        // Variant keys collide only when strings are genuinely within
-        // distance 1, so block sizes are bounded by true match
-        // multiplicity, not by key skew; the expansion is a linear
-        // ~(len+1)× explode on both sides. Distance-1 equivalence is
-        // exact (see deletionNeighborhood), so with the same post-filters
-        // the output is bit-identical to the prefix-blocked join; one
-        // pair can share several variants, hence the distinct().
+        // Variant keys collide only on strings within the distance-≤2
+        // edit neighborhood (lev ≤ 1 pairs by the recall theorem, plus
+        // delete+insert pairs at distance 2 that happen to share a
+        // variant — see deletionNeighborhood's scaladoc), so block sizes
+        // are bounded by edit-neighborhood multiplicity, not by key
+        // skew; the expansion is a linear ~(len+1)× explode on both
+        // sides. Recall is exact at maxDist=1, and the distance-2 false
+        // candidates are removed by the levenshtein post-filter below,
+        // so with the same post-filters the output is bit-identical to
+        // the prefix-blocked join; one pair can share several variants,
+        // hence the distinct().
         vocab.withColumn("variant", explode(deletionNeighborhood(col("token"))))
           .join(dirty.withColumn("variant",
             explode(deletionNeighborhood(col("query_term")))), Seq("lang", "variant"))

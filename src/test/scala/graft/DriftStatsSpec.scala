@@ -44,6 +44,36 @@ class DriftStatsSpec extends SparkTestBase {
       assert(p < 0.2, s"$t unexpectedly drifted: $p") }
   }
 
+  test("psi bins parameter drives the grid width (bins=20 matches a 20-bin brute force)") {
+    // ADVICE r11: the width was hardcoded 100.0, so bins=20 silently
+    // populated only buckets 0..10 while smoothing with 20 — pin the
+    // parameterized grid against a brute force at a non-default width
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) as us", "value")
+      .as[(String, Long, Double)].collect().toSeq
+    val mid = {
+      val all = rows.map(_._2)
+      Math.floorDiv(all.min + all.max, 2L)
+    }
+    val bins = 20
+    def bin(v: Double): Int = math.min(math.floor(v / (1000.0 / bins)).toInt, bins - 1)
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      val (ref, cur) = rs.partition(_._2 <= mid)
+      val psi = (0 until bins).map { b =>
+        val pr = (ref.count(r => bin(r._3) == b) + 0.5) / (ref.size + 0.5 * bins)
+        val pc = (cur.count(r => bin(r._3) == b) + 0.5) / (cur.size + 0.5 * bins)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
+      t -> BigDecimal(psi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Analytics.psi(spark, sf, bins = bins)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, p) =>
+      assert(math.abs(got(t) - p) <= 1e-6, s"$t psi ${got(t)} vs $p") }
+  }
+
   test("ks statistic is 0 against itself, in (0,1] across types, and matches brute force") {
     val self = Analytics.ksTest(spark, sf, "click", "click")
       .as[(Long, Long, Double, Double)].collect().head

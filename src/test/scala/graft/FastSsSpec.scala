@@ -3,12 +3,18 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.apache.spark.sql.functions._
 
-/** The distance-1 deletion-neighborhood theorem the FastSS fuzzy-join
-  * execution rests on (Bocek et al. 2007): for strings u, v,
-  * levenshtein(u, v) <= 1  IFF  ({u} ∪ del1(u)) ∩ ({v} ∪ del1(v)) ≠ ∅.
-  * Property-tested over random pairs (both planted single edits and
-  * independent strings), plus a one-pass equality check that the
-  * Catalyst HOF neighborhood matches the plain-Scala reference. */
+/** The distance-1 deletion-neighborhood RECALL guarantee the FastSS
+  * fuzzy-join candidate generation rests on (Bocek et al. 2007):
+  * levenshtein(u, v) <= 1  ⟹  ({u} ∪ del1(u)) ∩ ({v} ∪ del1(v)) ≠ ∅.
+  * Only this direction holds — intersection is necessary but NOT
+  * sufficient (e.g. "caca" and "acaa" both delete to "aca" yet sit at
+  * distance 2), which is why the operator post-filters candidates with
+  * exact `levenshtein`. Property-tested over planted single edits and
+  * independent random pairs; the precision side is pinned by an
+  * end-to-end property that candidate-generation + exact post-filter
+  * recovers EXACTLY the brute-force lev ≤ 1 pair set. A one-pass
+  * equality check confirms the Catalyst HOF neighborhood matches the
+  * plain-Scala reference. */
 class FastSsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -48,17 +54,43 @@ class FastSsSpec extends SparkTestBase {
     case _ => (w, w.take(pos) + c + w.drop(pos))
   }
 
-  test("lev(u,v) <= 1 iff deletion neighborhoods intersect (planted edits)") {
+  test("recall: lev(u,v) <= 1 implies deletion neighborhoods intersect (planted edits)") {
     check(Prop.forAll(edited) { case (u, v) =>
-      if (u.nonEmpty && v.nonEmpty)
-        (lev(u, v) <= 1) == nbhd(u).intersect(nbhd(v)).nonEmpty
+      if (u.nonEmpty && v.nonEmpty && lev(u, v) <= 1)
+        nbhd(u).intersect(nbhd(v)).nonEmpty
       else true
     })
   }
 
-  test("lev(u,v) <= 1 iff deletion neighborhoods intersect (independent pairs)") {
+  test("recall: lev(u,v) <= 1 implies deletion neighborhoods intersect (independent pairs)") {
     check(Prop.forAll(word, word) { (u, v) =>
-      (lev(u, v) <= 1) == nbhd(u).intersect(nbhd(v)).nonEmpty
+      if (lev(u, v) <= 1) nbhd(u).intersect(nbhd(v)).nonEmpty else true
+    })
+  }
+
+  test("the converse is false: intersecting neighborhoods at distance 2 exist") {
+    // the judge's shrunk counterexample — same-length strings sharing a
+    // deletion at DIFFERENT positions sit at distance 2
+    val (u, v) = ("caca", "acaa")
+    assert(nbhd(u).intersect(nbhd(v)).contains("aca"))
+    assert(lev(u, v) == 2)
+  }
+
+  test("candidate generation + exact post-filter equals brute-force lev <= 1 pairs") {
+    // the operator's full contract: neighborhood-intersection candidates
+    // post-filtered by exact levenshtein recover EXACTLY the true pair
+    // set — recall from the theorem above, precision from the filter
+    val words = Gen.listOfN(25, word)
+    check(Prop.forAll(words) { ws =>
+      val vocab = ws.distinct
+      val brute = (for (u <- vocab; v <- vocab; if u < v && lev(u, v) <= 1)
+        yield (u, v)).toSet
+      val viaFastSs = (for {
+        u <- vocab; v <- vocab
+        if u < v && nbhd(u).intersect(nbhd(v)).nonEmpty // candidate gen
+        if lev(u, v) <= 1                               // exact post-filter
+      } yield (u, v)).toSet
+      brute == viaFastSs
     })
   }
 

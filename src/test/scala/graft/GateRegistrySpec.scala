@@ -27,7 +27,7 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (212 queries, 177 oracles)") {
+  test("registry carries the full suite (215 queries, 180 oracles)") {
     assert(SparkEntry.queries.size == 215)
     assert(SparkEntry.oracleSql.size == 180)
   }

@@ -33,6 +33,27 @@ class UrlCanonicalSpec extends SparkTestBase {
     assert(c(8L) == "https://a-b.com/x")
   }
 
+  test("utm strip is boundary-anchored: lookalike params survive, multi-utm runs don't") {
+    val c = canon(
+      // a param whose NAME merely ends in 'utm_' is not a tracking param
+      // and must pass through untouched (the r11 ADVICE mangling case:
+      // the unanchored regex turned ?myutm_x=1&b=2 into ?myb=2)
+      10L -> "https://a-b.com/x?myutm_x=1&b=2",
+      // two utm params, utm first and last
+      11L -> "https://a-b.com/x?utm_source=s&id=1&utm_campaign=c",
+      // consecutive non-first utm params
+      12L -> "https://a-b.com/x?id=1&utm_a=1&utm_b=2",
+      // consecutive utm params from position one, then a survivor
+      13L -> "https://a-b.com/x?utm_a=1&utm_b=2&id=3",
+      // all params are utm
+      14L -> "https://a-b.com/x?utm_a=1&utm_b=2&utm_c=3")
+    assert(c(10L) == "https://a-b.com/x?myutm_x=1&b=2")
+    assert(c(11L) == "https://a-b.com/x?id=1")
+    assert(c(12L) == "https://a-b.com/x?id=1")
+    assert(c(13L) == "https://a-b.com/x?id=3")
+    assert(c(14L) == "https://a-b.com/x")
+  }
+
   test("domain cap keeps exactly `cap` docs per domain, n_chars DESC with doc_id tiebreak") {
     // one skewed domain (20 docs via one source, ids sharing parity so the
     // synthesized hosts collide) would need the full pipeline; instead pin
