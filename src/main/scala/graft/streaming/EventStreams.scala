@@ -248,19 +248,30 @@ object EventStreams {
     * dedup STATE is what's being hash-checked. Append mode emits each
     * key's first arrival immediately; state for a key is evicted once
     * the watermark passes its event time (bounded by key cardinality per
-    * horizon, never by stream length). */
+    * horizon, never by stream length). The output is STREAM-SIZED (the
+    * whole deduped feed), so it lands in a parquet file sink with a
+    * checkpoint — rows flow executor→sink, the driver holds only a path
+    * (the r11 audit flagged the old memory sink here as the one
+    * remaining stream-sized driver drain; same fix as
+    * q_stream_sessionize/q_stream_resample/q_stream_static_join).
+    * Repeated reps resume from the checkpoint: the sources see no new
+    * files and the sink manifest reads back the same rows. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
+    val base = graft.Scratch.dir(s"streamdedup_$d")
+    s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try {
       def src: DataFrame = rawEventStream(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
-      val name = "graft_stream_dedup"
       val q = dedupStream(src.unionAll(src)).writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
         .start()
       drain(q, "dedup")
-      s.table(name)
+      s.read.parquet(s"$base/out")
+        .select("event_id", "ts", "user_id", "event_type", "value")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -423,7 +434,9 @@ object EventStreams {
     * The gate query streams the documents table (batch = doc_id%10 ≥ 8)
     * with two synthesized re-arrival branches — corpus copies (+100000)
     * that the anti-join must drop, and in-batch repeats (+200000) that
-    * the dedup must collapse — and drains into a memory sink. Event time
+    * the dedup must collapse — and lands the surviving feed in a parquet
+    * file sink (feed-sized output never transits the driver; only the
+    * per-lang aggregate over the sink read-back does). Event time
     * is a synthetic crawl timestamp derived from doc_id (deterministic).
     * The output aggregates per lang with content-md5 extrema because the
     * SURVIVOR of an in-batch repeat pair is order-dependent (same text,
@@ -431,7 +444,9 @@ object EventStreams {
     * what the DuckDB oracle can pin (`q_stream_ingest_dedup`). */
   def streamIngestDedup(s: SparkSession, d: String): DataFrame = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s)) // state-store count, see streamResample
+    val base = graft.Scratch.dir(s"streamingest_$d")
+    // checkpoint persists across reps → state-store count pinned to it
+    s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try {
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),
@@ -465,12 +480,17 @@ object EventStreams {
         .join(corpusIndex, Seq("h"), "left_anti") // stream-static anti join
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(Seq("h"))
-      val name = "graft_stream_ingest"
+      // the kept feed is FEED-SIZED (full surviving documents, text
+      // included), so it lands in a parquet file sink — executor→disk —
+      // and only the per-lang aggregate below ever reaches the driver
       val q = kept.writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
         .start()
       drain(q, "ingest_dedup")
-      s.table(name)
+      s.read.parquet(s"$base/out")
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
           sum("n_chars").as("chars_sum"),
@@ -627,22 +647,30 @@ object EventStreams {
   }
 
   /** q_stream_anomaly gate: stream the events table through
-    * [[streamingAnomaly]] into a memory sink; result must hash-match the
-    * batch q_anomaly_zscore oracle. */
+    * [[streamingAnomaly]] into a parquet file sink with a checkpoint;
+    * result must hash-match the batch q_anomaly_zscore oracle. Output
+    * volume is anomaly-rate-sized — smaller than the feed, but still
+    * proportional to it, so it takes the executor→sink path like every
+    * other stream-sized gate (the r11 audit grouped it with
+    * q_stream_dedup's hazard class). Repeat reps resume from the
+    * checkpoint and read back the committed manifest. */
   def streamAnomaly(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    val base = graft.Scratch.dir(s"streamanomaly_$d")
+    s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try {
       val stream = rawEventStream(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[Event]
-      val name = "graft_stream_anomaly"
       val q = streamingAnomaly(stream).toDF().writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
         .start()
       drain(q, "anomaly")
-      s.table(name)
+      s.read.parquet(s"$base/out")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           round(col("base_mean"), 6).as("base_mean"),
           round(col("z"), 6).as("z"))
