@@ -28,8 +28,9 @@ object DedupGates {
     // giant-component path); must agree exactly with the min-label form
     "q_dedup_clusters_ls" -> (Dedup.dedupClustersLogRounds _),
     "q_dedup_clean"    -> (Dedup.dedupClean _),
-    // PageRank centrality over the same memoized near-dup pair graph
-    // (no oracle: float iterations; PagerankSpec pins closed forms)
+    // PageRank centrality over the same memoized near-dup pair graph —
+    // fixed-point integer iterations, so the DuckDB oracle replays them
+    // exactly (PagerankSpec additionally pins closed forms)
     "q_doc_pagerank"   -> ((s: SparkSession, d: String) => Dedup.docPagerank(s, d)),
     // per-node triangles + clustering coefficient over the pair graph
     // (oriented-join count — exact integer ratios, fully oracled)
@@ -119,6 +120,22 @@ object DedupGates {
         |JOIN sizes sb ON p.b_id = sb.doc_id
         |WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.12""".stripMargin,
 
+    // the banded gate SHARES the exact pair CTEs at its own τ = 0.2 —
+    // the batch-twin oracle device: the LSH prefilter is candidate
+    // generation only (exact jaccard verify downstream), and on this
+    // fixture every true pair sits at j ≥ 0.9 where the per-pair band
+    // miss probability is (1 − j²)^64 ≈ 1e-46, so banded output ==
+    // exact output (NgramBandedSpec pins agreement; the r11 sf30 run
+    // measured identical 25 k-pair outputs)
+    "q_ngram_jaccard_banded" ->
+      s"""WITH $NgramPairCtes
+        |SELECT p.a_id, p.b_id, p.shared, sa.n_sh AS a_n, sb.n_sh AS b_n,
+        |  CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON p.a_id = sa.doc_id
+        |JOIN sizes sb ON p.b_id = sb.doc_id
+        |WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.shared AS DOUBLE) >= 0.2""".stripMargin,
+
     // same shared pair CTEs, asymmetric min-denominator score
     "q_ngram_containment" ->
       s"""WITH $NgramPairCtes
@@ -155,6 +172,41 @@ object DedupGates {
         |    THEN 2.0 * COALESCE(t.triangles, 0) / (d.deg * (d.deg - 1))
         |    ELSE 0.0 END AS clustering
         |FROM deg d LEFT JOIN tcount t ON d.doc_id = t.doc_id""".stripMargin,
+
+    // fixed-point PageRank replay: the operator carries ranks as integer
+    // units of 1e-15 with every step in exact long arithmetic (u//deg
+    // contributions, integer sums, damping as *85//100), so five
+    // unrolled iterations of the IDENTICAL integer recurrence — floor
+    // divisions and all — reproduce the Spark units bit-for-bit; the
+    // only float op is the final units/1e15, the same single division in
+    // both engines (the q_correlation raw-double discipline)
+    "q_doc_pagerank" -> {
+      val S = "1000000000000000"
+      def iterCte(k: Int) =
+        s"""r$k AS (
+           |  SELECT ids.id,
+           |    (SELECT (15 * $S) // (100 * n) FROM nn)
+           |      + (85 * COALESCE(m.mass, 0)) // 100 AS u
+           |  FROM ids LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(r.u // d.deg) AS BIGINT) AS mass
+           |    FROM edges e JOIN r${k - 1} r ON e.src = r.id
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY 1) m ON m.id = ids.id)""".stripMargin
+      s"""WITH $NgramPairCtes,
+        |$JpairsCte,
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM jpairs
+        |  UNION ALL SELECT b_id, a_id FROM jpairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |ids AS (SELECT doc_id AS id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM ids),
+        |r0 AS (SELECT id, (SELECT $S // n FROM nn) AS u FROM ids),
+        |${(1 to 5).map(iterCte).mkString(",\n")}
+        |SELECT r5.id AS doc_id,
+        |  CAST(r5.u AS DOUBLE) / $S.0 AS "rank",
+        |  COALESCE(d.deg, 0) AS deg
+        |FROM r5 LEFT JOIN deg d ON d.src = r5.id""".stripMargin
+    },
 
     // transitive closure of the same pair graph: reach(id, r) enumerates
     // every node r reachable from id (components are near-dup clusters —

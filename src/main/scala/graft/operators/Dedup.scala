@@ -607,9 +607,12 @@ object Dedup {
     * 0.01 that is 1 − 0.99^128 ≈ 72 % of ALL pairs — the prefilter
     * collapses to all-pairs, so it is not offered as a default.
     * Output schema matches [[ngramJaccardFromPostings]] (jaccard is the
-    * exact value, not the signature estimate). No DuckDB oracle — the
-    * candidate set depends on JVM minhash — so the gate row is
-    * rows-only, with the spec pinning agreement.
+    * exact value, not the signature estimate). The gate row SHARES the
+    * exact operator's DuckDB oracle at τ = 0.2 (the batch-twin device):
+    * candidates depend on JVM minhash, but every fixture true pair sits
+    * at j ≥ 0.9 where the band-miss probability is (1 − j²)^64 ≈ 1e-46,
+    * so the verified output equals the exact join's — NgramBandedSpec
+    * pins the agreement, the oracle hash-checks it.
     *
     * `maxBucket` caps band buckets (see [[bandCandidatesFromSigs]]):
     * without it the background-collision candidate term grows with
@@ -984,6 +987,11 @@ object Dedup {
       iters, damping)
       .select(col("id").as("doc_id"), col("rank"), col("deg"))
 
+  /** Fixed-point scale for [[pagerank]]: ranks are carried as integer
+    * units of 10⁻¹⁵ (max total mass 10¹⁵ < 2⁵³, so the final units →
+    * double conversion is exact). */
+  private val PrScale = 1000000000000000L
+
   /** Iterative PageRank on an UNDIRECTED edge list (first two columns =
     * endpoints; symmetrized internally), nodes from `nodes`' first
     * column. rank_{t+1}(v) = (1−d)/N + d·Σ_{u→v} rank_t(u)/deg(u) — the
@@ -997,9 +1005,25 @@ object Dedup {
     * 100 TB the edge list would be pre-bucketed by src so the per-round
     * join is exchange-free on the big side. Lineage is truncated per
     * round (localCheckpoint, same discipline as [[connectedComponents]]).
-    * Degrees and the symmetric edges build once and checkpoint. */
+    * Degrees and the symmetric edges build once and checkpoint.
+    *
+    * Ranks are FIXED-POINT: integer units of 1/[[PrScale]], with every
+    * per-iteration step (u div deg contributions, an integer SUM, the
+    * ·d damping as ·num div 100) in exact long arithmetic — so the
+    * result is independent of aggregation order (a double Σ rank/deg is
+    * not: float addition doesn't associate, and partial-agg merge order
+    * is nondeterministic) and a DuckDB oracle can replay the identical
+    * iterations with `//` and integer sums (`q_doc_pagerank` is
+    * hash-checked, not rows-only). Per-step floor loss is ≤ 1 unit
+    * (10⁻¹⁵) per node per round — five orders below the 1e-8 closed-form
+    * tolerances. The final rank = units/10¹⁵ division is one float op on
+    * identical integers in both engines. Requires damping be a multiple
+    * of 0.01 so d = num/100 is exact. */
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 5,
       damping: Double = 0.85): DataFrame = {
+    val num = math.round(damping * 100)
+    require(num / 100.0 == damping,
+      s"damping must be a multiple of 0.01 for the fixed-point iteration, got $damping")
     val ec = edges.columns
     val sym = edges
       .select(col(ec(0)).as("src"), col(ec(1)).as("dst"))
@@ -1010,23 +1034,23 @@ object Dedup {
     val ids = nodes.select(col(nodes.columns.head).as("id"))
       .unionAll(sym.select(col("src").as("id"))).distinct().localCheckpoint(true)
     val n = ids.count()
-    val base = (1.0 - damping) / n
-    var ranks = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    val baseU = (100L - num) * PrScale / (100L * n) // floor: exact both engines
+    var ranks = ids.withColumn("u", lit(PrScale / n)).localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = sym
         .join(ranks, sym("src") === ranks("id"))
         .join(deg, Seq("src"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
-        .groupBy("id").agg(sum("c").as("in_mass"))
+        .select(col("dst").as("id"), expr("u div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("in_mass")) // exact long sum, order-free
       ranks = ids
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
-            .as("rank"))
+          (lit(baseU) + expr(s"($num * coalesce(in_mass, 0L)) div 100")).as("u"))
         .localCheckpoint(true)
     }
     ranks.join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
-      .select(col("id"), round(col("rank"), 9).as("rank"),
+      .select(col("id"),
+        (col("u").cast("double") / lit(PrScale.toDouble)).as("rank"),
         coalesce(col("deg"), lit(0L)).as("deg"))
   }
 
