@@ -60,6 +60,11 @@ object AnalyticsGates {
     // the invariants against an independent listing)
     "q_compaction_plan" -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.compactionPlan(s, d)),
+    // compaction EXECUTOR: one-shuffle rewrite to the planned file
+    // groups + the data-preservation report (counts + DECIMAL sums),
+    // which IS the oracle — compaction changes files, never rows
+    "q_compaction_exec" -> ((s: SparkSession, d: String) =>
+      graft.operators.Layout.compactionExec(s, d)),
     // one-pass Poisson bootstrap CI (LCG-keyed Poisson(1) weights, all
     // replicates on one scan — the 100 TB bootstrap)
     "q_bootstrap_ci"   -> ((s: SparkSession, d: String) =>
@@ -332,6 +337,13 @@ object AnalyticsGates {
 
     // expiry anchored at the corpus' own max day — deterministic, and
     // the policy must change lifecycle labels, never the per-day stats
+    // the compacted layout must hold exactly the raw table's rows —
+    // per-day counts + DECIMAL-exact sums; "partition" quoted (reserved)
+    "q_compaction_exec" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS "partition", count(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q_retention" ->
       """WITH days AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,

@@ -412,6 +412,46 @@ object Layout {
       "n_target_groups", "needs_compaction")
   }
 
+  /** EXECUTE the compaction [[compactionPlan]] recommends — the second
+    * half of the maintenance job: rewrite the date-partitioned events
+    * layout so each day directory lands in (at most) its planned
+    * ⌈bytes/target⌉ file groups, then read the compacted layout BACK and
+    * report per-partition row count + exact DECIMAL value sum — the
+    * data-preservation proof a maintenance job must produce before it
+    * swaps directories. That report is what the DuckDB oracle pins
+    * (`q_compaction_exec`: counts + sums over the raw table — compaction
+    * must change files, never rows); the file-level post-conditions
+    * (per-day file count ≤ planned groups, == 1 where groups == 1) are
+    * asserted by CompactionPlanSpec against an independent listing, since
+    * byte-derived group counts are environment-specific.
+    *
+    * Shape: the plan is partition-count-sized (broadcast), each row of
+    * the fact is shuffled ONCE to its (day, bin) writer task —
+    * `repartition(event_date, pmod(event_id, n_target_groups))` — so a
+    * day with one group writes one file and an over-target day splits
+    * into `groups` bins; at 100 TB this is exactly the one-shuffle
+    * rewrite OPTIMIZE/rewriteDataFiles performs, driven by the same
+    * manifest statistics. Guarded one-per-JVM like [[eventsByDatePath]]
+    * so bench reps reuse the committed rewrite. */
+  def compactionExec(s: SparkSession, d: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    val out = graft.Scratch.dir(s"compactexec_$d") + "/events_by_date"
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val planDf = compactionPlan(s, d, targetBytes)
+        .select(col("partition").as("event_date"), col("n_target_groups"))
+      val src = s.read.parquet(eventsByDatePath(s, d))
+        .withColumn("event_date", col("event_date").cast("string"))
+      src.join(broadcast(planDf), Seq("event_date"))
+        .repartition(col("event_date"),
+          pmod(col("event_id"), col("n_target_groups")))
+        .drop("n_target_groups")
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    }
+    s.read.parquet(out)
+      .groupBy(col("event_date").cast("string").as("partition"))
+      .agg(count(lit(1)).as("n_rows"), exactSum(col("value")).as("value_sum"))
+  }
+
   /** The lazy plan [[bloomPrunedJoin]] materializes (split out so the
     * spec can assert the injected `might_contain` before checkpointing
     * erases the plan). Shape notes that make the rule fire: the creation

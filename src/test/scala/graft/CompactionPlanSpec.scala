@@ -39,4 +39,35 @@ class CompactionPlanSpec extends SparkTestBase {
         == (r.getAs[Long]("n_files") > r.getAs[Long]("n_target_groups")))
     }
   }
+
+  test("compaction exec preserves rows and lands each day in <= planned files") {
+    val plan = Layout.compactionPlan(spark, sf).collect()
+      .map(r => r.getAs[String]("partition") -> r.getAs[Long]("n_target_groups"))
+      .toMap
+    val report = Layout.compactionExec(spark, sf).collect()
+    // data preservation: per-day counts and DECIMAL sums equal the raw table
+    val raw = Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("partition"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.operators.exactSum(col("value")).as("value_sum"))
+      .collect()
+      .map(r => r.getAs[String]("partition") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("value_sum"))).toMap
+    assert(report.map(_.getAs[String]("partition")).toSet == raw.keySet)
+    report.foreach { r =>
+      val p = r.getAs[String]("partition")
+      assert((r.getAs[Long]("n_rows"), r.getAs[Double]("value_sum")) == raw(p), p)
+    }
+    // file-level post-condition: each compacted day dir holds <= its
+    // planned group count (== 1 when groups == 1, the fixture case)
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_compactexec__root_testdata_sf0.001_${ProcessHandle.current().pid()}/events_by_date")
+    root.listFiles().filter(_.isDirectory).foreach { dir =>
+      val day = dir.getName.stripPrefix("event_date=")
+      val n = dir.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val groups = plan(day)
+      assert(n <= groups, s"$day: $n files > $groups planned")
+      if (groups == 1L) assert(n == 1, s"$day: expected exactly one file, got $n")
+    }
+  }
 }
