@@ -58,7 +58,14 @@ object Memo {
     synchronized { mapFor(s).get(key) } match {
       case Some((df, _)) => df
       case None =>
+        // build receipt: family memos are built by whichever gate query
+        // happens to run first, so per-query wall times are memo-order
+        // artifacts unless the build cost is attributable — one stderr
+        // line per build (key + seconds) lets the bench reader subtract
+        // it from the paying query (VERDICT r11 #5)
+        val t0 = System.nanoTime()
         val df = build.localCheckpoint(true)
+        System.err.println(f"[memo] build key=$key t=${(System.nanoTime() - t0) / 1e9}%.1fs")
         val owned = checkpointIds(df)
         synchronized {
           val m = mapFor(s)
