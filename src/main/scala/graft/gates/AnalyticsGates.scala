@@ -91,6 +91,11 @@ object AnalyticsGates {
     // output) — the pre-release privacy gate next to forget_audit
     "q_k_anonymity"    -> ((s: SparkSession, d: String) =>
       graft.operators.Analytics.kAnonymity(s, d)),
+    // l-diversity audit (distinct-l + entropy-l over the fixed 10-bucket
+    // sensitive grid per (type, day) QI group) — the homogeneity-attack
+    // gate k-anonymity misses; one fixed-literal groupBy, oracle-exact
+    "q_l_diversity"    -> ((s: SparkSession, d: String) =>
+      graft.operators.Analytics.lDiversity(s, d)),
     // first-order Markov transition matrix over user event sequences
     // (counts + row-normalized p; |types|²-bounded output)
     "q_transition_matrix" -> (graft.operators.Analytics.transitionMatrix _),
@@ -525,6 +530,38 @@ object AnalyticsGates {
         |  count(DISTINCT user_id) < 5 AS suppressed
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // fixed 10-bucket sensitive grid per (type, day) QI group: counts
+    // and distinct-l are exact integers; entropy is the same
+    // left-associated 10-term ln tree as the Spark plan (q_psi
+    // discipline), rounded at 6 dp; entropy_ok compares the rounded
+    // value against ln(3) computed identically in both engines
+    "q_l_diversity" -> {
+      val cnt = (0 until 10)
+        .map(b => s"count(*) FILTER (WHERE b = $b) AS c$b").mkString(",\n    ")
+      val n = (0 until 10).map(b => s"c$b").mkString(" + ")
+      val nSens = (0 until 10)
+        .map(b => s"(CASE WHEN c$b > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      def p(b: Int) = s"(CAST(c$b AS DOUBLE) / CAST(n AS DOUBLE))"
+      val ent = (0 until 10)
+        .map(b => s"(CASE WHEN c$b > 0 THEN (-${p(b)}) * ln(${p(b)}) ELSE 0.0 END)")
+        .mkString("\n    + ")
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    LEAST(GREATEST(CAST(floor(value / 100) AS BIGINT), 0), 9) AS b
+         |  FROM events),
+         |c AS (
+         |  SELECT event_type, day,
+         |    $cnt
+         |  FROM e GROUP BY 1, 2),
+         |w AS (SELECT c.*, $n AS n FROM c)
+         |SELECT event_type, day, n,
+         |  CAST($nSens AS BIGINT) AS n_sensitive,
+         |  round($ent, 6) AS entropy,
+         |  $nSens >= 3 AS diverse,
+         |  ($ent) >= ln(3) AS entropy_ok
+         |FROM w""".stripMargin
+    },
 
     // each metric is a ratio of two exact integers — one correctly-
     // rounded divide per row, no rounding key needed

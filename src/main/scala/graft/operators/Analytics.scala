@@ -918,4 +918,53 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"))
       .withColumn("suppressed", col("n_users") < k)
+
+  /** l-diversity audit — the release gate [[kAnonymity]] does NOT cover:
+    * a quasi-identifier group can hold ≥ k distinct users yet leak the
+    * sensitive attribute outright when every row agrees on it
+    * (homogeneity attack, Machanavajjhala et al. 2007 — public). QI
+    * groups are (event_type, day); the sensitive attribute is the
+    * 10-bucket value grid (a salary-band stand-in). Per group: row
+    * count, DISTINCT-l (how many sensitive buckets appear; `diverse` =
+    * ≥ l), and ENTROPY-l (−Σ p·ln p over the buckets; `entropy_ok` =
+    * entropy ≥ ln l, the stricter criterion that catches 99-to-1
+    * skew distinct-l misses).
+    *
+    * Scale/determinism shape: the sensitive domain is the FIXED
+    * 10-bucket literal grid, so the whole audit is ONE partial-
+    * aggregated groupBy carrying 10 conditional counts (the psi /
+    * pivot-fixed-list discipline), and n, distinct-l, and every
+    * entropy p derive from exact integers — entropy is one fixed
+    * LEFT-ASSOCIATED 10-term ln tree, so the DuckDB oracle hash-matches
+    * (`q_l_diversity`). Output is bounded by |types| × days, never by
+    * fact volume. */
+  def lDiversity(s: SparkSession, d: String, l: Int = 3): DataFrame =
+    lDiversityEvents(Tables.events(s, d), l)
+
+  /** [[lDiversity]] over an arbitrary events frame — the testable form. */
+  private[graft] def lDiversityEvents(ev: DataFrame, l: Int): DataFrame = {
+    val withB = ev.withColumn("day", to_date(col("ts")))
+      .withColumn("vbucket",
+        least(greatest(floor(col("value") / 100), lit(0L)), lit(9L)))
+    val cnts = (0 until 10).map(b =>
+      sum(when(col("vbucket") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val nSens = (0 until 10)
+      .map(b => when(col(s"c$b") > 0, 1L).otherwise(0L)).reduceLeft(_ + _)
+    val ent = (0 until 10).map { b =>
+      val p = col(s"c$b").cast("double") / col("n").cast("double")
+      when(col(s"c$b") > 0, -p * log(p)).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    withB.groupBy("event_type", "day").agg(cnts.head, cnts.tail: _*)
+      .withColumn("n", (0 until 10).map(b => col(s"c$b")).reduceLeft(_ + _))
+      .withColumn("n_sensitive", nSens)
+      // the threshold compares the RAW entropy (identical expression
+      // tree in both engines → identical double → identical verdict);
+      // comparing the display-rounded value would flip exactly-uniform
+      // groups, whose entropy sits AT ln(l) up to one ulp
+      .withColumn("entropy_raw", ent)
+      .select(col("event_type"), col("day"), col("n"), col("n_sensitive"),
+        round(col("entropy_raw"), 6).as("entropy"),
+        (col("n_sensitive") >= l).as("diverse"),
+        (col("entropy_raw") >= log(lit(l.toDouble))).as("entropy_ok"))
+  }
 }

@@ -96,4 +96,38 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out("view") == ("view", 2L, 6L, 3L, true))
     assert(out("error") == ("error", 9L, 1L, 1L, true))
   }
+
+  test("l-diversity: homogeneous groups fail, uniform groups pass, entropy matches") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // group A ("click"): 6 rows all in bucket 0 — k-anonymous by users
+    // but HOMOGENEOUS: n_sensitive 1, entropy 0, both criteria fail.
+    // group B ("view"): 2 rows each in buckets 0/1/2/3 — distinct-l 4,
+    // entropy ln 4, clearly past both l = 3 thresholds (a 3-bucket
+    // uniform group would sit exactly AT ln 3 — the boundary the raw
+    // comparison exists for, deliberately avoided in a closed-form
+    // fixture).
+    // group C ("error"): 9 rows bucket 0 + 1 row bucket 9 — distinct-l 2
+    // fails, and entropy 0.325 also fails (the skew case entropy-l is
+    // stricter about).
+    val rows =
+      (1L to 6L).map(u => (u, ts0, u, "click", 50.0)) ++
+      Seq((10L, ts0, 1L, "view", 50.0), (11L, ts0, 2L, "view", 60.0),
+        (12L, ts0, 3L, "view", 150.0), (13L, ts0, 4L, "view", 160.0),
+        (14L, ts0, 5L, "view", 250.0), (15L, ts0, 6L, "view", 260.0),
+        (16L, ts0, 7L, "view", 350.0), (17L, ts0, 8L, "view", 360.0)) ++
+      ((20L to 28L).map(u => (u, ts0, u, "error", 10.0)) :+
+        ((29L, ts0, 29L, "error", 999.0)))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.lDiversityEvents(ev, l = 3)
+      .select("event_type", "n", "n_sensitive", "entropy", "diverse", "entropy_ok")
+      .as[(String, Long, Long, Double, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("click") == ("click", 6L, 1L, 0.0, false, false))
+    val lnN = BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("view") == ("view", 8L, 4L, lnN, true, true))
+    val entC = BigDecimal(-(0.9 * math.log(0.9) + 0.1 * math.log(0.1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("error") == ("error", 10L, 2L, entC, false, false))
+  }
 }
