@@ -28,6 +28,49 @@ object OracleCtes {
 
   private[gates] val NgramPairCtes: String = ngramPairCtes("documents")
 
+  /** Shared dense-series CTE block: per-(series = user, 30-min bucket)
+    * DECIMAL-exact means over events, filled by the direct-lerp
+    * interpolation, re-indexed 0..n−1 per series (`idx(series, y, i,
+    * n)`). The common input of every forecast-kernel oracle
+    * (`q_holt_prep`'s proven prefix, `q_holt_forecast`,
+    * `q_holt_gridsearch`) — the Spark twin is exactAvg →
+    * `HoltForecast.interpolateBuckets`. */
+  private[gates] val HoltDenseCtes: String =
+    """m AS (
+      |  SELECT user_id AS series, CAST(floor(epoch(ts)) AS BIGINT) // 1800 AS b,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT series, min(b) AS mn, max(b) AS mx FROM m GROUP BY 1),
+      |spine AS (SELECT series, unnest(generate_series(mn, mx)) AS b FROM bounds),
+      |j AS (
+      |  SELECT s.series, s.b, m.y FROM spine s
+      |  LEFT JOIN m ON s.series = m.series AND s.b = m.b),
+      |x AS (
+      |  SELECT series, b, y,
+      |    last_value(y IGNORE NULLS) OVER (PARTITION BY series ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+      |    last_value(CASE WHEN y IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      |      PARTITION BY series ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+      |    first_value(y IGNORE NULLS) OVER (PARTITION BY series ORDER BY b
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+      |    first_value(CASE WHEN y IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      |      PARTITION BY series ORDER BY b
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+      |  FROM j),
+      |dense AS (
+      |  SELECT series, b,
+      |    CASE WHEN y IS NOT NULL THEN y
+      |         ELSE prev_v + (next_v - prev_v) *
+      |           (CAST(b - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+      |    END AS y
+      |  FROM x),
+      |idx AS (
+      |  SELECT series, y,
+      |    row_number() OVER (PARTITION BY series ORDER BY b) - 1 AS i,
+      |    count(*) OVER (PARTITION BY series) AS n
+      |  FROM dense)""".stripMargin
+
   /** The τ = 0.12 thresholded pair edges (same filter as
     * `q_ngram_jaccard`'s output) — shared by the reachability and
     * triangle oracles so the edge set can never drift between them. */

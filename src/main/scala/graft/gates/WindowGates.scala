@@ -465,6 +465,157 @@ object WindowGates {
         |  END AS y
         |FROM x""".stripMargin,
 
+    // the full Holt kernel replayed in SQL: the q_holt_prep dense-series
+    // CTEs (DECIMAL means + direct-lerp fill, proven hash-exact) feed a
+    // type-7 quantile trim and a RECURSIVE CTE advancing the exact
+    // (level, trend) left fold one observation per step — every float op
+    // is the identical IEEE expression the Scala kernel runs (alpha/beta
+    // complements written as (1 - a) to match the runtime subtraction),
+    // and the trend update re-evaluates the new-level expression rather
+    // than referencing the alias (same bits, SQL can't self-reference)
+    "q_holt_forecast" ->
+      s"""WITH RECURSIVE $HoltDenseCtes,
+        |srt AS (
+        |  SELECT series, y, n,
+        |    row_number() OVER (PARTITION BY series ORDER BY y) - 1 AS r
+        |  FROM idx),
+        |qv AS (
+        |  SELECT series, max(n) AS n,
+        |    max(CASE WHEN r = CAST(floor(0.2 * (n - 1)) AS BIGINT) THEN y END) AS lo20,
+        |    max(CASE WHEN r = CAST(floor(0.2 * (n - 1)) AS BIGINT) + 1 THEN y END) AS hi20,
+        |    max(CASE WHEN r = CAST(floor(0.8 * (n - 1)) AS BIGINT) THEN y END) AS lo80,
+        |    max(CASE WHEN r = CAST(floor(0.8 * (n - 1)) AS BIGINT) + 1 THEN y END) AS hi80
+        |  FROM srt GROUP BY series),
+        |qq AS (
+        |  SELECT series, n,
+        |    CASE WHEN CAST(floor(0.2 * (n - 1)) AS BIGINT) + 1 < n
+        |      THEN lo20 + (hi20 - lo20) * ((0.2 * (n - 1)) - floor(0.2 * (n - 1)))
+        |      ELSE lo20 END AS qlo,
+        |    CASE WHEN CAST(floor(0.8 * (n - 1)) AS BIGINT) + 1 < n
+        |      THEN lo80 + (hi80 - lo80) * ((0.8 * (n - 1)) - floor(0.8 * (n - 1)))
+        |      ELSE lo80 END AS qhi
+        |  FROM qv),
+        |kept AS (
+        |  SELECT i.series, i.y,
+        |    row_number() OVER (PARTITION BY i.series ORDER BY i.i) - 1 AS jj,
+        |    count(*) OVER (PARTITION BY i.series) AS mm
+        |  FROM idx i JOIN qq ON i.series = qq.series
+        |  WHERE qq.n < 5 OR (i.y >= qq.qlo AND i.y <= qq.qhi)),
+        |rec AS (
+        |  SELECT k0.series, CAST(0 AS BIGINT) AS i, k0.y AS level,
+        |    COALESCE(k1.y - k0.y, 0.0) AS trend
+        |  FROM kept k0 LEFT JOIN kept k1
+        |    ON k0.series = k1.series AND k1.jj = 1
+        |  WHERE k0.jj = 0
+        |  UNION ALL
+        |  SELECT r.series, r.i + 1,
+        |    0.5 * k.y + (1 - 0.5) * (r.level + r.trend),
+        |    0.3 * ((0.5 * k.y + (1 - 0.5) * (r.level + r.trend)) - r.level)
+        |      + (1 - 0.3) * r.trend
+        |  FROM rec r JOIN kept k ON k.series = r.series AND k.jj = r.i + 1),
+        |fin AS (
+        |  SELECT r.series, r.level, r.trend, km.mm
+        |  FROM rec r
+        |  JOIN (SELECT series, max(mm) AS mm FROM kept GROUP BY 1) km
+        |    ON km.series = r.series
+        |  WHERE r.i = km.mm - 1)
+        |SELECT f.series, CAST(hs.h AS INT) AS step,
+        |  f.level + hs.h * f.trend AS forecast,
+        |  f.level, f.trend, CAST(f.mm AS INT) AS n_obs
+        |FROM fin f, (SELECT unnest(generate_series(1, 6)) AS h) hs""".stripMargin,
+
+    // Holt-Winters replayed in SQL: the shared dense CTEs feed a
+    // LIST-carrying recursion — the 48-slot seasonal array rides the
+    // recursive CTE as a LIST(DOUBLE), one slot functionally updated per
+    // step (prefix || [new] || suffix). Init means are list_reduce over
+    // index-ordered lists (the same left-to-right fold as the kernel —
+    // a SUM() aggregate would not pin the addition order); every float
+    // op mirrors hwFit's expression sequence, with the new-level
+    // expression re-evaluated where SQL cannot reference its alias
+    "q_hw_seasonal" -> {
+      val sidx = "CAST((r.i + 1) % 48 AS INT)" // 0-based seasonal slot of step i+1
+      val sOld = s"r.seas[$sidx + 1]" // DuckDB lists are 1-based
+      val lNew = s"(0.5 * (k.y - $sOld) + (1 - 0.5) * (r.level + r.trend))"
+      val slot = "CAST((f.n % 48 + hs.h - 1) % 48 AS INT) + 1"
+      s"""WITH RECURSIVE $HoltDenseCtes,
+        |init AS (
+        |  SELECT series, max(n) AS n,
+        |    list_reduce(list(y ORDER BY i) FILTER (WHERE i < 48),
+        |      (a, b) -> a + b) / 48 AS m1,
+        |    list_reduce(list(y ORDER BY i) FILTER (WHERE i >= 48 AND i < 96),
+        |      (a, b) -> a + b) / 48 AS m2,
+        |    list(y ORDER BY i) FILTER (WHERE i < 48) AS f48
+        |  FROM idx GROUP BY series HAVING max(n) >= 96),
+        |rec AS (
+        |  SELECT series, CAST(47 AS BIGINT) AS i, m1 AS level,
+        |    (m2 - m1) / 48 AS trend,
+        |    list_transform(f48, x -> x - m1) AS seas, n
+        |  FROM init
+        |  UNION ALL
+        |  SELECT r.series, r.i + 1,
+        |    $lNew,
+        |    0.3 * ($lNew - r.level) + (1 - 0.3) * r.trend,
+        |    r.seas[1:$sidx] ||
+        |      [0.3 * (k.y - $lNew) + (1 - 0.3) * $sOld] ||
+        |      r.seas[$sidx + 2:48],
+        |    r.n
+        |  FROM rec r JOIN idx k ON k.series = r.series AND k.i = r.i + 1),
+        |fin AS (SELECT * FROM rec WHERE i = n - 1)
+        |SELECT f.series, CAST(hs.h AS INT) AS step,
+        |  f.level + hs.h * f.trend + f.seas[$slot] AS forecast,
+        |  f.level, f.trend,
+        |  f.seas[$slot] AS seasonal,
+        |  CAST(f.n AS INT) AS n_obs
+        |FROM fin f, (SELECT unnest(generate_series(1, 6)) AS h) hs""".stripMargin
+    },
+
+    // the walk-forward grid search replayed in SQL: the shared dense
+    // CTEs feed a recursion per (series, grid point) carrying
+    // (level, trend, sse) — the one-step-ahead error uses the PRE-update
+    // state exactly like holtWalkForward, the complements are written
+    // (1 - a)/(1 - b) to match the runtime subtraction, and the argmin
+    // is (mse ASC, grid order ASC) = the kernel's strict-< first-argmin.
+    // No quantile trim (the gridsearch kernel never trimmed)
+    "q_holt_gridsearch" ->
+      s"""WITH RECURSIVE $HoltDenseCtes,
+        |grid AS (
+        |  SELECT g, CAST(a AS DOUBLE) AS a, CAST(bb AS DOUBLE) AS bb
+        |  FROM (VALUES
+        |    (0, 0.2, 0.1), (1, 0.2, 0.3), (2, 0.2, 0.6),
+        |    (3, 0.5, 0.1), (4, 0.5, 0.3), (5, 0.5, 0.6),
+        |    (6, 0.8, 0.1), (7, 0.8, 0.3), (8, 0.8, 0.6)) AS t(g, a, bb)),
+        |meta AS (
+        |  SELECT series, max(n) AS n,
+        |    CAST(floor(max(n) * 0.8) AS BIGINT) AS cut
+        |  FROM idx GROUP BY series),
+        |ok AS (SELECT * FROM meta WHERE cut >= 3 AND n - cut >= 1),
+        |rec AS (
+        |  SELECT k0.series, g.g, g.a, g.bb, ok.cut, ok.n,
+        |    CAST(0 AS BIGINT) AS i, k0.y AS level, k1.y - k0.y AS trend,
+        |    CAST(0.0 AS DOUBLE) AS sse
+        |  FROM idx k0
+        |  JOIN idx k1 ON k0.series = k1.series AND k1.i = 1
+        |  JOIN ok ON ok.series = k0.series
+        |  CROSS JOIN grid g
+        |  WHERE k0.i = 0
+        |  UNION ALL
+        |  SELECT r.series, r.g, r.a, r.bb, r.cut, r.n, r.i + 1,
+        |    r.a * k.y + (1 - r.a) * (r.level + r.trend),
+        |    r.bb * ((r.a * k.y + (1 - r.a) * (r.level + r.trend)) - r.level)
+        |      + (1 - r.bb) * r.trend,
+        |    r.sse + CASE WHEN r.i + 1 >= r.cut
+        |      THEN ((r.level + r.trend) - k.y) * ((r.level + r.trend) - k.y)
+        |      ELSE 0.0 END
+        |  FROM rec r JOIN idx k ON k.series = r.series AND k.i = r.i + 1),
+        |scored AS (
+        |  SELECT series, g, a, bb, sse / (n - cut) AS mse, level, trend,
+        |    row_number() OVER (PARTITION BY series ORDER BY sse / (n - cut) ASC, g ASC) AS rk
+        |  FROM rec WHERE i = n - 1)
+        |SELECT s.series, s.a AS alpha, s.bb AS beta, s.mse AS "valMse",
+        |  CAST(hs.h AS INT) AS step, s.level + hs.h * s.trend AS forecast
+        |FROM scored s, (SELECT unnest(generate_series(1, 3)) AS h) hs
+        |WHERE s.rk = 1""".stripMargin,
+
     // shared SaxCtes (OracleCtes) — the word table q_sax_join also
     // reads, so index build and index use can never drift
     "q_sax" ->

@@ -314,13 +314,9 @@ object ArForecast {
       pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
       qGrid: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
     import s.implicits._
-    Tables.events(s, d)
-      .select(col("user_id").as("series"),
-        unix_timestamp(col("ts")).as("epochSec"), col("value"))
-      .as[Reading]
-      .groupByKey(_.series)
-      .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
-        val raw = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
+    HoltForecast.denseSeries(s, d)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val raw = HoltForecast.denseArray(it)
         bestArimaOrders(raw, pGrid, dGrid, qGrid) match {
           case None => Iterator.empty
           case Some((p, dd, q, _)) =>
@@ -422,14 +418,10 @@ object ArForecast {
   def forecast(s: SparkSession, d: String, p: Int = 4, horizon: Int = 6,
       diffOrders: Seq[Int] = Seq(0, 1)): DataFrame = {
     import s.implicits._
-    Tables.events(s, d)
-      .select(col("user_id").as("series"),
-        unix_timestamp(col("ts")).as("epochSec"), col("value"))
-      .as[Reading]
-      .groupByKey(_.series)
-      .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
+    HoltForecast.denseSeries(s, d)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
         val ys = scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value))))
+          HoltForecast.denseArray(it))
         diffOrders.iterator
           .filter(dd => ys.length > p + 1 + dd) // need > p+1 points AFTER differencing
           .flatMap { dd =>
@@ -457,13 +449,9 @@ object ArForecast {
       pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
       qGrid: Seq[Int] = Seq(0, 1, 2), horizon: Int = 3): DataFrame = {
     import s.implicits._
-    Tables.events(s, d)
-      .select(col("user_id").as("series"),
-        unix_timestamp(col("ts")).as("epochSec"), col("value"))
-      .as[Reading]
-      .groupByKey(_.series)
-      .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
-        val raw = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
+    HoltForecast.denseSeries(s, d)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val raw = HoltForecast.denseArray(it)
         bestArimaOrders(raw, pGrid, dGrid, qGrid) match {
           case None => Iterator.empty
           case Some((bestP, bestD, bestQ, bestMse)) =>
@@ -590,12 +578,13 @@ object ArForecast {
       pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
       qGrid: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
     import s.implicits._
-    forecastCvReadings(
-      Tables.events(s, d)
-        .select(col("user_id").as("series"),
-          unix_timestamp(col("ts")).as("epochSec"), col("value"))
-        .as[Reading],
-      pGrid, dGrid, qGrid)
+    // same deterministic dense input as BOTH family gates it must match
+    // bit for bit (ForecastCvSpec lockstep contract)
+    HoltForecast.denseSeries(s, d)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        cvGroup(k, HoltForecast.denseArray(it), pGrid, dGrid, qGrid)
+      }
+      .toDF()
   }
 
   /** [[forecastCv]] over an arbitrary readings dataset — the spec entry
@@ -608,16 +597,20 @@ object ArForecast {
     readings
       .groupByKey(_.series)
       .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
-        val raw = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
-        (bestHoltParams(raw), bestArimaOrders(raw, pGrid, dGrid, qGrid)) match {
-          case (Some((_, _, hMse, _, _)), Some((_, _, _, aMse))) =>
-            Iterator.single(ForecastCv(k, raw.length, hMse, aMse,
-              if (aMse < hMse) "arima" else "holt", hMse / aMse))
-          case _ => Iterator.empty
-        }
+        cvGroup(k, HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value))),
+          pGrid, dGrid, qGrid)
       }
       .toDF()
   }
+
+  private def cvGroup(k: Long, raw: Array[Double], pGrid: Seq[Int],
+      dGrid: Seq[Int], qGrid: Seq[Int]): Iterator[ForecastCv] =
+    (bestHoltParams(raw), bestArimaOrders(raw, pGrid, dGrid, qGrid)) match {
+      case (Some((_, _, hMse, _, _)), Some((_, _, _, aMse))) =>
+        Iterator.single(ForecastCv(k, raw.length, hMse, aMse,
+          if (aMse < hMse) "arima" else "holt", hMse / aMse))
+      case _ => Iterator.empty
+    }
 
   /** The reference's walk-forward grid search, distributed per series:
     * fit each (α, β) on the first 80% of the resampled series, score MSE
@@ -633,13 +626,22 @@ object ArForecast {
     * needs no refit before forecasting. */
   def holtGridSearch(s: SparkSession, d: String, horizon: Int = 3): DataFrame = {
     import s.implicits._
+    import graft.operators.exactAvg
+    // DETERMINISM (round 12): DECIMAL-exact bucket means + the shared
+    // interpolation kernel — the q_holt_forecast input discipline — so
+    // the whole grid search (nine strict left folds + first-argmin) is
+    // bit-reproducible and the DuckDB oracle replays it exactly
     Tables.events(s, d)
-      .select(col("user_id").as("series"),
-        unix_timestamp(col("ts")).as("epochSec"), col("value"))
-      .as[Reading]
-      .groupByKey(_.series)
-      .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
-        val ys = HoltForecast.resampleArray(it.map(r => (r.epochSec, r.value)))
+      .groupBy(col("user_id").as("series"),
+        expr("unix_timestamp(ts) div 1800").as("b"))
+      .agg(exactAvg(col("value")).as("y"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val byBucket = it.map(r => r._2 -> r._3).toMap
+        val ys =
+          if (byBucket.isEmpty) Array.empty[Double]
+          else HoltForecast.interpolateBuckets(byBucket).toArray
         bestHoltParams(ys) match {
           case None => Iterator.empty
           case Some((bestA, bestB, bestMse, bestLevel, bestTrend)) =>

@@ -263,17 +263,23 @@ object HoltForecast {
       beta: Double = 0.3, gamma: Double = 0.3, m: Int = 48,
       horizon: Int = 6, bucketSec: Long = 1800L): DataFrame = {
     import s.implicits._
+    import graft.operators.exactAvg
+    // DETERMINISM (round 12): same exactAvg + interpolateBuckets input
+    // path as [[forecast]], so the triple-smoothing fold is
+    // bit-reproducible and the DuckDB oracle replays it with a
+    // LIST-carrying recursive CTE (`q_hw_seasonal` is hash-checked)
     Tables.events(s, d)
-      .select(col("user_id").as("series"),
-        unix_timestamp(col("ts")).as("epochSec"),
-        col("value"))
-      .as[Reading]
-      .groupByKey(_.series)
-      .flatMapGroups { (k: Long, it: Iterator[Reading]) =>
-        val dense = resampleArray(it.map(r => (r.epochSec, r.value)), bucketSec)
-        if (dense.length < 2 * m) Iterator.empty
+      .groupBy(col("user_id").as("series"),
+        expr(s"unix_timestamp(ts) div $bucketSec").as("b"))
+      .agg(exactAvg(col("value")).as("y"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val byBucket = it.map(r => r._2 -> r._3).toMap
+        val ys = if (byBucket.isEmpty) IndexedSeq.empty[Double]
+                 else interpolateBuckets(byBucket)
+        if (ys.length < 2 * m) Iterator.empty
         else {
-          val ys = scala.collection.immutable.ArraySeq.unsafeWrapArray(dense)
           val (level, trend, seas, phase) = hwFit(ys, alpha, beta, gamma, m)
           (1 to horizon).iterator.map { h =>
             (k, h, hwForecastPoint(level, trend, seas, phase, h),
@@ -284,20 +290,68 @@ object HoltForecast {
       .toDF("series", "step", "forecast", "level", "trend", "seasonal", "n_obs")
   }
 
+  /** The deterministic dense-series input every whole-table forecast
+    * entry consumes (round 12): per-(series = user, 30-min bucket)
+    * DECIMAL-exact means (order-independent, unlike a float sum in
+    * iterator order) grouped by series — the q_holt_prep path. Pair
+    * with [[denseArray]] inside flatMapGroups. */
+  def denseSeries(s: SparkSession, d: String, bucketSec: Long = 1800L)
+      : org.apache.spark.sql.KeyValueGroupedDataset[Long, (Long, Long, Double)] = {
+    import s.implicits._
+    import graft.operators.exactAvg
+    Tables.events(s, d)
+      .groupBy(col("user_id").as("series"),
+        expr(s"unix_timestamp(ts) div $bucketSec").as("b"))
+      .agg(exactAvg(col("value")).as("y"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+  }
+
+  /** Densify one [[denseSeries]] group: bucket means → the shared
+    * [[interpolateBuckets]] direct-lerp fill. */
+  def denseArray(it: Iterator[(Long, Long, Double)]): Array[Double] = {
+    val byBucket = it.map(r => r._2 -> r._3).toMap
+    if (byBucket.isEmpty) Array.empty[Double]
+    else interpolateBuckets(byBucket).toArray
+  }
+
   /** Whole-table entry: events → per-user Holt forecast, horizon steps of
-    * 30 minutes each. */
+    * 30 minutes each.
+    *
+    * DETERMINISM (round 12, the q_holt_prep path extended through the
+    * kernel): bucket means come from the order-independent DECIMAL
+    * exactAvg — not a float accumulation in iterator order — and
+    * everything downstream ([[interpolateBuckets]] direct lerp,
+    * [[quantileTrim]] type-7 lerp, the [[holtFit]] strict left fold) is
+    * a fixed sequence of IEEE ops on those deterministic inputs, so the
+    * whole forecast is bit-reproducible and the DuckDB oracle
+    * (`q_holt_forecast`) replays the identical recurrence with a
+    * recursive CTE and hash-matches. The raw-iterator kernel
+    * ([[forecastGroup]]/[[resampleArray]]) remains for the streaming
+    * form, where per-batch arrival order is the stream's own. */
   def forecast(s: SparkSession, d: String,
       alpha: Double = 0.5, beta: Double = 0.3, horizon: Int = 6): DataFrame = {
     import s.implicits._
-    val readings: Dataset[Reading] = Tables.events(s, d)
-      .select(col("user_id").as("series"),
-        unix_timestamp(col("ts")).as("epochSec"),
-        col("value"))
-      .as[Reading]
-    readings
-      .groupByKey(_.series)
-      .flatMapGroups((k: Long, it: Iterator[Reading]) =>
-        forecastGroup(k, it, alpha, beta, horizon))
+    import graft.operators.exactAvg
+    Tables.events(s, d)
+      .groupBy(col("user_id").as("series"),
+        expr("unix_timestamp(ts) div 1800").as("b"))
+      .agg(exactAvg(col("value")).as("y"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val byBucket = it.map(r => r._2 -> r._3).toMap
+        if (byBucket.isEmpty) Iterator.empty
+        else {
+          val ys = quantileTrim(interpolateBuckets(byBucket))
+          if (ys.isEmpty) Iterator.empty
+          else {
+            val (level, trend) = holtFit(ys, alpha, beta)
+            (1 to horizon).iterator.map(h =>
+              ForecastPoint(k, h, level + h * trend, level, trend, ys.length))
+          }
+        }
+      }
       .toDF()
   }
 }
