@@ -83,8 +83,10 @@ object WindowGates {
     // replacing a distance scan (the reason the index exists)
     "q_sax_join"       -> ((s: SparkSession, d: String) => TimeWindows.saxJoin(s, d)),
     // banded DTW day-over-day shape drift (48-slot profiles, |i−j| ≤ 4;
-    // no oracle: JVM float fold — DtwSpec pins the kernel against the
-    // unbanded O(n²) reference, identity, symmetry, a hand warp)
+    // oracled: the DP is a fixed cell order over exact cent-sum
+    // profiles, replayed cell-by-cell by a LIST-carrying recursive CTE;
+    // DtwSpec additionally pins the kernel against the unbanded O(n²)
+    // reference, identity, symmetry, a hand warp)
     "q_dtw_shift"      -> ((s: SparkSession, d: String) => TimeWindows.dtwDayShift(s, d)),
   )
 
@@ -523,6 +525,69 @@ object WindowGates {
         |  f.level + hs.h * f.trend AS forecast,
         |  f.level, f.trend, CAST(f.mm AS INT) AS n_obs
         |FROM fin f, (SELECT unnest(generate_series(1, 6)) AS h) hs""".stripMargin,
+
+    // banded DTW replayed in SQL: the Sakoe-Chiba DP advances ONE CELL
+    // per recursion step, carrying the previous and in-progress dp rows
+    // as LIST(DOUBLE) (1-based: dp index j sits at pos j+1). The
+    // in-row left neighbor cur(j-1) was written by an earlier step, so
+    // reading r.cur[r.j] is already the updated value — exactly the
+    // kernel's two-rolling-rows evaluation order. min() is exact, the
+    // cell cost (a_i - b_j)^2 is one sub+mul, and the day profiles are
+    // exact cent sums, so sqrt(dp) hash-matches with no rounding key.
+    // A sentinel step (i = 49) lands the finished row where the final
+    // SELECT can read dp(48,48)
+    "q_dtw_shift" -> {
+      val inRow = "r.j < least(48, r.i + 4)" // more cells in this dp row?
+      val cell = "(p.a[r.i] - p.b[r.j]) * (p.a[r.i] - p.b[r.j])" +
+        " + least(r.prev[r.j + 1], least(r.cur[r.j], r.prev[r.j]))"
+      val newcur = s"r.cur[1:r.j] || [$cell] || r.cur[r.j + 2:49]"
+      val infRow = "list_transform(generate_series(1, 49), x -> 'infinity'::DOUBLE)"
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    (epoch_us(ts) % 86400000000) // 1800000000 AS slot,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |slots AS (SELECT unnest(generate_series(0, 47)) AS slot),
+        |base AS (SELECT event_type, day FROM ev GROUP BY 1, 2),
+        |persl AS (
+        |  SELECT event_type, day, slot, CAST(SUM(x) AS DOUBLE) AS sd, count(*) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |daym AS (
+        |  SELECT event_type, day, CAST(SUM(x) AS DOUBLE) / count(*) AS dm
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT b.event_type, b.day, s.slot, COALESCE(p.sd / p.c, d.dm) AS v
+        |  FROM base b CROSS JOIN slots s
+        |  LEFT JOIN persl p ON p.event_type = b.event_type
+        |    AND p.day = b.day AND p.slot = s.slot
+        |  JOIN daym d ON d.event_type = b.event_type AND d.day = b.day),
+        |prof AS (
+        |  SELECT event_type, day, list(v ORDER BY slot) AS a
+        |  FROM grid GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT event_type, day, a,
+        |    lag(a) OVER (PARTITION BY event_type ORDER BY day) AS b
+        |  FROM prof QUALIFY b IS NOT NULL),
+        |rec AS (
+        |  SELECT event_type, day, CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS j,
+        |    [CAST(0.0 AS DOUBLE)] ||
+        |      list_transform(generate_series(1, 48), x -> 'infinity'::DOUBLE) AS prev,
+        |    $infRow AS cur
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT r.event_type, r.day,
+        |    CASE WHEN $inRow THEN r.i ELSE r.i + 1 END,
+        |    CASE WHEN $inRow THEN r.j + 1
+        |         WHEN r.i < 48 THEN greatest(1, r.i + 1 - 4)
+        |         ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN $inRow THEN r.prev ELSE $newcur END,
+        |    CASE WHEN $inRow THEN $newcur ELSE $infRow END
+        |  FROM rec r
+        |  JOIN pairs p ON p.event_type = r.event_type AND p.day = r.day
+        |  WHERE r.i <= 48)
+        |SELECT event_type, day, sqrt(prev[49]) AS dtw_dist
+        |FROM rec WHERE i = 49""".stripMargin
+    },
 
     // Holt-Winters replayed in SQL: the shared dense CTEs feed a
     // LIST-carrying recursion — the 48-slot seasonal array rides the
