@@ -35,12 +35,14 @@ object WindowGates {
     "q_holt_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.holtGridSearch(s, d)),
     "q_arima_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaGridSearch(s, d)),
     // ARIMA-vs-Holt cross-validation: per-series winner + MSE ratio on
-    // the shared walk-forward harness (no oracle: JVM float folds, the
-    // q_holt_forecast class; ForecastCvSpec pins consistency + planted
-    // winners)
+    // the shared walk-forward harness (no oracle: the ARIMA side's
+    // Hannan-Rissanen OLS solve is not SQL-replayable; ForecastCvSpec
+    // pins consistency, planted winners, and BIT-EQUALITY of both MSEs
+    // against the family gates — whose Holt side IS oracle-exact)
     "q_forecast_cv" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecastCv(s, d)),
     // Holt-Winters additive-seasonal (daily m=48 season over the 30-min
-    // grid; no oracle: float folds — HwSeasonalSpec pins exact-seasonal
+    // grid; oracled: a LIST-carrying recursive CTE replays the triple
+    // smoothing — HwSeasonalSpec additionally pins exact-seasonal
     // recovery, determinism, and the seasonal-beats-Holt MSE ordering)
     "q_hw_seasonal" -> ((s: SparkSession, d: String) => HoltForecast.hwForecast(s, d)),
     // CSS refinement of the HR start at the grid-chosen (p,d,q): both
@@ -525,6 +527,88 @@ object WindowGates {
         |  f.level + hs.h * f.trend AS forecast,
         |  f.level, f.trend, CAST(f.mm AS INT) AS n_obs
         |FROM fin f, (SELECT unnest(generate_series(1, 6)) AS h) hs""".stripMargin,
+
+    // AR(4) forecasting replayed in SQL, fully UNROLLED (no recursion):
+    // autocovariances are list_reduce folds over index-ordered products
+    // (the kernel's exact accumulation order), the Levinson-Durbin
+    // recursion at p = 4 is four explicit stages with the same guarded
+    // divisions (err = 0 → refl = 0, which also covers the r0 = 0 early
+    // return), the 6-step forecast recursion is six chained CTE columns
+    // re-feeding centered predictions into the lag window, and d = 1
+    // integrates back through the original last value. The leading
+    // CAST(0.0 AS DOUBLE) + … preserves the kernel's 0.0-seeded
+    // accumulator (an all-zero phi times a negative lag would otherwise
+    // produce -0.0 where the kernel has +0.0)
+    "q_ar_forecast" -> {
+      def g(e: String) = s"CASE WHEN $e = 0 THEN CAST(0.0 AS DOUBLE) ELSE " // guarded div opener
+      val rK = (0 to 4).map { k =>
+        s"list_reduce(list_transform(generate_series(1, n - $k), t -> x[t] * x[t + $k]), (u, v) -> u + v) / n AS r$k"
+      }.mkString(",\n    ")
+      // six forecast steps: window (w1..w4), w4 newest; each step is one
+      // CTE layer adding predK (centered) and fK (de-centered)
+      var w = Vector("w1", "w2", "w3", "w4")
+      val fcSteps = (1 to 6).map { h =>
+        val pred = s"(((CAST(0.0 AS DOUBLE) + phi0 * ${w(3)}) + phi1 * ${w(2)}) + phi2 * ${w(1)}) + phi3 * ${w(0)}"
+        val cte = s"fc$h AS (SELECT *, $pred AS pred$h, ($pred) + mu AS f$h FROM ${if (h == 1) "lv3" else s"fc${h - 1}"})"
+        w = w.tail :+ s"pred$h"
+        cte
+      }.mkString(",\n")
+      val ints = (1 to 6).map { h =>
+        s"i$h AS (SELECT *, ${if (h == 1) "lastv" else s"v${h - 1}"} + f$h AS v$h FROM ${if (h == 1) "fc6" else s"i${h - 1}"})"
+      }.mkString(",\n")
+      s"""WITH $HoltDenseCtes,
+        |ser AS (SELECT series, list(y ORDER BY i) AS a, max(n) AS n0 FROM idx GROUP BY series),
+        |dd AS (SELECT CAST(0 AS INT) AS d UNION ALL SELECT CAST(1 AS INT)),
+        |c0 AS (
+        |  SELECT series, d, n0, a,
+        |    CASE WHEN d = 0 THEN a
+        |         ELSE list_transform(generate_series(2, CAST(n0 AS INT)),
+        |                i -> a[i] - a[i - 1]) END AS cur
+        |  FROM ser CROSS JOIN dd
+        |  WHERE n0 > 5 + d),
+        |m0 AS (SELECT *, len(cur) AS n,
+        |    list_reduce(cur, (u, v) -> u + v) / len(cur) AS mu FROM c0),
+        |xs AS (SELECT *, list_transform(cur, v -> v - mu) AS x FROM m0),
+        |rr AS (SELECT *,
+        |    $rK
+        |  FROM xs),
+        |lv0 AS (SELECT *,
+        |    ${g("r0")}r1 / r0 END AS refl0,
+        |    r0 * (1 - (${g("r0")}r1 / r0 END) * (${g("r0")}r1 / r0 END)) AS e1
+        |  FROM rr),
+        |lv1 AS (SELECT *,
+        |    ${g("e1")}(r2 - refl0 * r1) / e1 END AS refl1 FROM lv0),
+        |lv1b AS (SELECT *,
+        |    refl0 - refl1 * refl0 AS a0,
+        |    e1 * (1 - refl1 * refl1) AS e2 FROM lv1),
+        |lv2 AS (SELECT *,
+        |    ${g("e2")}((r3 - a0 * r2) - refl1 * r1) / e2 END AS refl2 FROM lv1b),
+        |lv2b AS (SELECT *,
+        |    a0 - refl2 * refl1 AS b0,
+        |    refl1 - refl2 * a0 AS b1,
+        |    e2 * (1 - refl2 * refl2) AS e3 FROM lv2),
+        |lv2c AS (SELECT *,
+        |    ${g("e3")}(((r4 - b0 * r3) - b1 * r2) - refl2 * r1) / e3 END AS refl3
+        |  FROM lv2b),
+        |lv3 AS (SELECT *,
+        |    b0 - refl3 * refl2 AS phi0,
+        |    b1 - refl3 * b1 AS phi1,
+        |    refl2 - refl3 * b0 AS phi2,
+        |    refl3 AS phi3,
+        |    x[CAST(n AS INT) - 3] AS w1, x[CAST(n AS INT) - 2] AS w2,
+        |    x[CAST(n AS INT) - 1] AS w3, x[CAST(n AS INT)] AS w4,
+        |    a[CAST(n0 AS INT)] AS lastv
+        |  FROM lv2c),
+        |$fcSteps,
+        |$ints,
+        |fin AS (SELECT series, d, n0,
+        |    CASE WHEN d = 0 THEN [f1, f2, f3, f4, f5, f6]
+        |         ELSE [v1, v2, v3, v4, v5, v6] END AS fl
+        |  FROM i6)
+        |SELECT series, CAST(hs.h AS INT) AS step, fl[hs.h] AS forecast,
+        |  CAST(4 AS INT) AS p, d, CAST(n0 AS INT) AS n_obs
+        |FROM fin, (SELECT unnest(generate_series(1, 6)) AS h) hs""".stripMargin
+    },
 
     // banded DTW replayed in SQL: the Sakoe-Chiba DP advances ONE CELL
     // per recursion step, carrying the previous and in-progress dp rows

@@ -27,8 +27,8 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (217 queries, 188 oracles)") {
+  test("registry carries the full suite (217 queries, 189 oracles)") {
     assert(SparkEntry.queries.size == 217)
-    assert(SparkEntry.oracleSql.size == 188)
+    assert(SparkEntry.oracleSql.size == 189)
   }
 }
