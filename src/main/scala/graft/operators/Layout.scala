@@ -435,7 +435,9 @@ object Layout {
     * so bench reps reuse the committed rewrite. */
   def compactionExec(s: SparkSession, d: String,
       targetBytes: Long = 128L << 20): DataFrame = {
-    val out = graft.Scratch.dir(s"compactexec_$d") + "/events_by_date"
+    // targetBytes is part of the guard key: a second call in the same JVM
+    // with a different target must rewrite, not reuse the first layout
+    val out = graft.Scratch.dir(s"compactexec_${d}_tb$targetBytes") + "/events_by_date"
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       val planDf = compactionPlan(s, d, targetBytes)
         .select(col("partition").as("event_date"), col("n_target_groups"))

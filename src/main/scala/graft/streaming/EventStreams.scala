@@ -345,7 +345,11 @@ object EventStreams {
           val i = dir.getName.stripPrefix("slice=").toLong
           val src = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
           val dst = new java.io.File(s"$staged/part-$i.parquet")
-          java.nio.file.Files.copy(src.toPath, dst.toPath)
+          // REPLACE_EXISTING: a staging attempt that died between copy and
+          // the _STAGED marker must self-heal on retry, not throw
+          // FileAlreadyExistsException (mtime is re-pinned below anyway)
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           // mtime drives FileStreamSource batch order (the late-drop device)
           require(dst.setLastModified(now - 600000L + i * 30000L))
         }
@@ -803,7 +807,8 @@ object EventStreams {
     import graft.functions.TextAnalytics
     import s.implicits._
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    val base = graft.Scratch.dir(s"streamhh_$d")
+    s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try {
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType),
@@ -819,7 +824,7 @@ object EventStreams {
       val updates = terms
         .groupByKey(t => math.floorMod(t.hashCode, shards))
         .flatMapGroupsWithState[MgState, MgCandidate](
-          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
           (_: Int, rows: Iterator[String], state: GroupState[MgState]) =>
             val counters = scala.collection.mutable.HashMap.empty[String, Long]
             state.getOption.foreach { st =>
@@ -842,12 +847,20 @@ object EventStreams {
             state.update(MgState(ts, cs))
             ts.iterator.map(MgCandidate)
         }
-      val name = "graft_stream_hh"
+      // candidate emissions are k×shards-bounded PER BATCH but total
+      // driver retention on a memory sink grows with batch count — file
+      // sink + pinned checkpoint like the 12 sibling gates (the operator
+      // declares Append: emissions are the function's own rows either
+      // way, and Append is what a file sink accepts; a resumed rep fires
+      // no batch and re-reads the committed candidate files)
       val q = updates.writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Update())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
         .start()
       drain(q, "heavy_hitters")
-      val candidates = s.table(name).select("term").distinct()
+      val candidates = s.read.parquet(s"$base/out").select("term").distinct()
       val toks = graft.Tables.documents(s, d)
         .select(explode(TextAnalytics.tokens(col("text"))).as("term"))
       val recount = toks
@@ -1045,7 +1058,10 @@ object EventStreams {
           val i = dir.getName.stripPrefix("b=").toLong
           val src = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
           val dst = new java.io.File(s"$staged/part-$i.parquet")
-          java.nio.file.Files.copy(src.toPath, dst.toPath)
+          // REPLACE_EXISTING: self-healing retry after a partial staging
+          // attempt (copied files, no _STAGED marker yet)
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           // mtime drives FileStreamSource batch order; a silently rejected
           // mtime write must fail setup, not go flaky
           require(dst.setLastModified(now - 60000L + i * 10000L))

@@ -39,6 +39,26 @@ class NgramBandedSpec extends SparkTestBase {
     }
   }
 
+  test("fixture invariant behind the hash oracle: no true pair sits in the banded miss zone [0.2, 0.6)") {
+    // q_ngram_jaccard_banded's DuckDB oracle is the EXACT tau=0.2 join
+    // (DedupGates.scala, shared NgramPairCtes) — hash equality relies on
+    // the banded prefilter missing NO true pair. With the shipped
+    // signature (k=128, bands=64, r=2) the per-pair miss probability is
+    // (1 - j^2)^64: ~4e-13 at j=0.6, ~1e-43 at the fixture's lowest real
+    // pair (j=0.889), but 2.4e-3 at j=0.3 — a fixture pair below ~0.6
+    // would make the hash check fail opaquely with real probability.
+    // Pin the invariant here so a fixture change fails with a pointed
+    // message instead.
+    val zone = Dedup.ngramJaccard(spark, sf, threshold = 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard")))
+      .filter { case (_, j) => j < 0.6 }
+    assert(zone.isEmpty,
+      "fixture now contains true pairs inside the banded-LSH miss zone " +
+        s"[0.2, 0.6), where (1-j^2)^64 miss probability is non-negligible " +
+        s"— the q_ngram_jaccard_banded hash oracle is no longer safe: " +
+        zone.mkString(", "))
+  }
+
   test("the documented lossy zone is real: recall at j = 0.12 is partial, not silent-zero") {
     // 0.12 remains an accepted argument; its measured recall (~0.6-0.8
     // here) is the reason it is no longer the default — pin both sides
