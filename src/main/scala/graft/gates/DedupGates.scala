@@ -80,13 +80,16 @@ object DedupGates {
     // graph, canonical = min vec_id (recursive-CTE oracle)
     "q_embed_clusters" -> ((s: SparkSession, d: String) =>
       Dedup.embedDedupClusters(s, d, tauMargin = 0.0)),
-    // SemDeDup: centroid-partitioned semantic dedup (no oracle — seeded
-    // k-means is JVM-side; SemDedupSpec pins recovery/precision/subset)
+    // SemDeDup: centroid-partitioned semantic dedup — the seeded-Lloyd
+    // pipeline is deterministic end to end, so the oracle unrolls both
+    // refinement rounds in SQL (semDedupCtes); SemDedupSpec additionally
+    // pins recovery/precision/subset and the decision margins
     "q_semdedup"       -> ((s: SparkSession, d: String) => Dedup.semDedup(s, d)),
     // the production parameterization (nClusters = n/25 -> constant
     // expected cluster size -> O(n) pair space) as a first-class
-    // measurable query; same no-oracle class, same SemDedupSpec
-    // contracts, linearity pinned by the SurvivorshipSpec pair test
+    // measurable query; same unrolled-Lloyd oracle with the linear
+    // cluster-count expression, linearity pinned by the SurvivorshipSpec
+    // pair test
     "q_semdedup_linear" -> ((s: SparkSession, d: String) => Dedup.semDedupLinear(s, d)),
     // post-split exact-content leakage audit (LCG split + sha256 join)
     "q_split_leakage"  -> (Dedup.splitLeakage _),
@@ -384,6 +387,31 @@ object DedupGates {
         |  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON e.src = reach.id)
         |SELECT id AS vec_id, min(r) AS cluster, min(r) = id AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    // SemDeDup replayed decision-for-decision: √N lowest-id seeds, two
+    // unrolled Lloyd rounds (ordered double sums → float means), final
+    // nearest-centroid assignment, within-cluster lower-id drop at
+    // τ = 0.95. Output columns are integers/booleans only, so the hash
+    // needs decision equality, not float bit-equality — and both engines
+    // run the identical IEEE sequence anyway (the q_embed_neardup
+    // argument, one level deeper).
+    "q_semdedup" ->
+      s"""WITH ${semDedupCtes(
+            "LEAST(4096, GREATEST(4, CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))")}
+        |SELECT a.vec_id AS vec_id, a.bucket AS cluster,
+        |  d.dup_of IS NULL AS keep,
+        |  COALESCE(d.n_dups, 0) AS n_dups, d.dup_of
+        |FROM af a LEFT JOIN sd_dropped d ON a.vec_id = d.vec_id""".stripMargin,
+
+    // same pipeline, production cluster count (⌊n/25⌋ — constant
+    // expected cluster size)
+    "q_semdedup_linear" ->
+      s"""WITH ${semDedupCtes(
+            "GREATEST(4, CAST((SELECT count(*) FROM embeddings) // 25 AS BIGINT))")}
+        |SELECT a.vec_id AS vec_id, a.bucket AS cluster,
+        |  d.dup_of IS NULL AS keep,
+        |  COALESCE(d.n_dups, 0) AS n_dups, d.dup_of
+        |FROM af a LEFT JOIN sd_dropped d ON a.vec_id = d.vec_id""".stripMargin,
 
     // same LCG split as q_stratified_split (engine-independent integer
     // math) + sha256 content identity: holdout docs with a train twin.

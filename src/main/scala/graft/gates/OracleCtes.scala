@@ -218,4 +218,75 @@ object OracleCtes {
        |$arms) AS sax_word
        |  FROM sax_z)""".stripMargin
   }
+
+  /** The SemDeDup oracle CTE chain, parameterized by the cluster-count
+    * expression (`q_semdedup`: the √N clamp, `q_semdedup_linear`:
+    * `GREATEST(4, count // 25)`). Replays `Dedup.semDedupVecs`'s full
+    * deterministic pipeline decision-for-decision:
+    * seeds = the nc lowest vec_ids (`Similarity.seedCents`), then TWO
+    * unrolled Lloyd rounds (`Similarity.refineLoop` at iters = 2) —
+    * assign to nearest centroid by exact double cosine with ties to the
+    * lowest c_id (strict `>` first-best scan ≡ row_number ORDER BY sim
+    * DESC, c_id), per-(bucket, dim) FLOAT mean of a vec_id-ORDERED
+    * double sum (refineLoop sorts each bucket by vec_id before the
+    * non-associative double fold — `list(x ORDER BY vec_id)` +
+    * `list_sum` replays the identical left-to-right accumulation),
+    * empty buckets carrying the previous centroid — then the final
+    * assignment and the within-cluster lower-id-partner drop rule at
+    * cosine ≥ τ. Terminal CTEs: `af(vec_id, embedding, nrm, bucket)`
+    * and `sd_dropped(vec_id, dup_of, n_dups)`. Decision margins that
+    * make the hash check safe (both engines also run the identical
+    * IEEE sequence) are pinned by SemDedupSpec's fixture-invariant
+    * test. */
+  private[gates] def semDedupCtes(ncExpr: String, tau: String = "0.95"): String = {
+    def assign(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
+         |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+         |        c.c_id) AS rn
+         |    FROM n, $cents c) t
+         |  WHERE rn = 1)""".stripMargin
+    def refine(t: Int, prevC: String, prevA: String): String =
+      s"""sd_m$t AS (
+         |  SELECT bucket, i,
+         |    CAST(list_sum(list(x ORDER BY vec_id)) / count(*) AS FLOAT) AS mf
+         |  FROM (
+         |    SELECT a.bucket, a.vec_id, g.i, CAST(a.embedding[g.i] AS DOUBLE) AS x
+         |    FROM $prevA a, generate_series(1, 64) AS g(i)) s
+         |  GROUP BY bucket, i),
+         |sd_mv$t AS (
+         |  SELECT bucket AS c_id, list(mf ORDER BY i) AS c_emb FROM sd_m$t GROUP BY bucket),
+         |c$t AS (
+         |  SELECT p.c_id,
+         |    COALESCE(m.c_emb, p.c_emb) AS c_emb,
+         |    CASE WHEN m.c_emb IS NULL THEN p.c_nrm
+         |      ELSE sqrt(list_sum(list_transform(m.c_emb,
+         |        v -> CAST(v AS DOUBLE) * v))) END AS c_nrm
+         |  FROM $prevC p LEFT JOIN sd_mv$t m ON p.c_id = m.c_id)""".stripMargin
+    s"""n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+       |  WHERE vec_id < ($ncExpr)),
+       |${assign("sd_a1", "c0")},
+       |${refine(1, "c0", "sd_a1")},
+       |${assign("sd_a2", "c1")},
+       |${refine(2, "c1", "sd_a2")},
+       |${assign("af", "c2")},
+       |sd_p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+       |  FROM af a JOIN af b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |sd_dropped AS (
+       |  SELECT b_id AS vec_id, min(a_id) AS dup_of,
+       |    CAST(count(*) AS BIGINT) AS n_dups
+       |  FROM sd_p WHERE cos >= $tau GROUP BY b_id)""".stripMargin
+  }
 }

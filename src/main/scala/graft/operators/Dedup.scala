@@ -1311,10 +1311,13 @@ object Dedup {
     * components): this is the CENTROID-partitioned member of the family
     * — no banding hyperparameters, and the cluster id doubles as the
     * IVF routing key, so a corpus that already carries the index pays
-    * nothing extra for dedup. No DuckDB oracle (seeded k-means is
-    * JVM-side, same no-oracle class as q_kmeans_topics); SemDedupSpec
-    * pins planted-dup recovery, flag precision, and subset-of-
-    * brute-force agreement. */
+    * nothing extra for dedup. DuckDB-oracled (OracleCtes.semDedupCtes):
+    * the seeded-Lloyd pipeline is deterministic end to end — lowest-id
+    * seeds, ties to the lowest centroid id, per-bucket means summed in
+    * vec_id order — so the oracle unrolls both refinement rounds in SQL
+    * and replays every decision; SemDedupSpec additionally pins
+    * planted-dup recovery, flag precision, subset-of-brute-force
+    * agreement, and the decision margins the hash check rests on. */
   def semDedup(s: SparkSession, d: String, tau: Double = 0.95,
       nClusters: Int = 0, iters: Int = 2): DataFrame =
     semDedupVecs(Similarity.withNorm(s, d), tau, nClusters, iters)

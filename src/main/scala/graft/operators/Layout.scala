@@ -393,9 +393,15 @@ object Layout {
     * CompactionPlanSpec pins the invariants against an independent
     * local listing. */
   def compactionPlan(s: SparkSession, d: String,
-      targetBytes: Long = 128L << 20): DataFrame = {
+      targetBytes: Long = 128L << 20): DataFrame =
+    compactionPlanAt(s, eventsByDatePath(s, d), targetBytes)
+
+  /** [[compactionPlan]]'s listing over an explicit layout root (shared
+    * with [[compactionAudit]], which runs it over the COMPACTED layout). */
+  private def compactionPlanAt(s: SparkSession, layoutRoot: String,
+      targetBytes: Long): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(eventsByDatePath(s, d))
+    val root = new Path(layoutRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val rows = fs.listStatus(root).filter(_.isDirectory).toSeq
       .map { p =>
@@ -434,7 +440,15 @@ object Layout {
     * manifest statistics. Guarded one-per-JVM like [[eventsByDatePath]]
     * so bench reps reuse the committed rewrite. */
   def compactionExec(s: SparkSession, d: String,
-      targetBytes: Long = 128L << 20): DataFrame = {
+      targetBytes: Long = 128L << 20): DataFrame =
+    s.read.parquet(compactedEventsPath(s, d, targetBytes))
+      .groupBy(col("event_date").cast("string").as("partition"))
+      .agg(count(lit(1)).as("n_rows"), exactSum(col("value")).as("value_sum"))
+
+  /** The compacted layout [[compactionExec]] writes (and
+    * [[compactionAudit]] re-lists), built once per JVM. */
+  private def compactedEventsPath(s: SparkSession, d: String,
+      targetBytes: Long): String = {
     // targetBytes is part of the guard key: a second call in the same JVM
     // with a different target must rewrite, not reuse the first layout
     val out = graft.Scratch.dir(s"compactexec_${d}_tb$targetBytes") + "/events_by_date"
@@ -449,9 +463,38 @@ object Layout {
         .drop("n_target_groups")
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
     }
-    s.read.parquet(out)
+    out
+  }
+
+  /** Post-compaction idempotence audit — the report a maintenance job
+    * files AFTER [[compactionExec]] swaps the layout in: re-run the
+    * [[compactionPlan]] listing over the COMPACTED layout and join the
+    * read-back per-day row counts (a footer-metadata aggregate — the
+    * manifest read every table format does). The contract it states is
+    * all integers: every day directory landed in exactly its planned
+    * group count (1 at any scale where a day's bytes fit one target
+    * file), the plan over a compacted layout recommends nothing
+    * (`needs_compaction = false` everywhere), and no row went missing.
+    * Because the grouped rewrite makes the file layout DETERMINISTIC
+    * (one (day, bin) group per writer task), every column is derivable
+    * by the DuckDB oracle from the raw table — unlike the pre-compaction
+    * plan over the ragged ingest layout, whose file counts/bytes are
+    * scheduling- and encoding-specific (that half stays pinned by
+    * CompactionPlanSpec against an independent listing). The raw
+    * `total_bytes` column is dropped for the same reason: parquet
+    * encoding is engine-specific; its DERIVED decision columns
+    * (`n_target_groups`, `needs_compaction`) are what the audit pins. */
+  def compactionAudit(s: SparkSession, d: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    val out = compactedEventsPath(s, d, targetBytes)
+    val listing = compactionPlanAt(s, out, targetBytes)
+      .select("partition", "n_files", "n_target_groups", "needs_compaction")
+    val counts = s.read.parquet(out)
       .groupBy(col("event_date").cast("string").as("partition"))
-      .agg(count(lit(1)).as("n_rows"), exactSum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("n_rows"))
+    listing.join(counts, Seq("partition"))
+      .select("partition", "n_files", "n_rows",
+        "n_target_groups", "needs_compaction")
   }
 
   /** The lazy plan [[bloomPrunedJoin]] materializes (split out so the

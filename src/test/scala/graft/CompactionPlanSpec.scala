@@ -40,6 +40,23 @@ class CompactionPlanSpec extends SparkTestBase {
     }
   }
 
+  test("post-compaction audit: one file per day, nothing left to compact, counts preserved") {
+    val audit = Layout.compactionAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("partition"))
+      .agg(count(lit(1)).as("n_rows")).collect()
+      .map(r => r.getAs[String]("partition") -> r.getAs[Long]("n_rows")).toMap
+    assert(audit.map(_.getAs[String]("partition")).toSet == raw.keySet)
+    audit.foreach { r =>
+      val p = r.getAs[String]("partition")
+      assert(r.getAs[Long]("n_files") == 1L, s"$p: not one file")
+      assert(r.getAs[Long]("n_target_groups") == 1L, s"$p: groups != 1")
+      assert(!r.getAs[Boolean]("needs_compaction"), s"$p: still flagged")
+      assert(r.getAs[Long]("n_rows") == raw(p), s"$p: rows")
+    }
+  }
+
   test("compaction exec preserves rows and lands each day in <= planned files") {
     val plan = Layout.compactionPlan(spark, sf).collect()
       .map(r => r.getAs[String]("partition") -> r.getAs[Long]("n_target_groups"))
@@ -60,8 +77,9 @@ class CompactionPlanSpec extends SparkTestBase {
     }
     // file-level post-condition: each compacted day dir holds <= its
     // planned group count (== 1 when groups == 1, the fixture case)
+    // the guard key includes the default targetBytes (128 MiB)
     val root = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_compactexec__root_testdata_sf0.001_${ProcessHandle.current().pid()}/events_by_date")
+      s"${System.getProperty("java.io.tmpdir")}/graft_compactexec__root_testdata_sf0.001_tb${128L << 20}_${ProcessHandle.current().pid()}/events_by_date")
     root.listFiles().filter(_.isDirectory).foreach { dir =>
       val day = dir.getName.stripPrefix("event_date=")
       val n = dir.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))

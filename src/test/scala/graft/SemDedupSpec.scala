@@ -64,6 +64,50 @@ class SemDedupSpec extends SparkTestBase {
       s"invented pairs: ${gotDropped -- bruteDropped}")
   }
 
+  test("fixture invariant behind the hash oracle: comfortable decision margins at both gate parameterizations") {
+    // q_semdedup / q_semdedup_linear are DuckDB-oracled by replaying the
+    // seeded-Lloyd pipeline (OracleCtes.semDedupCtes). The output is
+    // integers/booleans, so hash equality needs DECISION equality: the
+    // argmax over centroid cosines and the cos >= 0.95 compares must land
+    // the same way in both engines. Both run the identical IEEE sequence,
+    // but a fixture whose best/second-best centroid sims tie to ~1e-15,
+    // or whose pair cosines graze tau, would make the oracle fragile to
+    // any future expression re-ordering. Pin the margins (measured:
+    // argmax >= 2e-6, nearest pair cosine 0.49 vs tau 0.95) so a fixture
+    // change fails here with a pointed message, not as an opaque hash
+    // mismatch.
+    val e = Similarity.withNorm(spark, sf)
+    val n = e.count()
+    val vecs = e.select("vec_id", "embedding", "nrm")
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < x.length) { d += x(i).toDouble * y(i).toDouble; i += 1 }
+      d
+    }
+    for (nc <- Seq(Similarity.centroidCount(n), math.max(4, (n / 25).toInt))) {
+      val cents = Similarity.refineCentroids(e, nc, iters = 2)
+      var minMargin = Double.PositiveInfinity
+      val bucketOf = vecs.map { case (id, emb, nrm) =>
+        val sims = cents.map(c => (dot(emb, c._2) / (nrm * c._3), c._1))
+        val best = sims.maxBy(s => (s._1, -s._2))
+        val second = sims.filter(_._2 != best._2).map(_._1).max
+        minMargin = math.min(minMargin, best._1 - second)
+        id -> best._2
+      }.toMap
+      assert(minMargin >= 1e-7,
+        s"nc=$nc: argmax margin $minMargin too small for a safe hash oracle")
+      var minTauDist = Double.PositiveInfinity
+      for (i <- vecs.indices; j <- (i + 1) until vecs.length
+           if bucketOf(vecs(i)._1) == bucketOf(vecs(j)._1)) {
+        val c = dot(vecs(i)._2, vecs(j)._2) / (vecs(i)._3 * vecs(j)._3)
+        minTauDist = math.min(minTauDist, math.abs(c - 0.95))
+      }
+      assert(minTauDist >= 0.05,
+        s"nc=$nc: a within-cluster pair cosine sits $minTauDist from tau=0.95")
+    }
+  }
+
   test("hierarchical assignment tracks the flat scan and keeps exact dups co-clustered") {
     val e = Similarity.withNorm(spark, sf)
     val n = e.count()

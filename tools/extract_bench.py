@@ -3,29 +3,83 @@
 it to an artifact file (guards against the round-9 log-filter loss that
 forced a stderr reconstruction for the batch-2 sf10 artifact).
 
+Also parses the stderr diagnostics into the artifact (VERDICT r11 #5 /
+r12 #4): `[memo] build key=K t=Ts` receipts are attributed to the
+query-rep that paid them (the next `[bench] q rep=N t=Ts gc=Gms` line —
+bench prints the rep line after the rep completes, so a build always
+precedes its payer), and each paying query gets a `queries_marginal`
+entry: the median of its rep samples with the attributed build seconds
+subtracted from the paying reps. Family-run constants (q_doc_pagerank
+etc.) then stop billing the shared dedup_pairs build to whichever query
+the shuffled order happens to run first.
+
 Usage: python3 tools/extract_bench.py <sbt_log> <out_json>
 """
 import json
+import re
+import statistics
 import sys
+
+MEMO_RE = re.compile(r"\[memo\] build key=(\S+) t=([0-9.]+)s")
+BENCH_RE = re.compile(r"\[bench\] (\S+) rep=(\d+) t=([0-9.]+)s gc=(\d+)ms")
+
+
+def strip_sbt(s):
+    s = s.strip()
+    for p in ("[info] ", "[error] "):
+        if s.startswith(p):
+            return s[len(p):]
+    return s
 
 
 def main(log_path, out_path):
     line = None
+    pending = []          # memo builds awaiting their paying rep line
+    builds = []           # {key, seconds, paid_by, rep}
+    reps = {}             # query -> [(rep, wall, attributed_build_s)]
     with open(log_path) as f:
         for raw in f:
-            s = raw.strip()
-            if s.startswith("[info] "):
-                s = s[len("[info] "):]
+            s = strip_sbt(raw)
+            m = MEMO_RE.search(s)
+            if m:
+                pending.append({"key": m.group(1), "seconds": float(m.group(2))})
+                continue
+            b = BENCH_RE.search(s)
+            if b:
+                q, rep, t = b.group(1), int(b.group(2)), float(b.group(3))
+                paid = sum(p["seconds"] for p in pending)
+                for p in pending:
+                    p["paid_by"], p["rep"] = q, rep
+                    builds.append(p)
+                pending = []
+                reps.setdefault(q, []).append((rep, t, paid))
+                continue
             if s.startswith('{"metric":"total"'):
                 line = s
     if line is None:
         sys.exit(f"no bench JSON line found in {log_path}")
     d = json.loads(line)  # validate before committing
     n = len(d["queries"])
+    # builds that never found a payer (e.g. during the post-loop error
+    # retry, which prints no rep line) stay visible, unattributed
+    for p in pending:
+        p["paid_by"], p["rep"] = None, None
+        builds.append(p)
+    if builds:
+        d["memo_builds"] = builds
+        marginal = {}
+        for q in {b["paid_by"] for b in builds if b["paid_by"]}:
+            adj = [t - paid for (_, t, paid) in reps.get(q, [])]
+            if adj:
+                marginal[q] = round(statistics.median(adj), 3)
+        if marginal:
+            d["queries_marginal"] = marginal
     with open(out_path, "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(d) + "\n")
+    extra = (f", memo_builds={len(builds)}, marginal for "
+             f"{sorted(d.get('queries_marginal', {}))}") if builds else ""
     print(f"wrote {out_path}: {n} queries, errors={d['errors']}, "
-          f"total={d['value']:.1f}s")
+          f"total={d['value']:.1f}s{extra}")
 
 
 if __name__ == "__main__":
