@@ -46,8 +46,32 @@ object WindowGates {
     // recovery, determinism, and the seasonal-beats-Holt MSE ordering)
     "q_hw_seasonal" -> ((s: SparkSession, d: String) => HoltForecast.hwForecast(s, d)),
     // CSS refinement of the HR start at the grid-chosen (p,d,q): both
-    // conditional MSEs per series (no oracle: float folds; ArimaCssSpec)
+    // conditional MSEs per series.
+    //
+    // ORACLE IMPOSSIBILITY NOTE (r12 verdict #7, decided with receipts):
+    // the full grid + CSS composite cannot be DuckDB-replayed within the
+    // driver's oracle budget, for three independent reasons. (1) The
+    // 24-combo grid makes the long-AR order m and the solve size k = p+q
+    // DATA-DEPENDENT (m up to 24, k up to 12) — the unrolled-Levinson /
+    // unrolled-elimination device requires fixed depths. (2) solveRidge
+    // pivots by |column| maximum at every elimination step: at k = 12
+    // that is 12 data-dependent row permutations of a 12×12 matrix,
+    // expressible only by carrying the whole matrix as list state
+    // through k² recursion steps per combo × 24 combos. (3) cssRefine's
+    // accept/reject coordinate descent runs 4 rounds × k coords × 2
+    // full-series conditional-residual DPs — ~100 sequential recursions
+    // of the q_holt_forecast class, each of which already costs
+    // 70-130 s at sf0.01 (check.py receipts, r12); the composite lands
+    // orders of magnitude past the gate budget. What IS replayable is
+    // oracled: the fixed-order estimation core (q_arma_hr below — HR at
+    // ARMA(2,1), m pinned to 10, 3×3 pivoted solve unrolled) and the
+    // pivot-free AR specialization (q_ar_forecast). The composite stays
+    // pinned by ArimaCssSpec + ForecastCvSpec's MSE bit-equality against
+    // the oracle-exact Holt side.
     "q_arima_css" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaCss(s, d)),
+    // Hannan-Rissanen at fixed ARMA(2,1), d=1 — the oracle-able
+    // estimation core (raw mean/phi/theta per series)
+    "q_arma_hr" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.armaHrFixed(s, d)),
     // temporal joins (composition operators; oracled vs DuckDB ASOF JOIN)
     "q_asof_join"      -> (TemporalJoins.asofJoin _),
     "q_range_join"     -> ((s: SparkSession, d: String) => TemporalJoins.rangeJoin(s, d)),
@@ -527,6 +551,142 @@ object WindowGates {
         |  f.level + hs.h * f.trend AS forecast,
         |  f.level, f.trend, CAST(f.mm AS INT) AS n_obs
         |FROM fin f, (SELECT unnest(generate_series(1, 6)) AS h) hs""".stripMargin,
+
+    // Hannan-Rissanen at fixed ARMA(2,1), d = 1, replayed term by term
+    // (r12 verdict #7's "fixed small order, same trick"): dense series →
+    // first difference → autocovariances to lag 10 (index-ordered
+    // list_reduce folds) → Levinson-Durbin unrolled to TEN stages with
+    // the phi vector carried as a LIST column (the q_ar_forecast device
+    // generalized — each stage's reflection re-evaluates the acc
+    // expression, same bits) → long-AR residual proxies as pure lag
+    // windows (e(t) depends only on x — no recursion) → the 3×3 normal
+    // equations accumulated t-ascending → solveRidge's partial-pivot
+    // Gaussian elimination unrolled at k = 3 (each pivot choice one CASE
+    // tree, f = 0 / d = 0 skip guards mirrored). Series are filtered to
+    // the m = 10 plateau ((n-1)//4 ≥ 10) in BOTH engines so the unroll
+    // depth is a constant. Raw doubles, no rounding key — identical
+    // IEEE sequence end to end.
+    "q_arma_hr" -> {
+      val M = 10
+      def fold(gen: String, ex: String) =
+        s"list_reduce(list_transform($gen, $ex), (u, v) -> u + v)"
+      val lvStages = (0 until M).map { k =>
+        val acc = (0 until k).foldLeft(s"rl[${k + 2}]") { (a, j) =>
+          s"($a - pl[${j + 1}] * rl[${k - j + 1}])" }
+        val refl = s"CASE WHEN err$k = 0 THEN CAST(0.0 AS DOUBLE) ELSE $acc / err$k END"
+        val newpl =
+          if (k == 0) s"[$refl]"
+          else s"list_transform(generate_series(1, $k), j -> pl[j] - ($refl) * pl[$k + 1 - j]) || [$refl]"
+        val excl = if (k > 0) s"pl, err$k" else s"err$k"
+        s"""lv$k AS (SELECT * EXCLUDE ($excl),
+           |    $newpl AS pl,
+           |    err$k * (1 - ($refl) * ($refl)) AS err${k + 1}
+           |  FROM ${if (k == 0) "rr2" else s"lv${k - 1}"})""".stripMargin
+      }.mkString(",\n")
+      val rTerms = (0 to M).map { k =>
+        s"${fold(s"generate_series(1, n - $k)", s"t -> x[t] * x[t + $k]")} / n AS r$k"
+      }.mkString(",\n    ")
+      val pred = (0 until M).foldLeft("CAST(0.0 AS DOUBLE)") { (a, j) =>
+        s"($a + pl[${j + 1}] * x[t - ${j + 1}])" }
+      val rows = "generate_series(12, n)" // 1-based t = m + q + 1 .. n
+      val cols = Seq("x[t - 1]", "x[t - 2]", "el[t - 1]")
+      val neTerms = (for {
+        r <- 0 until 3; c <- r until 3
+      } yield s"${fold(rows, s"t -> ${cols(r)} * ${cols(c)}")} AS a${r + 1}${c + 1}") ++
+        (0 until 3).map(r => s"${fold(rows, s"t -> ${cols(r)} * x[t]")} AS b${r + 1}")
+      s"""WITH $HoltDenseCtes,
+        |ser AS (SELECT series, list(y ORDER BY i) AS a, max(n) AS n0 FROM idx GROUP BY series),
+        |dif AS (
+        |  SELECT series, CAST(n0 - 1 AS BIGINT) AS n,
+        |    list_transform(generate_series(2, CAST(n0 AS INT)), i -> a[i] - a[i - 1]) AS cur
+        |  FROM ser
+        |  WHERE (n0 - 1 - 1) // 4 >= 10 AND (n0 - 1) - 10 - 1 > 3),
+        |mnn AS (SELECT *, list_reduce(cur, (u, v) -> u + v) / n AS mu FROM dif),
+        |xs AS (SELECT *, list_transform(cur, v -> v - mu) AS x FROM mnn),
+        |rr AS (SELECT *,
+        |    $rTerms
+        |  FROM xs),
+        |rr2 AS (SELECT *, [r0, r1, r2, r3, r4, r5, r6, r7, r8, r9, r10] AS rl,
+        |    r0 AS err0 FROM rr),
+        |$lvStages,
+        |res AS (SELECT *,
+        |    list_transform(generate_series(1, CAST(n AS INT)),
+        |      t -> CASE WHEN t <= 10 THEN CAST(0.0 AS DOUBLE)
+        |                ELSE x[t] - $pred END) AS el
+        |  FROM lv${M - 1}),
+        |ne AS (SELECT *,
+        |    ${neTerms.mkString(",\n    ")}
+        |  FROM res),
+        |ne0 AS (SELECT *,
+        |    CASE WHEN (a11 + a22) + a33 = 0 THEN TRUE ELSE FALSE END AS zero_tr
+        |  FROM ne),
+        |sv0 AS (SELECT *, 1e-10 * ((a11 + a22) + a33) / 3 AS lam FROM ne0),
+        |sv1 AS (SELECT *,
+        |    a11 + lam AS m11, a12 AS m12, a13 AS m13,
+        |    a12 AS m21, a22 + lam AS m22, a23 AS m23,
+        |    a13 AS m31, a23 AS m32, a33 + lam AS m33,
+        |    b1 AS x1, b2 AS x2, b3 AS x3
+        |  FROM sv0),
+        |sv2 AS (SELECT *,
+        |    CASE WHEN abs(m31) > abs(CASE WHEN abs(m21) > abs(m11) THEN m21 ELSE m11 END) THEN 3
+        |         WHEN abs(m21) > abs(m11) THEN 2 ELSE 1 END AS p0
+        |  FROM sv1),
+        |sv3 AS (SELECT * EXCLUDE (m11, m12, m13, m21, m22, m23, m31, m32, m33, x1, x2, x3),
+        |    CASE p0 WHEN 2 THEN m21 WHEN 3 THEN m31 ELSE m11 END AS m11,
+        |    CASE p0 WHEN 2 THEN m22 WHEN 3 THEN m32 ELSE m12 END AS m12,
+        |    CASE p0 WHEN 2 THEN m23 WHEN 3 THEN m33 ELSE m13 END AS m13,
+        |    CASE p0 WHEN 2 THEN m11 ELSE m21 END AS m21,
+        |    CASE p0 WHEN 2 THEN m12 ELSE m22 END AS m22,
+        |    CASE p0 WHEN 2 THEN m13 ELSE m23 END AS m23,
+        |    CASE p0 WHEN 3 THEN m11 ELSE m31 END AS m31,
+        |    CASE p0 WHEN 3 THEN m12 ELSE m32 END AS m32,
+        |    CASE p0 WHEN 3 THEN m13 ELSE m33 END AS m33,
+        |    CASE p0 WHEN 2 THEN x2 WHEN 3 THEN x3 ELSE x1 END AS x1,
+        |    CASE p0 WHEN 2 THEN x1 ELSE x2 END AS x2,
+        |    CASE p0 WHEN 3 THEN x1 ELSE x3 END AS x3
+        |  FROM sv2),
+        |sv4 AS (SELECT * EXCLUDE (m21, m22, m23, m31, m32, m33, x2, x3),
+        |    CASE WHEN m11 = 0 OR m21 = 0 THEN m21 ELSE m21 - (m21 / m11) * m11 END AS m21,
+        |    CASE WHEN m11 = 0 OR m21 = 0 THEN m22 ELSE m22 - (m21 / m11) * m12 END AS m22,
+        |    CASE WHEN m11 = 0 OR m21 = 0 THEN m23 ELSE m23 - (m21 / m11) * m13 END AS m23,
+        |    CASE WHEN m11 = 0 OR m31 = 0 THEN m31 ELSE m31 - (m31 / m11) * m11 END AS m31,
+        |    CASE WHEN m11 = 0 OR m31 = 0 THEN m32 ELSE m32 - (m31 / m11) * m12 END AS m32,
+        |    CASE WHEN m11 = 0 OR m31 = 0 THEN m33 ELSE m33 - (m31 / m11) * m13 END AS m33,
+        |    CASE WHEN m11 = 0 OR m21 = 0 THEN x2 ELSE x2 - (m21 / m11) * x1 END AS x2,
+        |    CASE WHEN m11 = 0 OR m31 = 0 THEN x3 ELSE x3 - (m31 / m11) * x1 END AS x3
+        |  FROM sv3),
+        |sv5 AS (SELECT *,
+        |    CASE WHEN abs(m32) > abs(m22) THEN 3 ELSE 2 END AS p1
+        |  FROM sv4),
+        |sv6 AS (SELECT * EXCLUDE (m22, m23, m32, m33, x2, x3),
+        |    CASE p1 WHEN 3 THEN m32 ELSE m22 END AS m22,
+        |    CASE p1 WHEN 3 THEN m33 ELSE m23 END AS m23,
+        |    CASE p1 WHEN 3 THEN m22 ELSE m32 END AS m32,
+        |    CASE p1 WHEN 3 THEN m23 ELSE m33 END AS m33,
+        |    CASE p1 WHEN 3 THEN x3 ELSE x2 END AS x2,
+        |    CASE p1 WHEN 3 THEN x2 ELSE x3 END AS x3
+        |  FROM sv5),
+        |sv7 AS (SELECT * EXCLUDE (m32, m33, x3),
+        |    CASE WHEN m22 = 0 OR m32 = 0 THEN m32 ELSE m32 - (m32 / m22) * m22 END AS m32,
+        |    CASE WHEN m22 = 0 OR m32 = 0 THEN m33 ELSE m33 - (m32 / m22) * m23 END AS m33,
+        |    CASE WHEN m22 = 0 OR m32 = 0 THEN x3 ELSE x3 - (m32 / m22) * x2 END AS x3
+        |  FROM sv6),
+        |sv8 AS (SELECT *,
+        |    CASE WHEN m33 = 0 THEN CAST(0.0 AS DOUBLE) ELSE x3 / m33 END AS s3
+        |  FROM sv7),
+        |sv9 AS (SELECT *,
+        |    CASE WHEN m22 = 0 THEN CAST(0.0 AS DOUBLE) ELSE (x2 - m23 * s3) / m22 END AS s2
+        |  FROM sv8),
+        |sv10 AS (SELECT *,
+        |    CASE WHEN m11 = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE ((x1 - m12 * s2) - m13 * s3) / m11 END AS s1
+        |  FROM sv9)
+        |SELECT series, n, mu,
+        |  CASE WHEN zero_tr THEN CAST(0.0 AS DOUBLE) ELSE s1 END AS phi1,
+        |  CASE WHEN zero_tr THEN CAST(0.0 AS DOUBLE) ELSE s2 END AS phi2,
+        |  CASE WHEN zero_tr THEN CAST(0.0 AS DOUBLE) ELSE s3 END AS theta1
+        |FROM sv10""".stripMargin
+    },
 
     // AR(4) forecasting replayed in SQL, fully UNROLLED (no recursion):
     // autocovariances are list_reduce folds over index-ordered products

@@ -84,7 +84,7 @@ object EventStreams {
     * of these jobs would run. The provider is pinned by the checkpoint
     * at first start; these gates use per-JVM scratch checkpoints, so
     * provider and checkpoint always agree. */
-  private def withRocksDbStore[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withRocksDbStore[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,

@@ -348,6 +348,45 @@ object ArForecast {
       .toDF("series", "p", "d", "q", "n", "hr_mse", "css_mse", "improved")
   }
 
+  /** Hannan-Rissanen at a FIXED small order — ARMA(2,1) on the d = 1
+    * differenced dense series — emitting the raw estimation result
+    * (mean, φ₁, φ₂, θ₁): the oracle-able core of the ARMA machinery
+    * (r12 verdict #7). At fixed (p, q) with the long-AR order pinned to
+    * its plateau value (m = 10 — series shorter than 41 after
+    * differencing are skipped so m never varies), every stage is a
+    * deterministic IEEE sequence a DuckDB oracle replays term by term:
+    * autocovariances to lag 10 (index-ordered folds), Levinson-Durbin
+    * unrolled to 10 stages (the q_ar_forecast device at 2.5× depth),
+    * the long-AR residual proxies (pure lag windows — no recursion: e(t)
+    * depends only on x), the 3×3 normal equations accumulated in
+    * t-ascending order, and [[solveRidge]]'s partial-pivot Gaussian
+    * elimination unrolled at k = 3 (each pivot choice is one CASE tree).
+    * The FULL estimators stay spec-pinned: see the impossibility note
+    * at `q_arima_css` in WindowGates for why the grid + CSS composite
+    * cannot be replayed within the driver's oracle budget. */
+  def armaHrFixed(s: SparkSession, d: String, p: Int = 2, q: Int = 1): DataFrame = {
+    import s.implicits._
+    HoltForecast.denseSeries(s, d)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val raw = HoltForecast.denseArray(it)
+        if (raw.length < 2) Iterator.empty
+        else {
+          val cur = Array.tabulate(raw.length - 1)(j => raw(j + 1) - raw(j))
+          val n = cur.length
+          // fixed-order gate: only series long enough that hrLongOrder
+          // sits on its plateau (m = 10), so the oracle's unroll depth
+          // is a constant, not data-dependent
+          if (hrLongOrder(p, q, n) != 10 || n - 10 - q <= p + q) Iterator.empty
+          else {
+            val (mean, phi, theta) = hannanRissanen(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(cur), p, q)
+            Iterator.single((k, n.toLong, mean, phi(0), phi(1), theta(0)))
+          }
+        }
+      }
+      .toDF("series", "n", "mu", "phi1", "phi2", "theta1")
+  }
+
   /** h-step ARMA forecast recursion: predicted values feed back into the
     * lag window, future innovations are zero (their conditional mean). */
   def armaForecast(x: Array[Double], e: Array[Double],

@@ -109,4 +109,24 @@ class ArForecastSpec extends SparkTestBase {
     assert(mseFor(1, 1) <= mseFor(1, 0) * 1.05,
       s"ARMA(1,1) ${mseFor(1, 1)} vs AR(1) ${mseFor(1, 0)}")
   }
+
+  test("armaHrFixed: m = 10 plateau filter, finite fixed-order estimates, bit-determinism") {
+    val out = ArForecast.armaHrFixed(spark, sf).collect()
+    assert(out.nonEmpty, "no series cleared the fixed-order length filter")
+    out.foreach { r =>
+      // the gate's skip rule: only series whose differenced length keeps
+      // hrLongOrder on its plateau (m = 10 needs n >= 41) are emitted —
+      // the oracle's unroll depth contract
+      val n = r.getAs[Long]("n")
+      assert((n - 1) / 4 >= 10, s"series ${r.getAs[Long]("series")}: n=$n below the m=10 plateau")
+      Seq("mu", "phi1", "phi2", "theta1").foreach { c =>
+        assert(java.lang.Double.isFinite(r.getAs[Double](c)),
+          s"non-finite $c for series ${r.getAs[Long]("series")}")
+      }
+    }
+    // same estimation run twice is bit-identical (the raw-double hash
+    // oracle depends on it)
+    val again = ArForecast.armaHrFixed(spark, sf).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
