@@ -238,17 +238,42 @@ object OracleCtes {
     * make the hash check safe (both engines also run the identical
     * IEEE sequence) are pinned by SemDedupSpec's fixture-invariant
     * test. */
-  private[gates] def semDedupCtes(ncExpr: String, tau: String = "0.95"): String = {
-    def assign(name: String, cents: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
-         |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        list_sum(list_transform(generate_series(1, 64),
-         |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
-         |        c.c_id) AS rn
-         |    FROM n, $cents c) t
-         |  WHERE rn = 1)""".stripMargin
+  private[gates] def semDedupCtes(ncExpr: String, tau: String = "0.95"): String =
+    s"""${lloydCtes(ncExpr)},
+       |sd_p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
+       |  FROM af a JOIN af b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |sd_dropped AS (
+       |  SELECT b_id AS vec_id, min(a_id) AS dup_of,
+       |    CAST(count(*) AS BIGINT) AS n_dups
+       |  FROM sd_p WHERE cos >= $tau GROUP BY b_id)""".stripMargin
+
+  /** Nearest-centroid assignment against centroid CTE `cents(c_id,
+    * c_emb, c_nrm)` over `n(vec_id, embedding, nrm)` — cosine argmax,
+    * ties to the lowest c_id (Similarity.assignWith's strict-`>`
+    * first-best scan). */
+  private[gates] def assignCte(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, nrm, c_id AS bucket FROM (
+       |    SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64),
+       |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+       |        c.c_id) AS rn
+       |    FROM n, $cents c) t
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The deterministic seeded-Lloyd chain replaying
+    * `Similarity.refineCentroids(e, nc, iters = 2)` + the final
+    * assignment: norms (`n`), lowest-vec_id seeds (`c0`), two rounds of
+    * cosine-argmax assignment + per-(bucket, dim) FLOAT means of
+    * vec_id-ORDERED double sums with empty-bucket carry-over (`c1`,
+    * `c2`), and the final assignment `af(vec_id, embedding, nrm,
+    * bucket)`. Shared by the SemDeDup oracles and the refined-coarse
+    * IVF oracles (q_ann_recall, the residual IVF-PQ pair). */
+  private[gates] def lloydCtes(ncExpr: String): String = {
     def refine(t: Int, prevC: String, prevA: String): String =
       s"""sd_m$t AS (
          |  SELECT bucket, i,
@@ -274,19 +299,82 @@ object OracleCtes {
        |c0 AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
        |  WHERE vec_id < ($ncExpr)),
-       |${assign("sd_a1", "c0")},
+       |${assignCte("sd_a1", "c0")},
        |${refine(1, "c0", "sd_a1")},
-       |${assign("sd_a2", "c1")},
+       |${assignCte("sd_a2", "c1")},
        |${refine(2, "c1", "sd_a2")},
-       |${assign("af", "c2")},
-       |sd_p AS (
-       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |    list_sum(list_transform(generate_series(1, 64),
-       |      i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])) / (a.nrm * b.nrm) AS cos
-       |  FROM af a JOIN af b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-       |sd_dropped AS (
-       |  SELECT b_id AS vec_id, min(a_id) AS dup_of,
-       |    CAST(count(*) AS BIGINT) AS n_dups
-       |  FROM sd_p WHERE cos >= $tau GROUP BY b_id)""".stripMargin
+       |${assignCte("af", "c2")}""".stripMargin
   }
+
+  /** The √N-clamped centroid-count expression (`Similarity
+    * .centroidCount`). */
+  private[gates] val SqrtNcExpr: String =
+    "LEAST(4096, GREATEST(4, CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))"
+
+  /** PQ training + encode chain replaying `Similarity.pqTrain(e, m = 4,
+    * k = 16, iters = 3, seedSkip)` + `pqEncode` over a source CTE
+    * `$src(vec_id, embedding)` (raw embeddings or IVFADC residuals):
+    * per-subspace slices, seeds = the 16 lowest eligible vec_ids'
+    * slices (code = seed rank), three Lloyd rounds of L2-argmin
+    * assignment (ties to the lowest code — nearestL2's strict-`<`
+    * first-best scan) + per-(sub, code, dim) FLOAT means of
+    * vec_id-ORDERED double sums with empty-code carry-over, and the
+    * final encoding. Terminal CTEs: `pq_cb3(sub, code, cw)` and
+    * `pq_enc(vec_id, sub, code, sl)`. */
+  private[gates] def pqCtes(src: String, seedSkip: String = "0"): String = {
+    val dsub = 16
+    def assign(name: String, cb: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sub, code, sl FROM (
+         |    SELECT s.vec_id, s.sub, c.code, s.sl,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        list_reduce(list_transform(generate_series(1, $dsub),
+         |          i -> (CAST(s.sl[i] AS DOUBLE) - c.cw[i]) * (CAST(s.sl[i] AS DOUBLE) - c.cw[i])),
+         |          (u, v) -> u + v) ASC,
+         |        c.code ASC) AS rn
+         |    FROM pq_slices s JOIN $cb c ON c.sub = s.sub) t
+         |  WHERE rn = 1)""".stripMargin
+    def refine(t: Int): String =
+      s"""pq_m$t AS (
+         |  SELECT sub, code, i,
+         |    CAST(list_sum(list(x ORDER BY vec_id)) / count(*) AS FLOAT) AS mf
+         |  FROM (
+         |    SELECT a.sub, a.code, a.vec_id, g.i, CAST(a.sl[g.i] AS DOUBLE) AS x
+         |    FROM pq_a$t a, generate_series(1, $dsub) AS g(i)) s
+         |  GROUP BY sub, code, i),
+         |pq_mv$t AS (SELECT sub, code, list(mf ORDER BY i) AS cw FROM pq_m$t GROUP BY sub, code),
+         |pq_cb$t AS (
+         |  SELECT p.sub, p.code, COALESCE(m.cw, p.cw) AS cw
+         |  FROM pq_cb${t - 1} p LEFT JOIN pq_mv$t m ON p.sub = m.sub AND p.code = m.code)""".stripMargin
+    s"""pq_subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+       |pq_slices AS (
+       |  SELECT vec_id, sub,
+       |    list_transform(generate_series(1, $dsub), i -> embedding[sub * $dsub + i]) AS sl
+       |  FROM $src, pq_subs),
+       |pq_cb0 AS (
+       |  SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS code,
+       |    sl AS cw
+       |  FROM pq_slices WHERE vec_id >= ($seedSkip)
+       |  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 16),
+       |${assign("pq_a1", "pq_cb0")},
+       |${refine(1)},
+       |${assign("pq_a2", "pq_cb1")},
+       |${refine(2)},
+       |${assign("pq_a3", "pq_cb2")},
+       |${refine(3)},
+       |${assign("pq_enc", "pq_cb3")}""".stripMargin
+  }
+
+  /** Per-query PQ-ADC lookup tables over `pq_cb3`: one dot product per
+    * (query, sub, code) — queries are the `nq` lowest vec_ids of `$qsrc`
+    * (which must expose (vec_id, embedding)). Terminal CTE:
+    * `pq_qt(q_id, sub, code, dotv)`. */
+  private[gates] def pqAdcCte(qsrc: String, nq: Int = 10): String =
+    s"""pq_qt AS (
+       |  SELECT q.vec_id AS q_id, c.sub, c.code,
+       |    list_reduce(list_transform(generate_series(1, 16),
+       |      i -> CAST(q.embedding[i + c.sub * 16] AS DOUBLE) * c.cw[i]), (u, v) -> u + v) AS dotv
+       |  FROM $qsrc q JOIN pq_cb3 c ON TRUE
+       |  WHERE q.vec_id < $nq)""".stripMargin
 }

@@ -26,7 +26,8 @@ object SimilarityGates {
     // top-k nearest WRONG-label hard negatives
     "q_hard_negatives" -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     // measured recall@k of Lloyd-refined IVF vs brute-force ground truth
-    // (no oracle: float Lloyd means; AnnRecallSpec pins the floor)
+    // (oracled r13: the lloydCtes chain replays the refined centroids;
+    // AnnRecallSpec additionally pins the floor)
     "q_ann_recall"     -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     // measured recall@k of IVF-PQ ADC vs exact-dot ground truth — the
     // number for the stacked IVF-pruning + non-residual-PQ trades
@@ -41,7 +42,8 @@ object SimilarityGates {
     // symmetric int8 embedding quantization (scale, checksum, max error)
     "q_quantize_int8"  -> (Similarity.quantizeInt8 _),
     // product quantization: deterministic Lloyd codebooks + ADC top-k
-    // (no oracle — seeded JVM fits; PqSpec pins the contracts)
+    // (oracled r13: pqCtes unrolls the 3 training rounds + encode;
+    // PqSpec additionally pins the contracts)
     "q_pq_topk"        -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     // IVF-PQ composition: probe nprobe buckets, ADC over codes only
     "q_ivf_pq_topk"    -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
@@ -107,7 +109,192 @@ object SimilarityGates {
         |  FROM x)
         |SELECT q_id, vec_id, bucket, rank, round(cos, 4) AS sim FROM r WHERE rank <= 5""".stripMargin
 
+  /** PQ-ADC scoring + deterministic ranking over `pq_enc`/`pq_qt`
+    * (OracleCtes.pqCtes/pqAdcCte), optionally routed through IVF probes.
+    * The score fold replays the kernel's left-to-right accumulation:
+    * `list(dotv ORDER BY sub)` (prefixed with the exact q·c_b constant
+    * in the residual variant). */
+  private def pqRankSql(scCte: String, cols: String): String =
+    s"""$scCte,
+       |pq_rk AS (
+       |  SELECT *, round(score, 6) AS sim_key,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(score, 6) DESC, vec_id) AS INTEGER) AS rank
+       |  FROM pq_sc)
+       |SELECT $cols, rank, sim_key AS adc_score
+       |FROM pq_rk WHERE rank <= 5""".stripMargin
+
+  /** The IVF-PQ top-k CTE chain (raw variant: seed centroids, cosine
+    * probes, ADC over raw-vector codebooks) up to and including the
+    * ranked result — shared verbatim by `q_ivf_pq_topk` and the recall
+    * gate so the approximate side can never drift between them. */
+  private val IvfPqTopkSql: String = {
+    val probeSim = "list_sum(list_transform(generate_series(1, 64), " +
+      "i -> CAST(nq.embedding[i] AS DOUBLE) * c.c_emb[i])) / (nq.nrm * c.c_nrm)"
+    s"""n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+       |  WHERE vec_id < ($SqrtNcExpr)),
+       |${assignCte("ivf_a", "c0")},
+       |${pqCtes("embeddings")},
+       |${pqAdcCte("embeddings")},
+       |probe AS (
+       |  SELECT q_id, bucket FROM (
+       |    SELECT nq.vec_id AS q_id, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+       |        $probeSim DESC, c.c_id) AS rn
+       |    FROM n nq, c0 c WHERE nq.vec_id < 10) t
+       |  WHERE rn <= 2),
+       |${pqRankSql(
+           """pq_sc AS (
+             |  SELECT p.q_id, e.vec_id, a.bucket,
+             |    list_sum(list(q.dotv ORDER BY q.sub)) AS score
+             |  FROM pq_enc e
+             |  JOIN ivf_a a ON a.vec_id = e.vec_id
+             |  JOIN probe p ON p.bucket = a.bucket
+             |  JOIN pq_qt q ON q.q_id = p.q_id AND q.sub = e.sub AND q.code = e.code
+             |  WHERE e.vec_id <> p.q_id
+             |  GROUP BY p.q_id, e.vec_id, a.bucket)""".stripMargin,
+           "q_id, vec_id, bucket")}""".stripMargin
+  }
+
+  /** The residual (IVFADC) top-k chain: Lloyd-refined coarse centroids
+    * (OracleCtes.lloydCtes — the SemDeDup device), float residuals,
+    * residual-trained codebooks (seedSkip = nc), probes by normalized
+    * cosine with the exact q·c_b constant folded FIRST into the score
+    * (the kernel seeds its accumulator with it). */
+  private val IvfPqResidualTopkSql: String = {
+    val rawDot = "list_sum(list_transform(generate_series(1, 64), " +
+      "i -> CAST(nq.embedding[i] AS DOUBLE) * c.c_emb[i]))"
+    s"""${lloydCtes(SqrtNcExpr)},
+       |res_src AS (
+       |  SELECT a.vec_id, a.bucket,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE) AS FLOAT)) AS embedding
+       |  FROM af a JOIN c2 c ON c.c_id = a.bucket),
+       |${pqCtes("res_src", SqrtNcExpr)},
+       |${pqAdcCte("embeddings")},
+       |probe AS (
+       |  SELECT q_id, bucket, qc FROM (
+       |    SELECT nq.vec_id AS q_id, c.c_id AS bucket, $rawDot AS qc,
+       |      row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+       |        $rawDot / (nq.nrm * c.c_nrm) DESC, c.c_id) AS rn
+       |    FROM n nq, c2 c WHERE nq.vec_id < 10) t
+       |  WHERE rn <= 2),
+       |${pqRankSql(
+           """pq_sc AS (
+             |  SELECT p.q_id, e.vec_id, r.bucket,
+             |    list_sum([first(p.qc)] || list(q.dotv ORDER BY q.sub)) AS score
+             |  FROM pq_enc e
+             |  JOIN res_src r ON r.vec_id = e.vec_id
+             |  JOIN probe p ON p.bucket = r.bucket
+             |  JOIN pq_qt q ON q.q_id = p.q_id AND q.sub = e.sub AND q.code = e.code
+             |  WHERE e.vec_id <> p.q_id
+             |  GROUP BY p.q_id, e.vec_id, r.bucket)""".stripMargin,
+           "q_id, vec_id, bucket")}""".stripMargin
+  }
+
+  /** Exact dot-product top-5 ground truth (Similarity.dotTopK) —
+    * terminal CTE `truth(q_id, vec_id)`. */
+  private val DotTruthCte: String =
+    """truth AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q.vec_id AS q_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_sum(list_transform(generate_series(1, 64),
+      |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), 6) DESC,
+      |        e.vec_id) AS trank
+      |    FROM embeddings e JOIN embeddings q
+      |      ON q.vec_id < 10 AND e.vec_id <> q.vec_id) t
+      |  WHERE trank <= 5)""".stripMargin
+
+  /** recall@k readout over `truth` and a `got(q_id, vec_id)` CTE —
+    * Similarity's truth LEFT JOIN got → per-query hit count. */
+  private val RecallSelect: String =
+    """SELECT t.q_id, CAST(count(*) AS BIGINT) AS k_truth,
+      |  CAST(COALESCE(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hits,
+      |  CAST(COALESCE(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+      |    / count(*) AS recall_at_k
+      |FROM truth t LEFT JOIN got g ON t.q_id = g.q_id AND t.vec_id = g.vec_id
+      |GROUP BY t.q_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // ---- PQ / IVF-PQ / recall family (r13): the codebooks are the same
+    // deterministic seeded-Lloyd scheme the SemDeDup oracle replays
+    // (lowest-id seeds, vec_id-ordered float means, carry-over), so the
+    // whole family unrolls: 3 training rounds, L2-argmin encode (ties →
+    // lowest code), per-query ADC tables, and the (round(score,6) DESC,
+    // vec_id) rank key. ----
+    "q_pq_topk" ->
+      s"""WITH ${pqCtes("embeddings")},
+        |${pqAdcCte("embeddings")},
+        |${pqRankSql(
+            """pq_sc AS (
+              |  SELECT q.q_id, e.vec_id,
+              |    list_sum(list(q.dotv ORDER BY q.sub)) AS score
+              |  FROM pq_enc e JOIN pq_qt q ON q.sub = e.sub AND q.code = e.code
+              |  WHERE e.vec_id <> q.q_id
+              |  GROUP BY q.q_id, e.vec_id)""".stripMargin,
+            "q_id, vec_id")}""".stripMargin,
+
+    "q_ivf_pq_topk" -> s"WITH $IvfPqTopkSql",
+
+    "q_ivf_pq_topk_res" -> s"WITH $IvfPqResidualTopkSql",
+
+    // recall readouts share the top-k chains verbatim (got = the ranked
+    // result re-selected) against the exact-dot truth
+    "q_ivf_pq_recall" ->
+      s"""WITH ivfpq AS (WITH $IvfPqTopkSql),
+        |got AS (SELECT q_id, vec_id FROM ivfpq),
+        |$DotTruthCte
+        |$RecallSelect""".stripMargin,
+
+    "q_ivf_pq_recall_res" ->
+      s"""WITH ivfpq AS (WITH $IvfPqResidualTopkSql),
+        |got AS (SELECT q_id, vec_id FROM ivfpq),
+        |$DotTruthCte
+        |$RecallSelect""".stripMargin,
+
+    // IVF (Lloyd-refined coarse, the lloydCtes chain) vs brute-force
+    // cosine truth — annRecall at gate defaults (refineIters = 2)
+    "q_ann_recall" ->
+      s"""WITH ${lloydCtes(SqrtNcExpr)},
+        |probes AS (
+        |  SELECT q_id, bucket FROM (
+        |    SELECT nq.vec_id AS q_id, c.c_id AS bucket,
+        |      row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(nq.embedding[i] AS DOUBLE) * c.c_emb[i])) / (nq.nrm * c.c_nrm), 6) DESC,
+        |        c.c_id) AS rn
+        |    FROM n nq, c2 c WHERE nq.vec_id < 10) t
+        |  WHERE rn <= 2),
+        |got AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT p.q_id, a.vec_id,
+        |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(nq.embedding[i] AS DOUBLE) * a.embedding[i])) / (nq.nrm * a.nrm), 6) DESC,
+        |        a.vec_id) AS rn
+        |    FROM probes p
+        |    JOIN af a ON a.bucket = p.bucket
+        |    JOIN n nq ON nq.vec_id = p.q_id
+        |    WHERE a.vec_id <> p.q_id) t
+        |  WHERE rn <= 5),
+        |truth AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(q.embedding[i] AS DOUBLE) * e.embedding[i])) / (q.nrm * e.nrm), 6) DESC,
+        |        e.vec_id) AS trank
+        |    FROM n e JOIN n q ON q.vec_id < 10 AND e.vec_id <> q.vec_id) t
+        |  WHERE trank <= 5)
+        |$RecallSelect""".stripMargin,
+
     // reported doubles are RAW (bit-exact cross-engine: float→double is
     // exact, and both engines evaluate the same IEEE ops in the same
     // order); round(x, 6) would reintroduce the engine-specific

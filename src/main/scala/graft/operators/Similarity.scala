@@ -468,10 +468,10 @@ object Similarity {
     * 4-byte-ish encoded form), never the float vectors: the scan cost at
     * 100 TB is the encoded corpus, ~dim/m-fold smaller. Deterministic
     * ranking via (round(score, 6) DESC, vec_id), the same ULP-proof rank
-    * key as [[cosineTopK]]. No oracle — the codebooks are seeded JVM
-    * Lloyd fits — so the contract is spec-pinned instead (PqSpec:
-    * determinism, code locality, ADC-vs-exact recall on separable
-    * clusters). */
+    * key as [[cosineTopK]]. DuckDB-oracled since r13 (OracleCtes.pqCtes
+    * unrolls the three training rounds, the L2-argmin encode, and the
+    * ADC tables); PqSpec additionally pins determinism, code locality,
+    * and ADC-vs-exact recall on separable clusters. */
   def pqTopK(s: SparkSession, d: String, m: Int = 4, k: Int = 16,
       nQueries: Int = 10, topK: Int = 5, iters: Int = 3): DataFrame = {
     import s.implicits._
@@ -515,9 +515,9 @@ object Similarity {
     * happens exactly twice at build time (assignment + encoding); search
     * touches nprobe/√N of the corpus and reads only codes. This variant
     * encodes raw vectors, not residuals (vector − centroid): simpler, a
-    * known recall trade, documented rather than hidden. No oracle
-    * (seeded JVM Lloyd fits); PqSpec pins probed-bucket containment,
-    * own-cluster recall, and determinism. */
+    * known recall trade, documented rather than hidden. DuckDB-oracled
+    * since r13 (seed-centroid probes + the pqCtes chain); PqSpec pins
+    * probed-bucket containment, own-cluster recall, and determinism. */
   def ivfPqTopK(s: SparkSession, d: String, nCentroids: Int = 0, nprobe: Int = 2,
       m: Int = 4, k: Int = 16, nQueries: Int = 10, topK: Int = 5,
       iters: Int = 3, refineIters: Int = 0): DataFrame = {
@@ -677,8 +677,9 @@ object Similarity {
     * configuration is shippable, produced by the engine itself instead of
     * asserted in prose. Both sides rank by the same (round(cos,6) DESC,
     * vec_id) key, so recall differences measure BUCKETING loss only.
-    * Deterministic (seeded centroids + vec_id-ordered Lloyd sums) but not
-    * SQL-expressible (float Lloyd means) → no oracle; AnnRecallSpec pins
+    * Deterministic (seeded centroids + vec_id-ordered Lloyd sums) AND
+    * SQL-replayable since r13 (OracleCtes.lloydCtes unrolls the two
+    * refinement rounds — the SemDeDup device); AnnRecallSpec pins
     * the floor and the refined-beats-seeds ordering. Cost shape: ground
     * truth is one broadcast-queries corpus pass — the same pass a
     * production recall audit runs on a SAMPLE of queries next to the
@@ -720,7 +721,8 @@ object Similarity {
     * `ivfPqTopK`'s scaladoc could only describe as "a documented recall
     * trade". One row per query; `residual = true` measures the IVFADC
     * residual-encoding variant instead, so the raw-vs-residual trade is
-    * a pair of numbers, not prose. No oracle (seeded JVM Lloyd fits);
+    * a pair of numbers, not prose. DuckDB-oracled since r13 (both top-k
+    * chains replayed verbatim against the exact-dot truth);
     * AnnRecallSpec pins the floors and the residual ≥ raw ordering. */
   def ivfPqRecall(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nprobe: Int = 2, m: Int = 4, codebookK: Int = 16,
