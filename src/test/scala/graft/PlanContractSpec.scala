@@ -97,9 +97,9 @@ class PlanContractSpec extends SparkTestBase {
     "q_retention"         -> "1-row anchor",
     "q_simhash_recall"    -> "cumulative recall curve over <= 13 hamming rows",
     "q_stream_heavy_hitters" -> "1-row recount total",
-    "q_stream_join_outer" -> "1-row frontier probe",
-    "q_stream_sessionize" -> "1-row frontier probe",
-    "q_train_order"       -> "global curriculum sort of the final packed batches",
+    "q_stream_join_outer" -> "1-row settled-frontier global aggregate",
+    "q_stream_sessionize" -> "1-row settled-frontier global aggregate",
+    "q_train_order"       -> "<= 256-row bucket-offset running-sum window (the documented two-level permutation device)",
     "q_unigram_logprob"   -> "1-row total",
     "q_vocab_growth"      -> "cumulative curve over 10 checkpoint rows")
 
