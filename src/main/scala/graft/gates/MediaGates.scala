@@ -23,8 +23,9 @@ object MediaGates {
     // frame-sampling fan-out summary (count + sampled bytes per media)
     "q_media_frames"   -> (graft.multimodal.Media.mediaFrames _),
     // perceptual-hash (aHash) media near-dup — the multimodal dedup leg,
-    // banded-Hamming blocked (no oracle: PRNG payloads; MediaPhashSpec
-    // pins planted-near-copy recovery)
+    // banded-Hamming blocked (oracled r13: the PRNG payloads ARE
+    // replayable — java.util.Random is a 48-bit LCG; MediaPhashSpec
+    // additionally pins planted-near-copy recovery)
     "q_media_phash_neardup" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Media.mediaPhashNearDup(s, d)),
   )
@@ -81,5 +82,73 @@ object MediaGates {
         |  FROM f WHERE i % 4 = 0)
         |SELECT media_id, count(*) AS n_frames, CAST(sum(fb) AS BIGINT) AS total_frame_bytes
         |FROM k GROUP BY 1""".stripMargin,
+
+    // The "unoracleable PRNG bytes" turned out to be replayable after
+    // all (r13): java.util.Random is a 48-bit LCG — seed scramble and
+    // steps run in HUGEINT mod 2^48, nextBytes' unsigned byte lanes are
+    // integer shifts, the fixture's plant rule (id ≡ 2 mod 10 draws
+    // id−2's stream at its own length, bits flipped at positions
+    // 0/7/14) is arithmetic, decodeStub's float32 accumulation replays
+    // with a per-step CAST(… AS REAL) fold (DuckDB REAL arithmetic is
+    // per-op single precision — verified against all 256 byte/255.0f
+    // divisions), and the aHash bit for lane 63 wraps through HUGEINT
+    // into the signed BIGINT. The banded 3-of-6 keying needs no replay:
+    // at Hamming ≤ 3, ≤ 3 of 6 blocks can differ, so ≥ 3 blocks always
+    // match and the prefilter is EXHAUSTIVE — the oracle is the exact
+    // within-kind pair scan.
+    "q_media_phash_neardup" ->
+      """WITH RECURSIVE meta AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 10 = 2 AND doc_id > 1 THEN doc_id - 2 ELSE doc_id END AS src_id,
+        |    CAST(200 + doc_id % 300 AS INT) AS len,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+        |  FROM documents),
+        |seed0 AS (
+        |  SELECT media_id, len, kind,
+        |    xor(CAST((CAST(src_id AS HUGEINT) * 11400714819323198485 + 2685821657736338717)
+        |          % 281474976710656 AS BIGINT), 25214903917) AS st,
+        |    src_id <> media_id AS planted
+        |  FROM meta),
+        |rng AS (
+        |  SELECT media_id, len, kind, planted, 0 AS k, st FROM seed0
+        |  UNION ALL
+        |  SELECT media_id, len, kind, planted, k + 1,
+        |    CAST((CAST(st AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT)
+        |  FROM rng WHERE k < (len + 3) // 4),
+        |pbytes AS (
+        |  SELECT r.media_id, r.len, r.kind, (r.k - 1) * 4 + g.j AS pos,
+        |    CASE WHEN r.planted AND (r.k - 1) * 4 + g.j IN (0, 7, 14)
+        |      THEN xor((r.st // 65536 // CAST(power(256, g.j) AS BIGINT)) % 256, 1)
+        |      ELSE (r.st // 65536 // CAST(power(256, g.j) AS BIGINT)) % 256 END AS b
+        |  FROM rng r, generate_series(0, 3) AS g(j)
+        |  WHERE r.k >= 1 AND (r.k - 1) * 4 + g.j < r.len),
+        |cellv AS (
+        |  SELECT media_id, len, kind, CAST(pos % 64 AS INT) AS c,
+        |    CAST(list_reduce(
+        |      list(CAST(CAST(b AS REAL) / CAST(255.0 AS REAL) AS REAL) ORDER BY pos),
+        |      (u, v) -> CAST(u + v AS REAL)) / CAST(len AS REAL) AS REAL) AS g
+        |  FROM pbytes GROUP BY media_id, len, kind, pos % 64),
+        |gl AS (
+        |  SELECT media_id, kind, list(g ORDER BY c) AS gs FROM cellv
+        |  GROUP BY media_id, kind),
+        |gm AS (
+        |  SELECT *, CAST(list_reduce(gs, (u, v) -> CAST(u + v AS REAL))
+        |    / CAST(64.0 AS REAL) AS REAL) AS mean FROM gl),
+        |sig AS (
+        |  SELECT media_id, kind,
+        |    CAST(CASE WHEN us >= 9223372036854775808 THEN us - 18446744073709551616
+        |      ELSE us END AS BIGINT) AS sig
+        |  FROM (
+        |    SELECT media_id, kind,
+        |      list_sum(list_transform(generate_series(1, 64),
+        |        i -> CASE WHEN gs[i] > mean
+        |          THEN CAST(power(2, i - 1) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)) AS us
+        |    FROM gm) t),
+        |hp AS (
+        |  SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |    bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM sig a JOIN sig b ON a.kind = b.kind AND a.media_id < b.media_id)
+        |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+        |FROM hp WHERE hamming <= 3""".stripMargin,
   )
 }

@@ -177,7 +177,11 @@ object Media {
     * every id ≡ 2 (mod 10) (id-2's byte stream, 3 low-bit flips, own
     * formula length — both members even ⇒ same kind), so the pair set is
     * non-empty by construction WITHIN a block and MediaPhashSpec pins
-    * recovery. No DuckDB oracle — payloads are JVM-PRNG bytes. */
+    * recovery. DuckDB-oracled since r13: java.util.Random is a 48-bit
+    * LCG the oracle replays in HUGEINT mod 2^48, decodeStub's float32
+    * folds replay with per-step CAST(.. AS REAL), and at Hamming <= 3
+    * the 3-of-6 banding is exhaustive, so the oracle is the exact
+    * within-kind pair scan (MediaGates.scala). */
   def mediaPhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
     graft.operators.Dedup.bandedHammingPairs(
       phash(mediaTable(s, d))

@@ -27,12 +27,12 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (218 queries, 199 oracles)") {
+  test("registry carries the full suite (218 queries, 200 oracles)") {
     // r13: +q_arma_hr (218); oracles 189 + {q_semdedup, q_semdedup_linear,
     // q_compaction_plan, q_arma_hr, q_pq_topk, q_ivf_pq_topk,
     // q_ivf_pq_topk_res, q_ivf_pq_recall, q_ivf_pq_recall_res,
-    // q_ann_recall} = 199
+    // q_ann_recall, q_media_phash_neardup} = 200
     assert(SparkEntry.queries.size == 218)
-    assert(SparkEntry.oracleSql.size == 199)
+    assert(SparkEntry.oracleSql.size == 200)
   }
 }
