@@ -53,17 +53,22 @@ object DedupGates {
     "q_incremental_dedup" -> (Dedup.incrementalStatus _),
     // native banded minhash (Dedup.minhashBanded); the spark.ml
     // approxSimilarityJoin form (Dedup.minhashLsh) stays as the API-parity
-    // variant but was 60-120 s at sf0.1 vs seconds for the banded form
+    // variant but was 60-120 s at sf0.1 vs seconds for the banded form.
+    // Oracled r13: FNV-1a + splitmix64 replay in SQL with the kernel's
+    // own seeds embedded as literals (see minhashLshOracle)
     "q_minhash_lsh"    -> (Dedup.minhashBanded _),
     // LSH-prefiltered EXACT jaccard — the posting-self-join-free scale
     // path (no oracle: JVM minhash candidates; NgramBandedSpec measures
     // recall vs the exact operator)
     "q_ngram_jaccard_banded" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardBanded(s, d)),
+    // simhash family oracled in r13: xxhash64 itself is replayed in SQL
+    // (OracleCtes.xxh64Ctes) over the <= 8-byte ASCII token vocabulary —
+    // SimhashRecallSpec pins that fixture invariant
     "q_simhash"        -> (Dedup.simhash _),
     "q_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     // measured band-blocking recall vs exact-Hamming ground truth on a
-    // broadcast probe set (no oracle: xxhash64 signatures;
-    // SimhashRecallSpec pins recall(<=3) = 1 and the planted losses)
+    // broadcast probe set (oracled r13; SimhashRecallSpec additionally
+    // pins recall(<=3) = 1 and the planted losses)
     "q_simhash_recall" -> (Dedup.simhashRecall _),
     // τ = 0.4 at the gate: the driver's synthetic embeddings carry no
     // planted near-identical pairs (max pairwise cos ≈ 0.51), so the
@@ -106,7 +111,130 @@ object DedupGates {
     "q_survivorship"   -> (Dedup.survivorship _),
   )
 
+  /** The minhash-LSH oracle (r13): the "JVM-hash class" fell to the
+    * 64-bit wrapping devices in OracleCtes — FNV-1a per distinct shingle
+    * is a uniform `list_reduce` fold, the 128 splitmix64 lane seeds and
+    * 32 band-key initializers are deterministic CONSTANTS computed from
+    * the same MinHashKernel the operator runs (embedded as literals, the
+    * P1..P5 discipline), lane mins compare SIGNED longs exactly as the
+    * kernel does, band keys fold mix64 over the 4 lanes in j order, and
+    * buckets replay the 2..64 cap + within-bucket pairs + the exact
+    * matching-lane Jaccard estimate (m/128 is a power-of-two divide —
+    * exact in both engines). */
+  private def minhashLshOracle: String = {
+    import org.apache.spark.sql.graft.MinHashKernel
+    def u(v: Long) = java.lang.Long.toUnsignedString(v)
+    val seedVals = MinHashKernel.seeds(128).zipWithIndex
+      .map { case (s, j) => s"($j, CAST(${u(s)} AS HUGEINT))" }.mkString(", ")
+    val binitVals = (0 until 32)
+      .map(b => s"($b, CAST(${u(MinHashKernel.mix64(0xBADC0DEL + b))} AS HUGEINT))")
+      .mkString(", ")
+    s"""WITH toks2 AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      |  FROM documents),
+      |shing AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+      |    i -> array_to_string(tk[i:i+2], ' '))) AS sh
+      |  FROM toks2 WHERE len(tk) >= 3),
+      |svocab AS (SELECT DISTINCT sh FROM shing),
+      |fnv AS MATERIALIZED (
+      |  SELECT sh, list_reduce(
+      |    [CAST(14695981039346656037 AS HUGEINT)] ||
+      |      list_transform(generate_series(1, length(sh)),
+      |        i -> CAST(ord(substr(sh, i, 1)) AS HUGEINT)),
+      |    (h, c) -> ${u64Mul("xor(h, c)", "1099511628211")}) AS f
+      |  FROM svocab),
+      |dsh AS (SELECT DISTINCT s.doc_id, x.f FROM shing s JOIN fnv x ON x.sh = s.sh),
+      |sd(j, sd) AS (VALUES $seedVals),
+      |lanes AS MATERIALIZED (
+      |  SELECT doc_id, j,
+      |    min(CAST(CASE WHEN u >= 9223372036854775808 THEN u - $U64
+      |      ELSE u END AS BIGINT)) AS lane
+      |  FROM (SELECT d.doc_id, s.j, ${mix64Expr("xor(d.f, s.sd)")} AS u
+      |        FROM dsh d, sd s) raw
+      |  GROUP BY doc_id, j),
+      |sigs AS MATERIALIZED (
+      |  SELECT doc_id, list(lane ORDER BY j) AS sig FROM lanes GROUP BY doc_id),
+      |bi(b, h0) AS (VALUES $binitVals),
+      |bandkeys AS MATERIALIZED (
+      |  SELECT l.doc_id, b.b AS band_idx,
+      |    list_reduce([b.h0] || list(
+      |        CASE WHEN l.lane < 0 THEN CAST(l.lane AS HUGEINT) + $U64
+      |          ELSE CAST(l.lane AS HUGEINT) END ORDER BY l.j),
+      |      (h, v) -> ${mix64Expr("xor(h, v)")}) AS band_key
+      |  FROM lanes l JOIN bi b ON l.j // 4 = b.b
+      |  GROUP BY l.doc_id, b.b, b.h0),
+      |bucketed AS (
+      |  SELECT band_idx, band_key, doc_id,
+      |    count(*) OVER (PARTITION BY band_idx, band_key) AS bn
+      |  FROM bandkeys),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bucketed a JOIN bucketed b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |      AND a.doc_id < b.doc_id
+      |  WHERE a.bn BETWEEN 2 AND 64),
+      |est AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 128),
+      |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+      |      / 128 AS est_jaccard
+      |  FROM cand c
+      |  JOIN sigs sa ON sa.doc_id = c.a_id
+      |  JOIN sigs sb ON sb.doc_id = c.b_id)
+      |SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.6""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // ---- the simhash family (r13): xxhash64 replayed in SQL
+    // (OracleCtes.xxh64Ctes — 64-bit wrapping arithmetic in HUGEINT,
+    // per-length CASE over the ≤ 8-byte ASCII token vocabulary), votes
+    // as 64 conditional bit-sums, bands off the unsigned value ----
+    "q_simhash" ->
+      s"""WITH $SimhashCtes
+        |SELECT doc_id, sig AS simhash, band0, band1, band2, band3 FROM sh_sig""".stripMargin,
+
+    // the 3-of-6 block keying is exhaustive at Hamming ≤ 3 (pigeonhole —
+    // the q_media_phash_neardup argument), so the oracle is the exact
+    // pair scan over the replayed signatures
+    "q_simhash_neardup" ->
+      s"""WITH $SimhashCtes
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sh_sig a JOIN sh_sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+    // band-blocking recall curve: 200 lowest-id probes vs all partners,
+    // blocked ⟺ ≥ 3 of the 6 Manku-Manber-Sarma blocks equal, cumulative
+    // counts over the ≤ 12 Hamming grid
+    "q_simhash_recall" ->
+      s"""WITH $SimhashCtes,
+        |probes AS (SELECT doc_id AS p_id, usig AS p_usig, sig AS p_sig FROM sh_sig
+        |  ORDER BY doc_id LIMIT 200),
+        |blocks AS (
+        |  SELECT p.p_id, s.doc_id,
+        |    CAST(bit_count(xor(p.p_sig, s.sig)) AS INT) AS hamming,
+        |    (CASE WHEN p.p_usig % 2048 = s.usig % 2048 THEN 1 ELSE 0 END
+        |     + CASE WHEN p.p_usig // 2048 % 2048 = s.usig // 2048 % 2048 THEN 1 ELSE 0 END
+        |     + CASE WHEN p.p_usig // 4194304 % 2048 = s.usig // 4194304 % 2048 THEN 1 ELSE 0 END
+        |     + CASE WHEN p.p_usig // 8589934592 % 2048 = s.usig // 8589934592 % 2048 THEN 1 ELSE 0 END
+        |     + CASE WHEN p.p_usig // 17592186044416 % 1024 = s.usig // 17592186044416 % 1024 THEN 1 ELSE 0 END
+        |     + CASE WHEN p.p_usig // 18014398509481984 % 1024 = s.usig // 18014398509481984 % 1024 THEN 1 ELSE 0 END
+        |    ) >= 3 AS blk
+        |  FROM probes p JOIN sh_sig s ON p.p_id < s.doc_id),
+        |hg AS (
+        |  SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN blk THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+        |  FROM blocks WHERE hamming <= 12 GROUP BY hamming)
+        |SELECT hamming, n_pairs, n_blocked,
+        |  CAST(sum(n_pairs) OVER w AS BIGINT) AS cum_pairs,
+        |  CAST(sum(n_blocked) OVER w AS BIGINT) AS cum_blocked,
+        |  round(CAST(sum(n_blocked) OVER w AS DOUBLE) / CAST(sum(n_pairs) OVER w AS BIGINT), 6) AS recall
+        |FROM hg
+        |WINDOW w AS (ORDER BY hamming ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_minhash_lsh" -> minhashLshOracle,
+
     "q_dedup_exact" ->
       """SELECT doc_id, text_hash, lang, n_chars FROM (
         |  SELECT doc_id, sha256(text) AS text_hash, lang, n_chars,

@@ -377,4 +377,128 @@ object OracleCtes {
        |      i -> CAST(q.embedding[i + c.sub * 16] AS DOUBLE) * c.cw[i]), (u, v) -> u + v) AS dotv
        |  FROM $qsrc q JOIN pq_cb3 c ON TRUE
        |  WHERE q.vec_id < $nq)""".stripMargin
+
+  // ---- 64-bit wrapping integer arithmetic in DuckDB (r13): the device
+  // that makes the JVM-hash gate family (xxhash64 simhash, FNV/splitmix
+  // minhash) replayable. Values live as HUGEINT in [0, 2^64); products
+  // split 32/32 so nothing exceeds the signed-128 range. ----
+
+  private[gates] val U64: String = "18446744073709551616" // 2^64
+
+  /** (a * b) mod 2^64 — operands must already be < 2^64. */
+  private[gates] def u64Mul(a: String, b: String): String =
+    s"(((($a // 4294967296 * $b) % 4294967296) * 4294967296" +
+      s" + ($a % 4294967296) * $b) % $U64)"
+
+  /** Left-rotate a 64-bit value by r. */
+  private[gates] def u64Rotl(x: String, r: Int): String =
+    s"(($x * ${1L << r} + $x // ${1L << (64 - r)}) % $U64)"
+
+  /** splitmix64 finalizer (MinHashKernel.mix64) as one expression —
+    * `x` must be < 2^64 and should be a COLUMN NAME (the expression
+    * references it ~32×; a nested expression argument would compound). */
+  private[gates] def mix64Expr(x: String): String = {
+    val z0 = s"(($x + 11400714819323198485) % $U64)"
+    val z1 = u64Mul(s"xor($z0, $z0 // 1073741824)", "13787848793156543929")
+    val z2 = u64Mul(s"xor($z1, $z1 // 134217728)", "10723151780598845931")
+    s"xor($z2, $z2 // 2147483648)"
+  }
+
+  /** XXH64(seed = 42) — Spark's `xxhash64` — over a string column of
+    * ≤ 8 ASCII bytes (the driver corpus' whole token vocabulary is 31
+    * words of ≤ 8 ASCII bytes; SimhashRecallSpec pins that invariant so
+    * fixture drift fails pointedly). Input CTE `$src(t)`; terminal CTE
+    * `xx_h(t, h)` with h the UNSIGNED hash as HUGEINT. Stages are
+    * MATERIALIZED: DuckDB inlines lateral aliases textually, and the
+    * chained per-step duplication compounds ~4× per stage — the
+    * un-materialized form planned for minutes, these stages bind in
+    * milliseconds. */
+  private[gates] def xxh64Ctes(src: String): String = {
+    val P1 = "11400714785074694791"; val P2 = "14029467366897019727"
+    val P3 = "1609587929392839161";  val P4 = "9650029242287828579"
+    val P5 = "2870177450012600261"
+    val bs = (1 to 8).map(i =>
+      s"CASE WHEN length(t) >= $i THEN CAST(ord(substr(t, $i, 1)) AS HUGEINT)" +
+        s" ELSE CAST(0 AS HUGEINT) END AS b$i").mkString(",\n    ")
+    val k64 = (1 to 8).map(i => s"b$i * ${1L << (8 * (i - 1))}").mkString(" + ")
+    val singles = (1 to 3).map { j =>
+      val prev = if (j == 1) "xx_s3" else s"xx_t${j - 1}"
+      s"""xx_t$j AS MATERIALIZED (
+         |  SELECT t, n, sc, sb1, sb2, sb3,
+         |    CASE WHEN sc >= $j THEN ${u64Mul(u64Rotl(s"xor(hc${j - 1}, ${u64Mul(s"sb$j", P5)})", 11), P1)}
+         |         ELSE hc${j - 1} END AS hc$j
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""xx_b AS MATERIALIZED (
+       |  SELECT t,
+       |    $bs
+       |  FROM $src),
+       |xx_s1 AS MATERIALIZED (
+       |  SELECT t, b1, b2, b3, b5, b6, b7,
+       |    CAST(length(t) AS HUGEINT) AS n,
+       |    ($k64) % $U64 AS k64,
+       |    b1 + b2 * 256 + b3 * 65536 + b4 * 16777216 AS k32,
+       |    CASE WHEN length(t) = 8 THEN 0 WHEN length(t) >= 4 THEN length(t) - 4
+       |         ELSE length(t) END AS sc,
+       |    (42 + $P5 + CAST(length(t) AS HUGEINT)) % $U64 AS h0
+       |  FROM xx_b),
+       |xx_s2 AS MATERIALIZED (
+       |  SELECT t, n, sc, h0, b1, b2, b3, b5, b6, b7,
+       |    ${u64Mul(u64Rotl(u64Mul("k64", P2), 31), P1)} AS r8c,
+       |    ${u64Mul("k32", P1)} AS r4a
+       |  FROM xx_s1),
+       |xx_s3 AS MATERIALIZED (
+       |  SELECT t, n, sc,
+       |    CASE WHEN n = 8 THEN (${u64Mul(u64Rotl("xor(h0, r8c)", 27), P1)} + $P4) % $U64
+       |         WHEN n >= 4 THEN (${u64Mul(u64Rotl("xor(h0, r4a)", 23), P2)} + $P3) % $U64
+       |         ELSE h0 END AS hc0,
+       |    CASE WHEN n >= 4 THEN b5 ELSE b1 END AS sb1,
+       |    CASE WHEN n >= 4 THEN b6 ELSE b2 END AS sb2,
+       |    CASE WHEN n >= 4 THEN b7 ELSE b3 END AS sb3
+       |  FROM xx_s2),
+       |$singles,
+       |xx_a1 AS MATERIALIZED (
+       |  SELECT t, ${u64Mul("xor(hc3, hc3 // 8589934592)", P2)} AS av2 FROM xx_t3),
+       |xx_a2 AS MATERIALIZED (
+       |  SELECT t, ${u64Mul("xor(av2, av2 // 536870912)", P3)} AS av4 FROM xx_a1),
+       |xx_h AS MATERIALIZED (
+       |  SELECT t, xor(av4, av4 // 4294967296) AS h FROM xx_a2)""".stripMargin
+  }
+
+  /** The simhash signature chain (Dedup.simhash replayed): per-doc
+    * distinct tokens → xxhash64 per distinct token ([[xxh64Ctes]]) →
+    * 64-lane ±1 votes (bit b set ⟺ 2·set_b > n_tok, the strict
+    * votes > 0 rule) → the signed signature + the four 16-bit bands
+    * taken from the UNSIGNED value (shiftrightunsigned). Terminal CTE:
+    * `sh_sig(doc_id, usig, sig, band0..band3)`. */
+  private[gates] val SimhashCtes: String = {
+    val bitsum = (0 until 64).map(b =>
+      s"CAST(sum((h // ${java.lang.Long.toUnsignedString(1L << b)}) % 2) AS HUGEINT) AS s$b")
+      .mkString(",\n    ")
+    val sigsum = (0 until 64).map(b =>
+      s"CASE WHEN 2 * s$b > n_tok THEN CAST(${java.lang.Long.toUnsignedString(1L << b)} AS HUGEINT)" +
+        s" ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+    s"""dtok AS (
+       |  SELECT DISTINCT doc_id, unnest(list_distinct(
+       |    string_split_regex(lower(trim(text)), '\\s+'))) AS t
+       |  FROM documents),
+       |vocab AS (SELECT DISTINCT t FROM dtok),
+       |${xxh64Ctes("vocab")},
+       |votes AS (
+       |  SELECT d.doc_id, count(*) AS n_tok,
+       |    $bitsum
+       |  FROM dtok d JOIN xx_h x ON x.t = d.t
+       |  GROUP BY d.doc_id),
+       |sh_u AS (
+       |  SELECT doc_id, ($sigsum) AS usig FROM votes),
+       |sh_sig AS (
+       |  SELECT doc_id, usig,
+       |    CAST(CASE WHEN usig >= 9223372036854775808 THEN usig - $U64
+       |      ELSE usig END AS BIGINT) AS sig,
+       |    CAST(usig % 65536 AS BIGINT) AS band0,
+       |    CAST(usig // 65536 % 65536 AS BIGINT) AS band1,
+       |    CAST(usig // 4294967296 % 65536 AS BIGINT) AS band2,
+       |    CAST(usig // 281474976710656 % 65536 AS BIGINT) AS band3
+       |  FROM sh_u)""".stripMargin
+  }
 }

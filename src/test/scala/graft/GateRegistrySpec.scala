@@ -27,12 +27,13 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (218 queries, 200 oracles)") {
+  test("registry carries the full suite (218 queries, 204 oracles)") {
     // r13: +q_arma_hr (218); oracles 189 + {q_semdedup, q_semdedup_linear,
     // q_compaction_plan, q_arma_hr, q_pq_topk, q_ivf_pq_topk,
     // q_ivf_pq_topk_res, q_ivf_pq_recall, q_ivf_pq_recall_res,
-    // q_ann_recall, q_media_phash_neardup} = 200
+    // q_ann_recall, q_media_phash_neardup, q_simhash, q_simhash_neardup,
+    // q_simhash_recall, q_minhash_lsh} = 204
     assert(SparkEntry.queries.size == 218)
-    assert(SparkEntry.oracleSql.size == 200)
+    assert(SparkEntry.oracleSql.size == 204)
   }
 }

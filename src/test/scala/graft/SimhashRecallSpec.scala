@@ -54,4 +54,22 @@ class SimhashRecallSpec extends SparkTestBase {
     val pairs = Dedup.simhashNearDup(spark, sf)
     assert(pairs.where(col("hamming") > 3).isEmpty)
   }
+
+  test("fixture invariant behind the xxhash64 oracle: tokens are <= 8 ASCII bytes") {
+    // the simhash-family DuckDB oracles replay Spark's xxhash64 in SQL
+    // (OracleCtes.xxh64Ctes), whose per-length CASE covers only strings
+    // of <= 8 bytes and whose byte access (ord(substr)) equals UTF-8
+    // bytes only for ASCII. The driver corpus' whole token vocabulary
+    // satisfies both; pin it so a fixture change fails here with a
+    // pointed message instead of an opaque oracle NULL/hash mismatch.
+    import spark.implicits._
+    val offenders = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextAnalytics.tokens(col("text"))).as("t"))
+      .distinct()
+      .as[String].collect()
+      .filter(t => t.getBytes("UTF-8").length > 8 || t.exists(_ > 127))
+    assert(offenders.isEmpty,
+      "token vocabulary left the xxh64Ctes domain (<= 8 ASCII bytes) — " +
+        s"the simhash oracles can no longer replay: ${offenders.take(5).mkString(", ")}")
+  }
 }
