@@ -66,7 +66,11 @@ object Bench {
         System.err.println(f"[bench] $name rep=$rep t=$t%.2fs gc=${gcMillis - gc0}ms")
         samples(name) = t :: samples(name)
       } catch {
-        case _: Throwable => ()
+        // an ERROR marker (no rep line) so log post-processing can flush
+        // pending memo-build attributions instead of billing them to the
+        // NEXT successful query's rep (extract_bench.py; r13 ADVICE #3)
+        case _: Throwable =>
+          System.err.println(s"[bench] $name rep=$rep ERROR")
       } finally {
         // isolate queries/reps: drop caches left by operators (minhash
         // vecs, shingle indexes, ML feature tables) so later iterative
@@ -94,13 +98,44 @@ object Bench {
         }
       }
     import JsonUtil.jstr
-    val qs = results.map {
-      case (k, Right(v)) => s"${jstr(k)}:$v"
-      case (k, Left(e))  => s"${jstr(k)}:{${jstr("err")}:${jstr(e)}}"
-    }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
+    def entry(k: String, e: Either[String, Double]): String = e match {
+      case Right(v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}"
+      case Left(err) => s"${jstr(k)}:{${jstr("err")}:${jstr(err)}}"
+    }
+    val qs = results.map { case (k, e) => entry(k, e) }.mkString("{", ",", "}")
+    val total = math.rint(
+      results.collect { case (_, Right(v)) => v }.sum * 1000) / 1000
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+    println(full)
+    // The driver's per-round capture keeps only the LAST ~2000 chars of
+    // stdout and its JSON parse has come back null every round — the
+    // full per-query line (~5-6 KB for 218 queries) cannot fit that tail
+    // window, and sbt's trailing "[success] Total time" line displaces
+    // the last ~75 chars of it (diagnosed r14; BENCH_r01..r13 all carry
+    // parsed:null, r01's tail ends with an INTACT json line + [success]).
+    // Three-way framing so every capture style recovers the data:
+    //  1. the full line above — first parseable line for a full-stdout scan;
+    //  2. the same JSON written to BENCH_full_last.json next to the repo
+    //     (committed per-round as the builder artifact);
+    //  3. a trailing summary line sized to fit the 2000-char tail window
+    //     (totals + the slowest queries that fit), so a tail-window parse
+    //     yields real numbers instead of a mid-line fragment.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full_last.json"), full + "\n")
+    catch { case _: Throwable => () }
+    val slowest = results.collect { case (k, Right(v)) => (k, v) }
+      .sortBy(-_._2)
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$nErr,"sf":"$sfDir","queries_file":"BENCH_full_last.json","queries":{"""
+    val budget = 1800 - head.length - 2
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowest.foreach { case (k, v) =>
+      val e = entry(k, Right(v))
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    println(head + kept.mkString(",") + "}}")
     spark.stop()
   }
 }

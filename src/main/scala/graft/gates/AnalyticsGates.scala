@@ -358,7 +358,9 @@ object AnalyticsGates {
     // parquet bytes stay far under one target file well past sf30 —
     // ~30 MB/day there), so the whole report is integers derivable from
     // the raw table: one file per day, one target group, nothing left
-    // to compact, counts preserved
+    // to compact, counts preserved. The single-group assumption is
+    // PINNED by CompactionPlanSpec's oracle-scale bound test at sf0.01
+    // (pointed failure instead of an opaque hash mismatch — r13 ADVICE #2)
     "q_compaction_plan" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS "partition",
         |  CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,

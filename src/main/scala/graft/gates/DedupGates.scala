@@ -532,7 +532,11 @@ object DedupGates {
         |FROM af a LEFT JOIN sd_dropped d ON a.vec_id = d.vec_id""".stripMargin,
 
     // same pipeline, production cluster count (⌊n/25⌋ — constant
-    // expected cluster size)
+    // expected cluster size). Both semdedup oracles replay the FLAT
+    // argmax; semDedupVecs switches to the approximate hierarchical
+    // assignment above nc = 512 (~12,800 embeddings for this form) —
+    // SemDedupSpec's oracle-scale bound test pins nc <= 512 at every
+    // Verify scale so fixture growth fails pointedly (r13 ADVICE #1)
     "q_semdedup_linear" ->
       s"""WITH ${semDedupCtes(
             "GREATEST(4, CAST((SELECT count(*) FROM embeddings) // 25 AS BIGINT))")}

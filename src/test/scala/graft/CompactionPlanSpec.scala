@@ -57,6 +57,27 @@ class CompactionPlanSpec extends SparkTestBase {
     }
   }
 
+  test("oracle-scale bound: the compacted layout stays single-file/single-group at the driver's Verify scale (sf0.01)") {
+    // The q_compaction_plan DuckDB oracle hardcodes n_files = 1,
+    // n_target_groups = 1, needs_compaction = FALSE — valid only while
+    // every day's compacted parquet bytes fit one 128 MiB target file
+    // (r13 ADVICE #2). A fixture crossing that would fail the driver
+    // compare as an opaque hash mismatch; pin the bound here with a
+    // pointed message instead. sf0.01 is the scale the driver's Verify
+    // runs; sf0.001 is covered by the audit test above.
+    Layout.compactionAudit(spark, "/root/testdata/sf0.01").collect()
+      .foreach { r =>
+        val p = r.getAs[String]("partition")
+        assert(r.getAs[Long]("n_files") == 1L
+            && r.getAs[Long]("n_target_groups") == 1L
+            && !r.getAs[Boolean]("needs_compaction"),
+          s"sf0.01 day $p no longer compacts to one 128 MiB target group " +
+            "— the q_compaction_plan oracle's hardcoded single-group row " +
+            "(AnalyticsGates) must be re-derived from a bytes-per-day " +
+            "bound before Verify can pass")
+      }
+  }
+
   test("compaction exec preserves rows and lands each day in <= planned files") {
     val plan = Layout.compactionPlan(spark, sf).collect()
       .map(r => r.getAs[String]("partition") -> r.getAs[Long]("n_target_groups"))

@@ -108,6 +108,32 @@ class SemDedupSpec extends SparkTestBase {
     }
   }
 
+  test("oracle-scale bound: both gate parameterizations stay on the FLAT assignment path (nc <= 512) at every Verify scale") {
+    // The q_semdedup / q_semdedup_linear DuckDB oracles (OracleCtes
+    // .semDedupCtes / lloydCtes) replay the FLAT nearest-centroid argmax;
+    // Dedup.semDedupVecs routes through the approximate assignWithHier
+    // (probes = 8) whenever nc > 512, which would make the operator
+    // legitimately diverge from the oracle and fail as an opaque hash
+    // mismatch (r13 ADVICE #1). q_semdedup_linear's nc = n/25 crosses
+    // 512 at ~12,800 embeddings — far above every scale Verify runs
+    // (driver: sf0.01 = 500 vecs; local check.py: sf0.01/sf0.1 ≤ 2000
+    // vecs). Pin that bound HERE so fixture growth fails pointedly.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = Tables.embeddings(spark, dir).count()
+      for ((label, nc) <- Seq(
+          "q_semdedup sqrt(n)" -> Similarity.centroidCount(n),
+          "q_semdedup_linear n/25" -> math.max(4, (n / 25).toInt))) {
+        assert(nc <= 512,
+          s"$dir: $label gives nc=$nc > 512 — semDedupVecs would switch " +
+            "to the hierarchical assignment (probes=8) and DIVERGE from " +
+            "the flat-argmax DuckDB oracle. Either shrink the fixture, " +
+            "raise the flat-path threshold, or extend " +
+            "OracleCtes.semDedupCtes with the hier routing.")
+      }
+    }
+  }
+
   test("hierarchical assignment tracks the flat scan and keeps exact dups co-clustered") {
     val e = Similarity.withNorm(spark, sf)
     val n = e.count()

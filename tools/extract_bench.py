@@ -22,6 +22,7 @@ import sys
 
 MEMO_RE = re.compile(r"\[memo\] build key=(\S+) t=([0-9.]+)s")
 BENCH_RE = re.compile(r"\[bench\] (\S+) rep=(\d+) t=([0-9.]+)s gc=(\d+)ms")
+ERROR_RE = re.compile(r"\[bench\] (\S+) rep=(\d+) ERROR")
 
 
 def strip_sbt(s):
@@ -54,11 +55,31 @@ def main(log_path, out_path):
                 pending = []
                 reps.setdefault(q, []).append((rep, t, paid))
                 continue
+            e = ERROR_RE.search(s)
+            if e:
+                # builds paid by an erroring rep have no wall-time sample
+                # to subtract them from — flush them UNATTRIBUTED instead
+                # of billing them to the next successful query's rep
+                # (r13 ADVICE #3)
+                for p in pending:
+                    p["paid_by"], p["rep"] = None, None
+                    builds.append(p)
+                pending = []
+                continue
             if s.startswith('{"metric":"total"'):
-                line = s
+                # Bench prints TWO lines since r14: the full per-query map
+                # first, then a tail-window-sized summary (subset of
+                # queries + a queries_file pointer). Keep the fullest.
+                try:
+                    cand = json.loads(s)
+                except json.JSONDecodeError:
+                    continue
+                if line is None or len(cand.get("queries", {})) > len(
+                        line.get("queries", {})):
+                    line = cand
     if line is None:
         sys.exit(f"no bench JSON line found in {log_path}")
-    d = json.loads(line)  # validate before committing
+    d = line
     n = len(d["queries"])
     # builds that never found a payer (e.g. during the post-loop error
     # retry, which prints no rep line) stay visible, unattributed
