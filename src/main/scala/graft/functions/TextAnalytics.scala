@@ -307,6 +307,43 @@ object TextAnalytics {
       .select("doc_id", "n_tokens", "avg_logprob")
   }
 
+  /** [[qualityPruneSketch]] re-gated at its VERDICT POINT (r13 verdict
+    * #2): the kept doc SET depends on the GK threshold estimate and is
+    * unoracleable, but the sketch's rank contract is exact — the gate
+    * emits the exact scored-doc count plus booleans asserting the
+    * threshold's exact rank window sits within (1-keepFrac)·n ±
+    * (2n/accuracy + 2), and that the kept fraction lands within twice
+    * that slack of keepFrac (ties only ever enlarge the keep side). The
+    * DuckDB oracle derives n_docs from the same tokenizer CTE and pins
+    * the booleans to TRUE. */
+  def qualityPruneSketchVerdict(s: SparkSession, d: String,
+      keepFrac: Double = 0.9, accuracy: Int = 10000): DataFrame = {
+    val scored = unigramLogProb(s, d)
+    val thr = scored.agg(expr(
+      s"approx_percentile(avg_logprob, ${1.0 - keepFrac}, $accuracy)").as("thr"))
+    qualityPruneVerdicts(scored, thr, keepFrac, accuracy)
+  }
+
+  /** The verdict half of [[qualityPruneSketchVerdict]], split out (the
+    * `sketchRankVerdicts` pattern) so specs can feed a deliberately
+    * broken threshold and watch the booleans flip. `thr` is a 1-row
+    * frame with a `thr` column. */
+  private[graft] def qualityPruneVerdicts(scored: DataFrame, thr: DataFrame,
+      keepFrac: Double, accuracy: Int): DataFrame = {
+    val agg = scored.crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("avg_logprob") < col("thr"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("avg_logprob") <= col("thr"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("avg_logprob") >= col("thr"), 1L).otherwise(0L)).as("n_kept"))
+    val slack = lit(2.0) * col("n_docs") / accuracy + 2
+    agg.select(col("n_docs"),
+      ((col("n_lt") <= ceil(lit(1.0 - keepFrac) * col("n_docs") + slack))
+        && (col("n_le") >= floor(lit(1.0 - keepFrac) * col("n_docs") - slack)))
+        .as("thr_rank_ok"),
+      (abs(col("n_kept") - lit(keepFrac) * col("n_docs"))
+        <= lit(2.0) * slack + 2).as("keep_frac_ok"))
+  }
+
   /** First-iteration BPE merge candidates — tokenizer induction's
     * opening move: the corpus-wide most frequent ADJACENT CHARACTER
     * pairs inside tokens (Sennrich et al. 2016 counts exactly these to

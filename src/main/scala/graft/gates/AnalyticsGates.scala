@@ -36,10 +36,11 @@ object AnalyticsGates {
     "q_correlation"    -> (graft.operators.Analytics.correlationMatrix _),
     // per-user Shannon entropy of the type distribution (fixed-order sum)
     "q_type_entropy"   -> (graft.operators.Analytics.typeEntropy _),
-    // HLL sketch twin of q_profile (no oracle: JVM-hashed HLL buckets;
-    // ProfileSketchSpec pins the rsd envelope vs the exact profile)
+    // HLL sketch twin of q_profile, re-gated at its verdict point (r14):
+    // exact integers + estimate-within-envelope booleans, oracle-exact;
+    // the raw estimate form stays pinned by ProfileSketchSpec
     "q_profile_sketch" -> ((s: SparkSession, d: String) =>
-      graft.operators.Analytics.profileSketch(s, d)),
+      graft.operators.Analytics.profileSketchVerdict(s, d)),
     // key-skew diagnostic (group-size distribution + straggler factor per
     // candidate key) — exact integer sums, cross-engine percentiles
     "q_key_skew" -> (graft.operators.Analytics.keySkew _),
@@ -77,9 +78,10 @@ object AnalyticsGates {
     "q_ab_test"        -> ((s: SparkSession, d: String) =>
       graft.operators.Analytics.abTest(s, d)),
     // DataSketches HLL partial-sketch merge (the distinct-count twin of
-    // q_stats_merge; no oracle — murmur-hashed sketch buckets;
-    // HllMergeSpec pins the rsd envelope + merged == one-shot)
-    "q_hll_merge"      -> (graft.operators.Analytics.hllMerge _),
+    // q_stats_merge), re-gated at its verdict point (r14): exact
+    // integers + merged==one-shot and within-rsd booleans, oracle-exact;
+    // the raw estimate form stays pinned by HllMergeSpec
+    "q_hll_merge"      -> (graft.operators.Analytics.hllMergeVerdict _),
     // per-type autocorrelation function, lags 1..5 (exact LONG moments
     // from one window sort; BigInt combine — the correlation recipe)
     "q_acf"            -> ((s: SparkSession, d: String) =>
@@ -180,6 +182,34 @@ object AnalyticsGates {
         |  count(DISTINCT value) FROM events
         |UNION ALL SELECT 'props', count(*), count(*) - count(props),
         |  count(DISTINCT props) FROM events""".stripMargin,
+
+    // sketch twin re-gated at its verdict point (r14): exact integers
+    // derivable here; the estimate appears only as booleans the Spark
+    // side computes against its published envelope — pinned to TRUE
+    "q_profile_sketch" ->
+      """SELECT 'event_id' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct_exact,
+        |  TRUE AS est_within_rsd FROM events
+        |UNION ALL SELECT 'ts_us', count(*), count(*) - count(ts),
+        |  count(DISTINCT epoch_us(ts)), TRUE FROM events
+        |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id), TRUE FROM events
+        |UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type), TRUE FROM events
+        |UNION ALL SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value), TRUE FROM events
+        |UNION ALL SELECT 'props', count(*), count(*) - count(props),
+        |  count(DISTINCT props), TRUE FROM events""".stripMargin,
+
+    // HLL merge re-gated at its verdict point (r14): merged == one-shot
+    // and estimate-within-rsd are contract booleans pinned to TRUE;
+    // n_rows / exact_distinct are plain exact aggregates
+    "q_hll_merge" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS exact_distinct,
+        |  TRUE AS merged_eq_oneshot, TRUE AS est_within_rsd
+        |FROM events GROUP BY 1""".stripMargin,
 
     // moment sums are exact BIGINTs (integer cells, < 2^53), so the only
     // float ops are the final divide + sqrt — identical IEEE trees, raw

@@ -39,10 +39,11 @@ object TextGates {
     // percentile prune on the LM score (keep top 90%)
     "q_quality_prune"  -> ((s: SparkSession, d: String) => TextAnalytics.qualityPrune(s, d)),
     // 100 TB twin: threshold from approx_percentile broadcast as a scalar
-    // filter — no rank window anywhere (no oracle: GK sketch internals;
-    // QualityPruneSketchSpec pins >=99% keep-set agreement with the exact
-    // form)
-    "q_quality_prune_sketch" -> ((s: SparkSession, d: String) => TextAnalytics.qualityPruneSketch(s, d)),
+    // filter — no rank window anywhere. Re-gated at its verdict point
+    // (r14): exact n_docs + threshold-rank/keep-frac booleans,
+    // oracle-exact; the raw keep-set form stays pinned by
+    // QualityPruneSketchSpec (>=99% agreement with the exact form)
+    "q_quality_prune_sketch" -> ((s: SparkSession, d: String) => TextAnalytics.qualityPruneSketchVerdict(s, d)),
     // first-iteration BPE merge candidates (adjacent char-pair counts)
     "q_bpe_merges"     -> ((s: SparkSession, d: String) => TextAnalytics.bpeMergeCandidates(s, d)),
     // distribution-shift report between two corpus halves (integer-exact
@@ -360,6 +361,17 @@ object TextGates {
         |  SELECT *, percent_rank() OVER (ORDER BY avg_logprob, doc_id) AS pctl
         |  FROM scored) ranked
         |WHERE pctl >= 0.09999999999999998""".stripMargin,
+
+    // sketch twin re-gated at its verdict point (r14): n_docs from the
+    // same tokenizer CTE as q_unigram_logprob; the GK threshold appears
+    // only as rank-contract booleans pinned to TRUE
+    "q_quality_prune_sketch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |scored AS (SELECT doc_id FROM toks GROUP BY 1)
+        |SELECT count(*) AS n_docs, TRUE AS thr_rank_ok, TRUE AS keep_frac_ok
+        |FROM scored""".stripMargin,
 
     // substring(term, i, 2) is 1-based on both engines; counts carry
     // multiplicity across repeated tokens

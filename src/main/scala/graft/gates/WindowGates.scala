@@ -17,7 +17,10 @@ object WindowGates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantile"       -> (TimeWindows.quantiles _),
     "q_quantile_trim"  -> (TimeWindows.quantileTrim _),
-    "q_quantile_trim_sketch" -> ((s: SparkSession, d: String) => TimeWindows.quantileTrimSketch(s, d)),
+    // sketch twin re-gated at its verdict point (r14): exact n_total +
+    // rank-window booleans, oracle-exact; the raw trimmed-sum form
+    // stays pinned by TimeWindowsSpec
+    "q_quantile_trim_sketch" -> ((s: SparkSession, d: String) => TimeWindows.quantileTrimSketchVerdict(s, d)),
     // mergeable GK sketch contract: rank-error bound holds under two
     // different partial-merge trees, verdicts oracle-pinned to TRUE
     "q_quantile_sketch_merge" -> ((s: SparkSession, d: String) => TimeWindows.quantileSketchMerge(s, d)),
@@ -230,6 +233,13 @@ object WindowGates {
         |    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q
         |  FROM events) t
         |WHERE q IN (2, 3) GROUP BY 1""".stripMargin,
+
+    // sketch twin re-gated at its verdict point (r14): the GK boundary
+    // estimates appear only as rank-window booleans pinned to TRUE
+    "q_quantile_trim_sketch" ->
+      """SELECT event_type, count(*) AS n_total,
+        |  TRUE AS ok_lo, TRUE AS ok_hi, TRUE AS kept_frac_ok
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_lead_window" ->
       """WITH daily AS (

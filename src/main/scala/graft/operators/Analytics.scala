@@ -413,6 +413,69 @@ object Analytics {
           / col("exact_distinct"), 6).as("rel_err"))
   }
 
+  /** [[hllMerge]] re-gated at its VERDICT POINT (r13 verdict #2, the
+    * compaction-plan precedent): the HLL estimates themselves are
+    * murmur-hashed JVM state no other engine reproduces, but the
+    * sketch's CONTRACT is engine-free — the sharded union must equal
+    * the one-shot sketch (merge loses nothing) and both must sit inside
+    * the published lgK = 12 rsd envelope of the exact distinct count.
+    * The gate emits exactly-derivable integers (n_rows, exact_distinct)
+    * plus those contract booleans; the DuckDB oracle derives the
+    * integers and pins the booleans to literal TRUE — an estimate
+    * outside its guarantee, or a lossy union, flips a boolean and fails
+    * the hash (the q_quantile_sketch_merge pattern). The exact-distinct
+    * scan remains GATE EVIDENCE, as in [[hllMerge]]. Envelope: 3
+    * standard errors at rsd = 1.04/√2¹² ≈ 1.6% (HllMergeSpec's bound,
+    * deterministic for a fixed corpus — the hash function is fixed). */
+  def hllMergeVerdict(s: SparkSession, d: String): DataFrame = {
+    val envelope = 3 * 1.04 / math.sqrt((1 << 12).toDouble)
+    val partials = Tables.events(s, d)
+      .groupBy(col("event_type"), (col("event_id") % 4).as("shard"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+        count(lit(1)).as("n"))
+    val merged = partials.groupBy("event_type")
+      .agg(sum(col("n")).as("n_rows"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val oneShot = Tables.events(s, d).groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+          .as("est_oneshot"),
+        count_distinct(col("user_id")).as("exact_distinct"))
+    merged.join(oneShot, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+        (col("est_merged") === col("est_oneshot")).as("merged_eq_oneshot"),
+        (abs(col("est_merged") - col("exact_distinct")).cast("double")
+          / col("exact_distinct") <= envelope).as("est_within_rsd"))
+  }
+
+  /** [[profileSketch]] re-gated at its VERDICT POINT (r13 verdict #2):
+    * n_rows / n_nulls / exact distinct per column are DuckDB-derivable
+    * integers; the HLL++ estimate is emitted only as a boolean asserting
+    * it sits inside ProfileSketchSpec's envelope (max(2, 10% of exact)
+    * at rsd = 0.02 — ~5σ). One aggregate pass computes sketch and exact
+    * together; the exact multi-distinct Expand is gate evidence, same
+    * deal as [[hllMergeVerdict]]'s second scan. */
+  def profileSketchVerdict(s: SparkSession, d: String,
+      rsd: Double = 0.02): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      count_distinct(col(c)).as(s"${c}__exact"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__est")))
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__nulls`, `${c}__exact`, `${c}__est`")
+      .mkString(", ")
+    ev.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) as " +
+          "(column_name, n_nulls, n_distinct_exact, est)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct_exact"),
+        (abs(col("est") - col("n_distinct_exact")).cast("double")
+          <= greatest(lit(2.0), lit(0.10) * col("n_distinct_exact")))
+          .as("est_within_rsd"))
+  }
+
   /** One-pass POISSON bootstrap confidence interval for the per-type
     * mean — the bootstrap that actually runs at 100 TB: classical
     * resampling draws n rows WITH replacement per replicate (B full

@@ -162,6 +162,51 @@ object TimeWindows {
       .agg(count(lit(1)).as("n"), exactSum(col("value")).as("sum_trimmed"))
   }
 
+  /** [[quantileTrimSketch]] re-gated at its VERDICT POINT (r13 verdict
+    * #2): the GK estimates (and therefore the trimmed n/sum) are engine-
+    * and merge-order-specific, but the sketch's rank-error contract is
+    * exact — so the gate emits the exact per-type row count plus
+    * booleans asserting (a) each boundary estimate's exact rank window
+    * sits within p·n ± (2n/accuracy + 2) (the [[sketchRankVerdicts]]
+    * slack convention) and (b) the kept middle band holds ~50% of the
+    * rows within twice that slack. The DuckDB oracle derives n_total
+    * and pins the booleans to TRUE. */
+  def quantileTrimSketchVerdict(s: SparkSession, d: String,
+      pLo: Double = 0.25, pHi: Double = 0.75,
+      accuracy: Int = 10000): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      .where(col("value").isNotNull)
+    val bounds = ev.groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, $pLo, $accuracy)").as("q_lo"),
+        expr(s"approx_percentile(value, $pHi, $accuracy)").as("q_hi"))
+    trimRankVerdicts(ev, bounds, pLo, pHi, accuracy)
+  }
+
+  /** The verdict half of [[quantileTrimSketchVerdict]], split out (the
+    * [[sketchRankVerdicts]] pattern) so specs can feed deliberately
+    * broken boundary estimates and watch the booleans flip. `bounds`
+    * carries (event_type, q_lo, q_hi). */
+  private[graft] def trimRankVerdicts(ev: DataFrame, bounds: DataFrame,
+      pLo: Double, pHi: Double, accuracy: Int): DataFrame = {
+    val agg = ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("value") < col("q_lo"), 1L).otherwise(0L)).as("lo_lt"),
+        sum(when(col("value") <= col("q_lo"), 1L).otherwise(0L)).as("lo_le"),
+        sum(when(col("value") < col("q_hi"), 1L).otherwise(0L)).as("hi_lt"),
+        sum(when(col("value") <= col("q_hi"), 1L).otherwise(0L)).as("hi_le"),
+        sum(when(col("value") >= col("q_lo") && col("value") <= col("q_hi"),
+          1L).otherwise(0L)).as("n_kept"))
+    val slack = lit(2.0) * col("n_total") / accuracy + 2
+    def ok(lo: Column, hi: Column, target: Column): Column =
+      (lo <= ceil(target + slack)) && (hi >= floor(target - slack))
+    agg.select(col("event_type"), col("n_total"),
+      ok(col("lo_lt"), col("lo_le"), lit(pLo) * col("n_total")).as("ok_lo"),
+      ok(col("hi_lt"), col("hi_le"), lit(pHi) * col("n_total")).as("ok_hi"),
+      (abs(col("n_kept") - lit(pHi - pLo) * col("n_total"))
+        <= lit(2.0) * slack + 2).as("kept_frac_ok"))
+  }
+
   /** Mergeable-quantile-sketch contract gate: approx_percentile's
     * state (Greenwald-Khanna summaries) is a MERGEABLE aggregate — the
     * property that makes sketch quantiles work at 100 TB, where

@@ -30,4 +30,22 @@ class HllMergeSpec extends SparkTestBase {
       assert(r.getAs[Double]("rel_err") >= 0.0)
     }
   }
+
+  test("verdict gate (r14 re-gate): contract booleans all true, integers exact") {
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("user_id")).as("d"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("d"), r.getAs[Long]("n"))).toMap
+    val got = Analytics.hllMergeVerdict(spark, sf).collect()
+    assert(got.length == exact.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Boolean]("merged_eq_oneshot"), s"$t: lossy union")
+      assert(r.getAs[Boolean]("est_within_rsd"), s"$t: estimate out of envelope")
+      assert(r.getAs[Long]("exact_distinct") == exact(t)._1, s"$t exact_distinct")
+      assert(r.getAs[Long]("n_rows") == exact(t)._2, s"$t n_rows")
+    }
+  }
 }

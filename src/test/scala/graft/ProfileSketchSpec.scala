@@ -23,4 +23,19 @@ class ProfileSketchSpec extends SparkTestBase {
         s"$c: approx $est vs exact $eDistinct (tol $tol)")
     }
   }
+
+  test("verdict gate (r14 re-gate): envelope booleans all true, integers match the exact profile") {
+    val exact = Analytics.profile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = Analytics.profileSketchVerdict(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == exact.keySet)
+    got.foreach { r =>
+      val c = r.getString(0)
+      val (eRows, eNulls, eDistinct) = exact(c)
+      assert(r.getAs[Long]("n_rows") == eRows, s"$c n_rows")
+      assert(r.getAs[Long]("n_nulls") == eNulls, s"$c n_nulls")
+      assert(r.getAs[Long]("n_distinct_exact") == eDistinct, s"$c exact distinct")
+      assert(r.getAs[Boolean]("est_within_rsd"), s"$c estimate out of envelope")
+    }
+  }
 }

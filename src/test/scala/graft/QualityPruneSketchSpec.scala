@@ -36,6 +36,30 @@ class QualityPruneSketchSpec extends SparkTestBase {
       s"$droppedAbove dropped docs score >= the minimum kept score $minKept")
   }
 
+  test("verdict gate (r14 re-gate): rank-contract booleans true, n_docs exact, and they FLIP on a broken threshold") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val row = TextAnalytics.qualityPruneSketchVerdict(spark, sf).head()
+    val scored = TextAnalytics.unigramLogProb(spark, sf)
+    assert(row.getAs[Long]("n_docs") == scored.count(), "n_docs")
+    assert(row.getAs[Boolean]("thr_rank_ok"), "threshold rank out of contract")
+    assert(row.getAs[Boolean]("keep_frac_ok"), "keep fraction out of contract")
+    // sensitivity (guards against tautological booleans): a threshold at
+    // the MEDIAN cannot satisfy the 10th-percentile rank contract
+    val broken = TextAnalytics.qualityPruneVerdicts(scored,
+      scored.agg(expr("percentile(avg_logprob, 0.5)").as("thr")),
+      keepFrac = 0.9, accuracy = 10000).head()
+    assert(!broken.getAs[Boolean]("thr_rank_ok"),
+      "median-threshold verdict must flip thr_rank_ok")
+    assert(!broken.getAs[Boolean]("keep_frac_ok"),
+      "median-threshold verdict must flip keep_frac_ok")
+    // and a threshold below every score keeps everything: rank contract
+    // broken on the other side
+    val tooLow = TextAnalytics.qualityPruneVerdicts(scored,
+      scored.agg((org.apache.spark.sql.functions.min("avg_logprob") - lit(1.0))
+        .as("thr")), keepFrac = 0.9, accuracy = 10000).head()
+    assert(!tooLow.getAs[Boolean]("thr_rank_ok"))
+  }
+
   test("no rank window anywhere in the sketch plan (the 100 TB contract)") {
     val plan = TextAnalytics.qualityPruneSketch(spark, sf)
       .queryExecution.executedPlan.toString

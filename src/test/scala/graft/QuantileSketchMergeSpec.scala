@@ -23,6 +23,32 @@ class QuantileSketchMergeSpec extends SparkTestBase {
     }
   }
 
+  test("trim-sketch verdict gate (r14 re-gate): booleans true, n_total exact, and broken bounds flip them") {
+    val exactN = Tables.events(spark, sf).where(col("value").isNotNull)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val out = TimeWindows.quantileTrimSketchVerdict(spark, sf).collect()
+    assert(out.length == exactN.size)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_total") == exactN(t), s"$t n_total")
+      assert(r.getAs[Boolean]("ok_lo"), s"$t q_lo rank bound broken")
+      assert(r.getAs[Boolean]("ok_hi"), s"$t q_hi rank bound broken")
+      assert(r.getAs[Boolean]("kept_frac_ok"), s"$t kept fraction off")
+    }
+    // adversarial: bounds at (min, max) keep EVERYTHING — the quartile
+    // rank windows and the 50% kept-band check must all flip
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
+      .where(col("value").isNotNull)
+    val broken = ev.groupBy("event_type")
+      .agg(min("value").as("q_lo"), max("value").as("q_hi"))
+    TimeWindows.trimRankVerdicts(ev, broken, 0.25, 0.75, 10000).collect()
+      .foreach { r =>
+        assert(!r.getAs[Boolean]("ok_lo"), s"min-as-q25 must flip: $r")
+        assert(!r.getAs[Boolean]("ok_hi"), s"max-as-q75 must flip: $r")
+        assert(!r.getAs[Boolean]("kept_frac_ok"), s"keep-all must flip: $r")
+      }
+  }
+
   test("a deliberately broken estimate flips the verdict") {
     val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
     // "median" = the type max, "p99" = the type min: both far outside
