@@ -31,7 +31,10 @@ object MlGates {
     // CrossValAlsSpec pins determinism and bounds)
     "q_word2vec"       -> ((s: SparkSession, d: String) => Pipelines.word2vec(s, d)),
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
-    "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pca(s, d)),
+    // PCA re-gated at its covariance point (r14): exact integer-cents
+    // covariance matrix + eigensolve-contract booleans, oracle-exact;
+    // the loading matrix itself stays pinned by MlPipelineSpec
+    "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pcaVerdict(s, d)),
     // seeded k-means topic-balance report over embeddings (no oracle:
     // JVM-seeded init; KmeansTopicsSpec pins planted-cluster recovery)
     "q_kmeans_topics"  -> ((s: SparkSession, d: String) => Pipelines.kmeansTopics(s, d)),
@@ -72,5 +75,60 @@ object MlGates {
         |SELECT user_id, day, click, "error", purchase, "view",
         |  "view" / (click + 1.0) AS view_click_ratio
         |FROM features""".stripMargin,
+
+    // PCA at its covariance point (r14): value carries 2 decimals, so
+    // integer-cents moments are exact HUGEINT sums and each covariance
+    // entry is ONE exact expression cast to DOUBLE at the end — the
+    // same IEEE tree Pipelines.pcaVerdict computes from its DECIMAL
+    // moments. The eigensolve appears only as booleans pinned to TRUE.
+    "q_pca" ->
+      """WITH enriched AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+        |    CAST(json_extract_string(props, 'k') AS INTEGER) % 7 AS code_id
+        |  FROM events WHERE value >= 0.0),
+        |target AS (
+        |  SELECT user_id, day, max(code_id) AS code_id FROM enriched GROUP BY 1, 2),
+        |features AS (
+        |  SELECT user_id, day,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'click'), 0.0) AS click,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'error'), 0.0) AS "error",
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'purchase'), 0.0) AS purchase,
+        |    COALESCE(max(value) FILTER (WHERE event_type = 'view'), 21.0) AS "view"
+        |  FROM enriched GROUP BY 1, 2),
+        |codes(code_id) AS (VALUES (0), (1), (2), (3), (4), (5), (6)),
+        |cells AS (
+        |  SELECT
+        |    CAST(CAST(f.click AS DECIMAL(18,2)) * 100 AS BIGINT) AS x0,
+        |    CAST(CAST(f."error" AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+        |    CAST(CAST(f.purchase AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+        |    CAST(CAST(f."view" AS DECIMAL(18,2)) * 100 AS BIGINT) AS x3
+        |  FROM features f JOIN target t USING (user_id, day)
+        |  JOIN codes c ON t.code_id = c.code_id),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(x0) AS s0, sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+        |    sum(x0*x0) AS s0_0, sum(x0*x1) AS s0_1, sum(x0*x2) AS s0_2,
+        |    sum(x0*x3) AS s0_3, sum(x1*x1) AS s1_1, sum(x1*x2) AS s1_2,
+        |    sum(x1*x3) AS s1_3, sum(x2*x2) AS s2_2, sum(x2*x3) AS s2_3,
+        |    sum(x3*x3) AS s3_3
+        |  FROM cells),
+        |c AS (
+        |  SELECT
+        |    CAST(n*s0_0 - s0*s0 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_click_click,
+        |    CAST(n*s0_1 - s0*s1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_click_error,
+        |    CAST(n*s0_2 - s0*s2 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_click_purchase,
+        |    CAST(n*s0_3 - s0*s3 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_click_view,
+        |    CAST(n*s1_1 - s1*s1 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_error_error,
+        |    CAST(n*s1_2 - s1*s2 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_error_purchase,
+        |    CAST(n*s1_3 - s1*s3 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_error_view,
+        |    CAST(n*s2_2 - s2*s2 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_purchase_purchase,
+        |    CAST(n*s2_3 - s2*s3 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_purchase_view,
+        |    CAST(n*s3_3 - s3*s3 AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) / 10000.0 AS cov_view_view
+        |  FROM m)
+        |SELECT comp.component, c.*,
+        |  c.cov_click_click + c.cov_error_error + c.cov_purchase_purchase
+        |    + c.cov_view_view AS trace,
+        |  TRUE AS resid_ok, TRUE AS unit_ok, TRUE AS orth_ok, TRUE AS ratio_ok
+        |FROM c CROSS JOIN (VALUES (0), (1)) comp(component)""".stripMargin,
   )
 }

@@ -297,6 +297,94 @@ object Pipelines {
       "load_click", "load_error", "load_purchase", "load_view")
   }
 
+  /** [[pca]] re-gated at its COVARIANCE POINT (r13 verdict #6): the
+    * eigensolve itself is a driver-side LAPACK call no other engine
+    * replays, but everything AROUND it is exactly checkable —
+    *
+    *  - the 4×4 sample covariance of the wide features is derivable in
+    *    DuckDB from integer-cents moments: `value` carries 2 decimals,
+    *    so x_c = CAST(x AS DECIMAL(18,2))·100 is an exact integer and
+    *    cov_ij = (n·Σx_i x_j − Σx_i·Σx_j) / (n·(n−1)) / 10⁴ is one
+    *    exact HUGEINT expression cast to DOUBLE at the end (identical
+    *    IEEE tree both engines — the q_correlation device);
+    *  - the eigensolve's OUTPUT is verified against that exact matrix
+    *    and emitted as booleans: ‖C·v_j − λ_j·v_j‖∞ ≤ 1e-6·(trace+1)
+    *    with λ_j = ratio_j · trace (ratios are scale-free, so the n vs
+    *    n−1 convention cancels), unit-norm and mutual orthogonality of
+    *    the loadings, and ratio sanity (descending, within (0, 1],
+    *    summing ≤ 1).
+    *
+    * The oracle derives the 10 covariance entries + trace and pins the
+    * booleans to TRUE: a wrong covariance fails hash-exactly, a broken
+    * eigensolve flips a boolean. The loading matrix itself stays pinned
+    * by MlPipelineSpec via [[pca]]. Bounded driver collect: one 1-row
+    * moment aggregate (the q_correlation class). */
+  def pcaVerdict(s: SparkSession, d: String, k: Int = 2): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val nf = featureCols.length
+    val wide = SensorEtl.wide(s, d)
+    // exact integer-cents cells; DECIMAL(38,0) sums stay exact at any sf
+    val cells = featureCols.zipWithIndex.map { case (f, i) =>
+      (col(f).cast(DecimalType(18, 2)) * 100).cast(DecimalType(20, 0))
+        .cast("long").as(s"x$i")
+    }
+    val cdf = wide.select(cells.toSeq: _*)
+    val pairs = for { i <- 0 until nf; j <- i until nf } yield (i, j)
+    val aggs = count(lit(1)).as("n") +:
+      ((0 until nf).map(i =>
+        sum(col(s"x$i").cast(DecimalType(38, 0))).as(s"s$i")) ++
+        pairs.map { case (i, j) =>
+          sum((col(s"x$i") * col(s"x$j")).cast(DecimalType(38, 0)))
+            .as(s"s${i}_$j")
+        })
+    val m = cdf.agg(aggs.head, aggs.tail: _*).head()
+    val n = m.getAs[Long]("n")
+    def s1(i: Int) = BigInt(m.getAs[java.math.BigDecimal](s"s$i").toBigInteger)
+    def s2(i: Int, j: Int) =
+      BigInt(m.getAs[java.math.BigDecimal](s"s${i}_$j").toBigInteger)
+    // identical expression tree to the oracle: CAST(num AS DOUBLE) /
+    // CAST(n*(n-1) AS DOUBLE) / 10000.0
+    def cov(i: Int, j: Int): Double =
+      (BigInt(n) * s2(i, j) - s1(i) * s1(j)).toDouble /
+        (n.toDouble * (n - 1).toDouble) / 10000.0
+    val c = Array.tabulate(nf, nf)((i, j) => cov(math.min(i, j), math.max(i, j)))
+    val trace = c(0)(0) + c(1)(1) + c(2)(2) + c(3)(3)
+
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols).setOutputCol("features")
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pc").setK(k)
+      .fit(assembler.transform(wide.select(featureCols.map(col).toSeq: _*)))
+    val pcm = model.pc
+    val ev = model.explainedVariance.toArray
+    val vs = Array.tabulate(k)(j => Array.tabulate(nf)(i => pcm(i, j)))
+    val tol = 1e-6 * (trace + 1.0)
+    def residOk(j: Int): Boolean = {
+      val lam = ev(j) * trace
+      (0 until nf).forall { i =>
+        math.abs((0 until nf).map(l => c(i)(l) * vs(j)(l)).sum
+          - lam * vs(j)(i)) <= tol
+      }
+    }
+    def unitOk(j: Int): Boolean =
+      math.abs(vs(j).map(x => x * x).sum - 1.0) <= 1e-9
+    val orthOk = (for { a <- 0 until k; b <- (a + 1) until k } yield
+      math.abs((0 until nf).map(i => vs(a)(i) * vs(b)(i)).sum))
+      .forall(_ <= 1e-9)
+    val ratioOk = ev.forall(r => r > 0.0 && r <= 1.0) &&
+      ev.zip(ev.tail).forall { case (a, b) => a >= b } && ev.sum <= 1.0 + 1e-9
+    (0 until k).map { j =>
+      (j, c(0)(0), c(0)(1), c(0)(2), c(0)(3), c(1)(1), c(1)(2), c(1)(3),
+        c(2)(2), c(2)(3), c(3)(3), trace,
+        residOk(j), unitOk(j), orthOk, ratioOk)
+    }.toDF("component", "cov_click_click", "cov_click_error",
+      "cov_click_purchase", "cov_click_view", "cov_error_error",
+      "cov_error_purchase", "cov_error_view", "cov_purchase_purchase",
+      "cov_purchase_view", "cov_view_view", "trace",
+      "resid_ok", "unit_ok", "orth_ok", "ratio_ok")
+  }
+
   /** M4 — SQLTransformer as a pipeline stage (cf. `sensor_data_train
     * .py:48-51`, whose SQL never ran due to a missing space; fixed here):
     * derives a ratio feature inside the pipeline. */

@@ -31,6 +31,37 @@ class MlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("PCA verdict gate (r14 re-gate): covariance matches a brute-force recompute, eigensolve booleans true") {
+    val out = Pipelines.pcaVerdict(spark, sf).collect()
+      .sortBy(_.getAs[Int]("component"))
+    assert(out.length == 2)
+    // brute-force sample covariance from the collected wide cells
+    val feats = Array("click", "error", "purchase", "view")
+    val rows = SensorEtl.wide(spark, sf)
+      .select(feats.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .collect().map(r => feats.indices.map(r.getAs[Double]).toArray)
+    val n = rows.length
+    val mean = feats.indices.map(i => rows.map(_(i)).sum / n)
+    def bf(i: Int, j: Int): Double =
+      rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / (n - 1)
+    val names = for { i <- feats.indices; j <- i until feats.length }
+      yield (s"cov_${feats(i)}_${feats(j)}", i, j)
+    out.foreach { r =>
+      names.foreach { case (nm, i, j) =>
+        val got = r.getAs[Double](nm)
+        assert(math.abs(got - bf(i, j)) <= 1e-6 * (math.abs(bf(i, j)) + 1),
+          s"$nm: $got vs brute-force ${bf(i, j)}")
+      }
+      assert(r.getAs[Boolean]("resid_ok"), "C*v = lambda*v residual broke")
+      assert(r.getAs[Boolean]("unit_ok"), "loading not unit-norm")
+      assert(r.getAs[Boolean]("orth_ok"), "loadings not orthogonal")
+      assert(r.getAs[Boolean]("ratio_ok"), "explained-variance ratios off")
+      val tr = r.getAs[Double]("trace")
+      val bfTrace = bf(0, 0) + bf(1, 1) + bf(2, 2) + bf(3, 3)
+      assert(math.abs(tr - bfTrace) <= 1e-6 * (bfTrace + 1))
+    }
+  }
+
   test("classification pipeline (MLP + save/load) yields a finite f1") {
     val out = Pipelines.classification(spark, sf).collect()
     assert(out.nonEmpty)
