@@ -408,9 +408,21 @@ object OracleCtes {
     * ≤ 8 ASCII bytes (the driver corpus' whole token vocabulary is 31
     * words of ≤ 8 ASCII bytes; SimhashRecallSpec pins that invariant so
     * fixture drift fails pointedly). Input CTE `$src(t)`; terminal CTE
-    * `xx_h(t, h)` with h the UNSIGNED hash as HUGEINT. Stages are
-    * MATERIALIZED: DuckDB inlines lateral aliases textually, and the
-    * chained per-step duplication compounds ~4× per stage — the
+    * `xx_h(t, h)` with h the UNSIGNED hash as HUGEINT.
+    *
+    * DEVICE DOMAIN (r13 verdict #5): 0-8 ASCII bytes, exhaustively
+    * replaying XXH64's sub-8-byte finalization (one 8-byte round OR one
+    * 4-byte round + up to 3 single-byte rounds + avalanche). 9+ bytes
+    * need additional sequential 8-byte loop rounds (and ≥ 32 bytes the
+    * four striped accumulator lanes) the chain does not implement —
+    * xx_h returns NULL there so misuse fails loudly (a NULL hash can
+    * never match Spark's), not as a silently wrong hash.
+    * Xxh64DeviceFuzzSpec pins the device itself against Spark's
+    * xxhash64 over seeded-random strings across every in-domain length
+    * and the out-of-domain NULL guard, via a real DuckDB session.
+    *
+    * Stages are MATERIALIZED: DuckDB inlines lateral aliases textually,
+    * and the chained per-step duplication compounds ~4× per stage — the
     * un-materialized form planned for minutes, these stages bind in
     * milliseconds. */
   private[gates] def xxh64Ctes(src: String): String = {
@@ -462,7 +474,8 @@ object OracleCtes {
        |xx_a2 AS MATERIALIZED (
        |  SELECT t, ${u64Mul("xor(av2, av2 // 536870912)", P3)} AS av4 FROM xx_a1),
        |xx_h AS MATERIALIZED (
-       |  SELECT t, xor(av4, av4 // 4294967296) AS h FROM xx_a2)""".stripMargin
+       |  SELECT t, CASE WHEN length(t) <= 8 THEN xor(av4, av4 // 4294967296)
+       |            ELSE NULL END AS h FROM xx_a2)""".stripMargin
   }
 
   /** The simhash signature chain (Dedup.simhash replayed): per-doc
