@@ -14,8 +14,11 @@ package graft
   * read of their materialized output, so this audits their final
   * fragment only — their internal shapes are pinned by their own specs
   * and the bench receipts. AQE-wrapped plans render WholeStageCodegen
-  * spans only at execution, so the WSCG check asserts the shuffle-free
-  * single-stage plans that render `*(n)` pre-execution. */
+  * spans only at execution, so the WSCG check HERE asserts the
+  * shuffle-free single-stage plans that render `*(n)` pre-execution;
+  * the executed-plan form of the same check — all 218 gates, post-AQE —
+  * is ExecutedPlanContractSpec (r14, closing the r13 watch-item #1
+  * blind spot). */
 class PlanContractSpec extends SparkTestBase {
 
   /** CartesianProduct: allowed only inside Spark's own MLlib code. */
