@@ -27,9 +27,12 @@ object MlGates {
     // FPGrowth frequent itemsets — exact counts over an enumerable item
     // universe, so the miner's output is fully oracle-checked
     "q_freq_itemsets"  -> ((s: SparkSession, d: String) => Pipelines.freqItemsets(s, d)),
-    // Word2Vec skip-gram + synonym probe (no oracle: seeded JVM fit;
-    // CrossValAlsSpec pins determinism and bounds)
-    "q_word2vec"       -> ((s: SparkSession, d: String) => Pipelines.word2vec(s, d)),
+    // Word2Vec re-gated at its parallelism-independent verdict point
+    // (r14 determinism receipt): exact vocab size + model-contract
+    // booleans, oracle-exact — MLlib's vocab tie order follows
+    // defaultParallelism, so the synonym ROWS are not cross-parallelism
+    // stable (they stay pinned by CrossValAlsSpec via word2vecSynonyms)
+    "q_word2vec"       -> ((s: SparkSession, d: String) => Pipelines.word2vecAudit(s, d)),
     "q_sql_transformer" -> (Pipelines.sqlTransformer _),
     // PCA re-gated at its covariance point (r14): exact integer-cents
     // covariance matrix + eigensolve-contract booleans, oracle-exact;
@@ -75,6 +78,22 @@ object MlGates {
         |SELECT user_id, day, click, "error", purchase, "view",
         |  "view" / (click + 1.0) AS view_click_ratio
         |FROM features""".stripMargin,
+
+    // Word2Vec at its parallelism-independent verdict point (r14):
+    // vocab_size is the minCount-filtered exact token-count vocabulary
+    // (same tokenizer CTE as q_unigram_logprob); the fit appears only
+    // as contract booleans pinned to TRUE
+    "q_word2vec" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM tc WHERE c >= 5)
+        |SELECT 'spark' AS probe, v.vocab_size, 16 AS vector_dims,
+        |  LEAST(5, v.vocab_size - 1) AS n_synonyms,
+        |  TRUE AS sims_unit_ok, TRUE AS probe_excluded,
+        |  TRUE AS synonyms_in_vocab
+        |FROM v""".stripMargin,
 
     // PCA at its covariance point (r14): value carries 2 decimals, so
     // integer-cents moments are exact HUGEINT sums and each covariance

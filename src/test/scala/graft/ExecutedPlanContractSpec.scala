@@ -41,7 +41,7 @@ class ExecutedPlanContractSpec extends SparkTestBase {
     "q_cross_val"   -> "LocalTableScan: CV grid summary of seeded MLlib fits",
     "q_ml_regression" -> "LocalTableScan: GBT metric rows from the fitted model",
     "q_pca"         -> "LocalTableScan: covariance+eigensolve verdict rows (1-row moment collect)",
-    "q_word2vec"    -> "LocalTableScan: synonym-probe rows from the fitted model")
+    "q_word2vec"    -> "LocalTableScan: model-audit verdict row from the fitted model")
 
   test("every gate's EXECUTED (post-AQE) plan keeps WholeStageCodegen, or is an allowlisted driver-result frame") {
     val wscgRe = """\*\(\d+\)""".r

@@ -27,15 +27,16 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (218 queries, 209 oracles)") {
+  test("registry carries the full suite (218 queries, 210 oracles)") {
     // r13: +q_arma_hr (218); oracles 189 + {q_semdedup, q_semdedup_linear,
     // q_compaction_plan, q_arma_hr, q_pq_topk, q_ivf_pq_topk,
     // q_ivf_pq_topk_res, q_ivf_pq_recall, q_ivf_pq_recall_res,
     // q_ann_recall, q_media_phash_neardup, q_simhash, q_simhash_neardup,
     // q_simhash_recall, q_minhash_lsh} = 204.
     // r14 verdict-point re-gates: + {q_hll_merge, q_profile_sketch,
-    // q_quantile_trim_sketch, q_quality_prune_sketch, q_pca} = 209
+    // q_quantile_trim_sketch, q_quality_prune_sketch, q_pca,
+    // q_word2vec} = 210
     assert(SparkEntry.queries.size == 218)
-    assert(SparkEntry.oracleSql.size == 209)
+    assert(SparkEntry.oracleSql.size == 210)
   }
 }
