@@ -15,15 +15,18 @@ import OracleCtes._
 object MlGates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ML pipelines (M1-M10)
-    "q_ml_classification" -> (Pipelines.classification _),
-    "q_ml_regression"  -> (Pipelines.regression _),
+    // ML pipelines (M1-M10) — the whole seeded-fit family re-gated at
+    // its verdict points (r14, the q_pca/q_word2vec move): exact
+    // DuckDB-derivable integers from the frames AROUND the fit +
+    // contract booleans over the fit itself; the seeded numbers stay
+    // visible through the original Pipelines entry points and their
+    // specs (MlPipelineSpec, CrossValAlsSpec, KmeansTopicsSpec)
+    "q_ml_classification" -> (Pipelines.classificationVerdict _),
+    "q_ml_regression"  -> (Pipelines.regressionVerdict _),
     // K-fold CV over the GBT (maxDepth, maxIter) grid, parallel fits
-    // (no oracle: seeded JVM fits; CrossValSpec pins the contract)
-    "q_cross_val"      -> (Pipelines.crossValidate _),
+    "q_cross_val"      -> (Pipelines.crossValidateVerdict _),
     // ALS implicit-feedback recommender over (user, event_type) counts
-    // (no oracle: seeded JVM fits; AlsSpec pins the contract)
-    "q_als_recommend"  -> (Pipelines.alsRecommend _),
+    "q_als_recommend"  -> (Pipelines.alsRecommendVerdict _),
     // FPGrowth frequent itemsets — exact counts over an enumerable item
     // universe, so the miner's output is fully oracle-checked
     "q_freq_itemsets"  -> ((s: SparkSession, d: String) => Pipelines.freqItemsets(s, d)),
@@ -38,12 +41,97 @@ object MlGates {
     // covariance matrix + eigensolve-contract booleans, oracle-exact;
     // the loading matrix itself stays pinned by MlPipelineSpec
     "q_pca"            -> ((s: SparkSession, d: String) => Pipelines.pcaVerdict(s, d)),
-    // seeded k-means topic-balance report over embeddings (no oracle:
-    // JVM-seeded init; KmeansTopicsSpec pins planted-cluster recovery)
-    "q_kmeans_topics"  -> ((s: SparkSession, d: String) => Pipelines.kmeansTopics(s, d)),
+    // seeded k-means re-gated at its verdict point (exact corpus
+    // integers + fit-contract booleans incl. cost <= total-SS;
+    // KmeansTopicsSpec keeps the planted-cluster recovery pin)
+    "q_kmeans_topics"  -> ((s: SparkSession, d: String) => Pipelines.kmeansTopicsVerdict(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    // classification at its verdict point (r14): the class universe and
+    // per-class counts derive from the same wide-table CTE as q_etl_wide
+    // (alphabetAsc label ids = alphabetical rank); the fit appears only
+    // as contract booleans pinned to TRUE
+    "q_ml_classification" ->
+      """WITH enriched AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value,
+        |    CAST(json_extract_string(props, 'k') AS INTEGER) % 7 AS code_id
+        |  FROM events WHERE value >= 0.0),
+        |target AS (
+        |  SELECT user_id, day, max(code_id) AS code_id FROM enriched GROUP BY 1, 2),
+        |codes(code_id, code_name) AS (
+        |  VALUES (0, 'Normal'), (1, 'GasHighAlarm'), (2, 'GasLowAlarm'), (3, 'GasAlarm'),
+        |         (4, 'Maintenance'), (5, 'Calibration'), (6, 'Offline')),
+        |cls AS (
+        |  SELECT c.code_name AS target, CAST(count(*) AS BIGINT) AS n_class
+        |  FROM target t JOIN codes c ON t.code_id = c.code_id GROUP BY 1)
+        |SELECT target, n_class,
+        |  CAST(rank() OVER (ORDER BY target) - 1 AS INTEGER) AS label_id,
+        |  TRUE AS split_exhaustive_ok, TRUE AS preds_in_universe_ok,
+        |  TRUE AS f1_unit_ok, TRUE AS pred_count_ok,
+        |  TRUE AS indexer_alphabetical_ok
+        |FROM cls""".stripMargin,
+
+    // regression at its verdict point (r14): the labeled frame is the
+    // q_lead_window spine; exact row count + integer-cents label sum
+    // (value carries 2 decimals — the q_pca device); fit booleans TRUE
+    "q_ml_regression" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, day, day_max,
+        |      lead(day_max, 1) OVER (PARTITION BY user_id ORDER BY day) AS next_day_max
+        |    FROM daily) t
+        |  WHERE next_day_max IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_labeled,
+        |  CAST(sum(CAST(CAST(next_day_max AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS label_cents_sum,
+        |  3 AS features_dim, TRUE AS r2_le_1_ok, TRUE AS rmse_nonneg_ok,
+        |  TRUE AS rmse_mse_consistent_ok, TRUE AS importances_ok,
+        |  TRUE AS split_exhaustive_ok
+        |FROM l""".stripMargin,
+
+    // CV at its verdict point (r14): the grid is re-enumerated as
+    // literals, the labeled-frame count derives from the same lead
+    // spine; selection-contract booleans TRUE
+    "q_cross_val" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, day,
+        |      lead(day_max, 1) OVER (PARTITION BY user_id ORDER BY day) AS next_day_max
+        |    FROM daily) t
+        |  WHERE next_day_max IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_labeled FROM l)
+        |SELECT g.max_depth, g.max_iter, n.n_labeled,
+        |  TRUE AS rmse_finite_pos_ok, TRUE AS chosen_is_min_ok,
+        |  TRUE AS one_chosen_ok
+        |FROM (VALUES (2, 5), (2, 10), (4, 5), (4, 10)) g(max_depth, max_iter), n""".stripMargin,
+
+    // ALS at its verdict point (r14): the interaction universe is exact
+    // (distinct users per event type); recommendation-contract booleans
+    // TRUE (full coverage, one rec per user, items in the 5-item universe)
+    "q_als_recommend" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_observed,
+        |  TRUE AS rec_coverage_ok, TRUE AS rec_items_valid_ok,
+        |  TRUE AS one_rec_per_user_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // k-means at its verdict point (r14): exact corpus count + dims;
+    // fit booleans TRUE (partition property, <= k clusters, cost >= 0,
+    // cost <= total SS about the global mean)
+    "q_kmeans_topics" ->
+      """SELECT 8 AS k, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(max(len(embedding)) AS INTEGER) AS dims,
+        |  TRUE AS sizes_sum_ok, TRUE AS n_clusters_le_k_ok,
+        |  TRUE AS cost_nonneg_ok, TRUE AS cost_le_totalss_ok
+        |FROM embeddings""".stripMargin,
+
     // all 31 possible itemsets enumerated by bitmask; list_has_all
     // tests basket containment; integer freq >= minSupport*n is exactly
     // MLlib's freq >= ceil(minSupport*n) for integer freq

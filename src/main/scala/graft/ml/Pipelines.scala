@@ -31,6 +31,19 @@ object Pipelines {
     * features, label = code_name. Returns per-class prediction counts
     * (stable, small output). */
   def classification(s: SparkSession, d: String): DataFrame = {
+    val fit = classificationFit(s, d)
+    fit.predictions
+      .groupBy("predicted_target")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("f1", lit(fit.f1))
+  }
+
+  /** The fitted state [[classification]] and [[classificationVerdict]]
+    * share: labels, split sizes, reloaded-model predictions, f1. */
+  private case class ClsFit(data: DataFrame, labels: Array[String],
+      nTrain: Long, nTest: Long, predictions: DataFrame, f1: Double)
+
+  private def classificationFit(s: SparkSession, d: String): ClsFit = {
     // ~150 users × 30 days of features — tiny relative to cluster width.
     // Iterative fitting (LBFGS) launches a job per iteration, so collapse
     // to a few partitions: per-job task overhead, not compute, dominates
@@ -71,10 +84,49 @@ object Pipelines {
     val f1 = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction")
       .evaluate(predictions)
-    predictions
-      .groupBy("predicted_target")
-      .agg(count(lit(1)).as("n"))
-      .withColumn("f1", lit(f1))
+    ClsFit(data, indexer.labelsArray.head, train.count(), test.count(),
+      predictions, f1)
+  }
+
+  /** [[classification]] re-gated at its VERDICT POINT (r14, extending the
+    * q_pca / q_word2vec precedent to the seeded-fit family): the MLP's
+    * predictions are seeded-JVM floats no other engine reproduces, but
+    * everything AROUND the fit is exactly checkable — the class universe
+    * and its per-class row counts over the full wide table (the same
+    * q_etl_wide CTE the oracle derives them from), alphabetAsc label ids,
+    * and contract booleans over the fit itself: the seeded randomSplit is
+    * exhaustive (train+test = total — Bernoulli sampling with
+    * complementary ranges), every predicted class is drawn from the
+    * indexer's label universe, f1 ∈ [0,1], the RELOADED model scored
+    * exactly the test rows, and the indexer's labels are exactly the
+    * sorted distinct class universe. A wrong ETL spine fails hash-exactly; a
+    * broken fit/round-trip flips a boolean. The per-class prediction
+    * counts stay visible through [[classification]] and MlPipelineSpec.
+    * Bounded driver collect: one ≤|classes|-row aggregate (≤7 here —
+    * the pcaVerdict moment-row class). */
+  def classificationVerdict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fit = classificationFit(s, d)
+    val nTotal = fit.data.count()
+    val splitOk = fit.nTrain + fit.nTest == nTotal
+    val predTargets = fit.predictions.select("predicted_target")
+      .distinct().collect().map(_.getString(0)).toSet  // ≤ |classes| rows
+    val predsOk = predTargets.subsetOf(fit.labels.toSet)
+    val f1Ok = fit.f1 >= 0.0 && fit.f1 <= 1.0 + 1e-12
+    val predCountOk = fit.predictions.count() == fit.nTest
+    val classCounts = fit.data.groupBy(col("target"))
+      .agg(count(lit(1)).as("n_class"))
+      .collect()                                       // ≤ |classes| rows
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    // the indexer fit on the FULL frame with alphabetAsc, so its label
+    // array must be exactly the sorted distinct class universe
+    val indexerOk = fit.labels.sameElements(classCounts.map(_._1))
+    classCounts.zipWithIndex.map { case ((t, n), i) =>
+      (t, n, i, splitOk, predsOk, f1Ok, predCountOk, indexerOk)
+    }.toSeq.toDF("target", "n_class", "label_id", "split_exhaustive_ok",
+      "preds_in_universe_ok", "f1_unit_ok", "pred_count_ok",
+      "indexer_alphabetical_ok")
   }
 
   /** M1,M6,M7,M9,M10 — "max H2S tomorrow" analog: per-user daily max +
@@ -83,6 +135,18 @@ object Pipelines {
     * GBT regression. Returns a metrics table (r2, rmse, importances). */
   def regression(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val fit = regressionFit(s, d)
+    (Seq("r2" -> fit.r2, "rmse" -> fit.rmse, "mse" -> fit.mse) ++
+      Array("day_max", "epoch_day", "dow").zip(fit.importances)
+        .map { case (f, v) => s"importance_$f" -> v })
+      .toDF("metric", "value")
+  }
+
+  /** The fitted state [[regression]] and [[regressionVerdict]] share. */
+  private case class RegFit(labeled: DataFrame, nTrain: Long, nTest: Long,
+      r2: Double, rmse: Double, mse: Double, importances: Array[Double])
+
+  private def regressionFit(s: SparkSession, d: String): RegFit = {
     // see classification: small feature table + per-iteration jobs (GBT
     // launches jobs per boosting round) -> collapse partitions first
     val labeled = TimeWindows.leadWindow(s, d)
@@ -107,11 +171,40 @@ object Pipelines {
       .setMetricName(metric).evaluate(predictions)
 
     val gbtModel = model.stages.last.asInstanceOf[GBTRegressionModel]
-    val importances = gbtModel.featureImportances.toArray
-    (Seq("r2" -> eval("r2"), "rmse" -> eval("rmse"), "mse" -> eval("mse")) ++
-      Array("day_max", "epoch_day", "dow").zip(importances)
-        .map { case (f, v) => s"importance_$f" -> v })
-      .toDF("metric", "value")
+    RegFit(labeled, train.count(), test.count(),
+      eval("r2"), eval("rmse"), eval("mse"),
+      gbtModel.featureImportances.toArray)
+  }
+
+  /** [[regression]] re-gated at its VERDICT POINT (r14, seeded-fit
+    * family): the GBT's metrics are seeded-JVM floats, but the LABELED
+    * FRAME feeding it is the oracle-exact q_lead_window spine — the gate
+    * emits its exact row count and exact integer-cents label sum (`value`
+    * carries 2 decimals, so next_day_max = max(value) does too — the
+    * q_pca integer-cents device), plus contract booleans over the fit:
+    * r2 ≤ 1, rmse ≥ 0, rmse² = mse (the two evaluators agree with each
+    * other), featureImportances a probability vector (each ≥ 0, sum = 1),
+    * and the seeded split exhaustive. The metric values stay visible
+    * through [[regression]] and MlPipelineSpec. */
+  def regressionVerdict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val fit = regressionFit(s, d)
+    val m = fit.labeled.agg(
+      count(lit(1)).as("n_labeled"),
+      sum((col("next_day_max").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("label_cents_sum")).head()
+    val nLabeled = m.getAs[Long]("n_labeled")
+    val splitOk = fit.nTrain + fit.nTest == nLabeled
+    val impOk = fit.importances.forall(_ >= 0.0) &&
+      math.abs(fit.importances.sum - 1.0) <= 1e-6
+    val rmseMseOk = math.abs(fit.rmse * fit.rmse - fit.mse) <=
+      1e-9 * math.max(1.0, fit.mse)
+    Seq((nLabeled, m.getAs[Long]("label_cents_sum"), 3,
+      fit.r2 <= 1.0 + 1e-12, fit.rmse >= 0.0, rmseMseOk, impOk, splitOk))
+      .toDF("n_labeled", "label_cents_sum", "features_dim", "r2_le_1_ok",
+        "rmse_nonneg_ok", "rmse_mse_consistent_ok", "importances_ok",
+        "split_exhaustive_ok")
   }
 
   /** M-family extension — K-fold cross-validation over the GBT
@@ -126,6 +219,17 @@ object Pipelines {
     * (CrossValSpec: best point beats worst, chosen flag unique). */
   def crossValidate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val (metrics, best, _) = crossValidateFit(s, d)
+    metrics.map { case (depth, iter, rmse) =>
+      (depth, iter, rmse, rmse == best)
+    }.toDF("max_depth", "max_iter", "cv_rmse", "chosen")
+  }
+
+  /** The fitted CV state [[crossValidate]] and [[crossValidateVerdict]]
+    * share: (maxDepth, maxIter, mean CV rmse) per grid point, the best
+    * rmse, and the labeled-frame row count. */
+  private def crossValidateFit(
+      s: SparkSession, d: String): (Seq[(Int, Int, Double)], Double, Long) = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val labeled = TimeWindows.leadWindow(s, d)
       .withColumn("epoch_day", unix_timestamp(col("day").cast("timestamp")) / 86400)
@@ -150,12 +254,34 @@ object Pipelines {
         .setEstimatorParamMaps(grid).setNumFolds(3)
         .setParallelism(4).setSeed(42L)
       val model = cv.fit(labeled)
-      val metrics = grid.zip(model.avgMetrics)
-      val best = metrics.minBy(_._2)._2
-      metrics.toSeq.map { case (pm, rmse) =>
-        (pm.get(gbt.maxDepth).get, pm.get(gbt.maxIter).get, rmse, rmse == best)
-      }.toDF("max_depth", "max_iter", "cv_rmse", "chosen")
+      val metrics = grid.zip(model.avgMetrics).toSeq.map { case (pm, rmse) =>
+        (pm.get(gbt.maxDepth).get, pm.get(gbt.maxIter).get, rmse)
+      }
+      (metrics, metrics.map(_._3).min, labeled.count())
     } finally { labeled.unpersist(); () }
+  }
+
+  /** [[crossValidate]] re-gated at its VERDICT POINT (r14, seeded-fit
+    * family): the per-grid-point mean CV rmse values are seeded-JVM
+    * floats, but the grid ENUMERATION and the labeled frame are exact —
+    * the gate emits the (maxDepth, maxIter) grid (fixed literals the
+    * oracle re-enumerates) and the labeled-frame row count, plus contract
+    * booleans: every mean CV rmse finite and positive, the chosen flag
+    * marks exactly the minimum, and exactly one grid point chosen. The
+    * rmse values and selection stay visible through [[crossValidate]]
+    * and CrossValAlsSpec (best beats worst, chosen unique). */
+  def crossValidateVerdict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (metrics, best, nLabeled) = crossValidateFit(s, d)
+    val rmseOk = metrics.forall { case (_, _, r) =>
+      !r.isNaN && !r.isInfinite && r > 0.0 }
+    val oneChosen = metrics.count(_._3 == best) == 1
+    val chosenIsMin = metrics.filter(_._3 == best)
+      .forall { case (_, _, r) => metrics.forall(_._3 >= r) }
+    metrics.map { case (depth, iter, _) =>
+      (depth, iter, nLabeled, rmseOk, chosenIsMin, oneChosen)
+    }.toDF("max_depth", "max_iter", "n_labeled", "rmse_finite_pos_ok",
+      "chosen_is_min_ok", "one_chosen_ok")
   }
 
   /** M-family extension — ALS implicit-feedback recommender over the
@@ -172,6 +298,17 @@ object Pipelines {
     * spec-pinned (AlsSpec: dominant observed item dominates recs). */
   def alsRecommend(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val (top1, _) = alsTop1(s, d)
+    val names = Seq(0 -> "click", 1 -> "error", 2 -> "purchase",
+      3 -> "signup", 4 -> "view").toDF("item", "event_type")
+    top1.join(broadcast(names), Seq("item"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_users_top1"))
+  }
+
+  /** The fitted ALS state [[alsRecommend]] and [[alsRecommendVerdict]]
+    * share: the per-user top-1 recommendation frame (one row per covered
+    * user) and the distinct interacting-user count. */
+  private def alsTop1(s: SparkSession, d: String): (DataFrame, Long) = {
     import org.apache.spark.ml.recommendation.ALS
     val interactions = graft.Tables.events(s, d)
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
@@ -193,11 +330,36 @@ object Pipelines {
       model.setColdStartStrategy("drop")
       val top1 = model.recommendForAllUsers(1)
         .select(col("user"), expr("recommendations[0].item").as("item"))
-      val names = Seq(0 -> "click", 1 -> "error", 2 -> "purchase",
-        3 -> "signup", 4 -> "view").toDF("item", "event_type")
-      top1.join(broadcast(names), Seq("item"))
-        .groupBy("event_type").agg(count(lit(1)).as("n_users_top1"))
+        .cache()
+      top1.count()  // materialize before the input cache is released
+      (top1, interactions.select("user").distinct().count())
     } finally { interactions.unpersist(); () }
+  }
+
+  /** [[alsRecommend]] re-gated at its VERDICT POINT (r14, seeded-fit
+    * family): which item tops each user's recommendations is a seeded-JVM
+    * fit, but the INTERACTION UNIVERSE is exact — the gate emits, per
+    * event type, the distinct interacting-user count (DuckDB-derivable
+    * from events), plus contract booleans over the fit: every training
+    * user received a recommendation (coverage — every user is a training
+    * user, so cold-start drop removes none), exactly one per user, and
+    * every recommended item drawn from the 5-item universe. The
+    * recommendation distribution stays visible through [[alsRecommend]]
+    * and CrossValAlsSpec (dominant observed item dominates recs). */
+  def alsRecommendVerdict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (top1, nUsers) = alsTop1(s, d)
+    val nRecs = top1.count()
+    val nRecUsers = top1.select("user").distinct().count()
+    val itemsValid = top1.where(col("item") < 0 || col("item") > 4).count() == 0L
+    val coverageOk = nRecUsers == nUsers
+    val oneRecOk = nRecs == nRecUsers
+    graft.Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_observed"))
+      .withColumn("rec_coverage_ok", lit(coverageOk))
+      .withColumn("rec_items_valid_ok", lit(itemsValid))
+      .withColumn("one_rec_per_user_ok", lit(oneRecOk))
   }
 
   /** M-family extension — FPGrowth frequent itemsets over each user's
@@ -495,5 +657,55 @@ object Pipelines {
       .agg(count(lit(1)).as("n"))
       .withColumn("share", round(col("n") / lit(n), 6))
       .withColumn("training_cost", round(lit(cost), 4))
+  }
+
+  /** [[kmeansTopics]] re-gated at its VERDICT POINT (r14, seeded-fit
+    * family): cluster memberships are a seeded-JVM k-means|| init, but
+    * the corpus frame is exact — the gate emits k, the exact embedding
+    * count and dimensionality (DuckDB-derivable), plus contract booleans
+    * over the fit: cluster sizes partition the corpus (sum = n), at most
+    * k clusters emitted, the within-cluster SSE non-negative, and — the
+    * substantive one — trainingCost ≤ the total sum of squares about the
+    * GLOBAL mean (any clustering at least matches the 1-cluster solution;
+    * a broken assign/update step fails it). totalSS is computed
+    * distributed (posexplode → per-dim moments; one dims-sized reduce).
+    * The balance report stays visible through [[kmeansTopics]] and
+    * KmeansTopicsSpec (planted-cluster recovery). */
+  def kmeansTopicsVerdict(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val data = vecs
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .fit(data)
+    val cost = model.summary.trainingCost
+    val sizes = model.summary.predictions
+      .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))                // ≤ k rows
+    val head = vecs.agg(count(lit(1)).as("n_vecs"),
+      max(size(col("embedding"))).as("dims")).head()
+    val nVecs = head.getAs[Long]("n_vecs")
+    val dims = head.getAs[Int]("dims")
+    // total SS about the global mean: sum ||x||^2 - n * ||mean||^2,
+    // per-dim moments via posexplode (dims-sized aggregate)
+    val mom = vecs.select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .collect()                                        // dims rows
+    val totalSs = mom.map { r =>
+      val sx = r.getAs[Double]("sx"); val sxx = r.getAs[Double]("sxx")
+      sxx - sx * sx / nVecs
+    }.sum
+    Seq((k, nVecs, dims,
+      sizes.sum == nVecs, sizes.length <= k, cost >= 0.0,
+      cost <= totalSs * (1.0 + 1e-6) + 1e-6))
+      .toDF("k", "n_vecs", "dims", "sizes_sum_ok", "n_clusters_le_k_ok",
+        "cost_nonneg_ok", "cost_le_totalss_ok")
   }
 }

@@ -18,8 +18,8 @@ package graft
   * the gate plan; driving the gate plan directly is synchronous and
   * unambiguous.
   *
-  * Direction of the check: absence ⊆ allowlist. 211 of 218 gates render
-  * codegen in their executed plan (measured r14); the 7 allowlisted
+  * Direction of the check: absence ⊆ allowlist. 209 of 218 gates render
+  * codegen in their executed plan (measured r14); the 9 allowlisted
   * absences are driver-computed LocalTableScan RESULT frames — bounded
   * kernels (moment readouts, model summaries) whose corpus-scale work
   * ran in earlier Spark jobs with their own plans, leaving nothing to
@@ -39,6 +39,8 @@ class ExecutedPlanContractSpec extends SparkTestBase {
     "q_ccf"         -> "LocalTableScan: cross-correlation from one collected exact-moment row",
     "q_correlation" -> "LocalTableScan: Pearson matrix from one collected exact-moment row",
     "q_cross_val"   -> "LocalTableScan: CV grid summary of seeded MLlib fits",
+    "q_kmeans_topics" -> "LocalTableScan: k-means verdict row (r14 re-gate; corpus moments + fit collected bounded)",
+    "q_ml_classification" -> "LocalTableScan: classification verdict rows (r14 re-gate; <= |classes| collected)",
     "q_ml_regression" -> "LocalTableScan: GBT metric rows from the fitted model",
     "q_pca"         -> "LocalTableScan: covariance+eigensolve verdict rows (1-row moment collect)",
     "q_word2vec"    -> "LocalTableScan: model-audit verdict row from the fitted model")

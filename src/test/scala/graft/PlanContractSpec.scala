@@ -117,7 +117,10 @@ class PlanContractSpec extends SparkTestBase {
     "q_dedup_clusters", "q_dedup_clusters_ls", "q_embed_clusters",
     "q_embed_neardup", "q_filter_conj", "q_fingerprint", "q_freq_itemsets",
     "q_fuzzy_join", "q_isin", "q_lang_id", "q_media_features",
-    "q_media_phash_neardup", "q_media_resize", "q_ml_classification",
+    // q_ml_classification left r14: its verdict re-gate returns a
+    // bounded driver-result LocalTableScan (ExecutedPlanContractSpec
+    // allowlists it with the other seeded-fit verdict frames)
+    "q_media_phash_neardup", "q_media_resize",
     "q_normalize_redact", "q_orderby_topk", "q_quantize_int8",
     "q_scan_project", "q_simhash", "q_simhash_neardup", "q_stream_anomaly",
     "q_stream_dedup", "q_stream_dedup_agg", "q_stream_late",
