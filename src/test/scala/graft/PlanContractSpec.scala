@@ -32,6 +32,7 @@ class PlanContractSpec extends SparkTestBase {
     * similarity-inequality join that HAS no equi-key. The build side never
     * scales with the corpus. */
   private val bnljOk: Map[String, String] = Map(
+    "q_profile_sketch"    -> "1-row exact-aggregate x 1-row broadcast sketch-aggregate (the r14 Expand/HLL split)",
     // ANN / similarity family: broadcast of the fixed probe/query set,
     // joined on a cosine/Hamming inequality (no equi-key exists); build
     // side bounded by the probe count (<= 100 rows)
