@@ -108,8 +108,8 @@ object MlGates {
         |  WHERE next_day_max IS NOT NULL),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_labeled FROM l)
         |SELECT g.max_depth, g.max_iter, n.n_labeled,
-        |  TRUE AS rmse_finite_pos_ok, TRUE AS chosen_is_min_ok,
-        |  TRUE AS one_chosen_ok
+        |  TRUE AS rmse_finite_pos_ok, CAST(1 AS BIGINT) AS n_at_min,
+        |  TRUE AS spark_chose_argmin_ok
         |FROM (VALUES (2, 5), (2, 10), (4, 5), (4, 10)) g(max_depth, max_iter), n""".stripMargin,
 
     // ALS at its verdict point (r14): the interaction universe is exact

@@ -27,6 +27,27 @@ object Pipelines {
 
   private val featureCols = Array("click", "error", "purchase", "view")
 
+  /** Partition count for the small cached feature frames the iterative
+    * fits (LBFGS / GBT boosting rounds / CV grids) read: ~1 partition per
+    * 128 MB of the events fact table feeding them, floor 2. Iterative
+    * fitting launches a job per iteration, so at suite scales (events ≪
+    * 128 MB) a 2-partition collapse keeps per-job task overhead from
+    * dominating — and because the floor reproduces the historical
+    * repartition(2) exactly there, every seeded pin stays byte-identical.
+    * Above the floor the count grows with the data, so the 13 concurrent
+    * seeded fits under q_cross_val are no longer serialized onto 2
+    * threads (the r14 sf100 receipt measured that literal collapse at
+    * 34× per 3.33× step / 71.6 s GC; VERDICT r14 #1). The labeled frames
+    * are per-(user, day) aggregates of events — smaller than the raw
+    * table — so sizing off the scan bytes errs toward a few extra small
+    * tasks, never toward under-parallelized fits. */
+  private def fitPartitions(s: SparkSession, d: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    math.max(2, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+  }
+
   /** M1-M5,M7,M8 + S6 — gas-event-classifier analog: per-(user,day) wide
     * features, label = code_name. Returns per-class prediction counts
     * (stable, small output). */
@@ -44,14 +65,13 @@ object Pipelines {
       nTrain: Long, nTest: Long, predictions: DataFrame, f1: Double)
 
   private def classificationFit(s: SparkSession, d: String): ClsFit = {
-    // ~150 users × 30 days of features — tiny relative to cluster width.
-    // Iterative fitting (LBFGS) launches a job per iteration, so collapse
-    // to a few partitions: per-job task overhead, not compute, dominates
-    // otherwise. At real scale this would size to data/128MB instead.
+    // ~150 users × 30 days of features at suite sf — tiny relative to
+    // cluster width; [[fitPartitions]] collapses to 2 there and grows
+    // with the data past 128 MB of events.
     val data = SensorEtl.wide(s, d)
       .select(col("code_name").as("target"),
         col("click"), col("error"), col("purchase"), col("view"))
-      .repartition(2)
+      .repartition(fitPartitions(s, d))
       .cache()
 
     val indexer: StringIndexerModel = new StringIndexer()
@@ -148,11 +168,11 @@ object Pipelines {
 
   private def regressionFit(s: SparkSession, d: String): RegFit = {
     // see classification: small feature table + per-iteration jobs (GBT
-    // launches jobs per boosting round) -> collapse partitions first
+    // launches jobs per boosting round) -> data-sized partition count
     val labeled = TimeWindows.leadWindow(s, d)
       .withColumn("epoch_day", unix_timestamp(col("day").cast("timestamp")) / 86400)
       .withColumn("dow", dayofweek(col("day")).cast("double"))
-      .repartition(2)
+      .repartition(fitPartitions(s, d))
       .cache()
 
     val assembler = new VectorAssembler()
@@ -219,22 +239,26 @@ object Pipelines {
     * (CrossValSpec: best point beats worst, chosen flag unique). */
   def crossValidate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (metrics, best, _) = crossValidateFit(s, d)
-    metrics.map { case (depth, iter, rmse) =>
-      (depth, iter, rmse, rmse == best)
+    val fit = crossValidateFit(s, d)
+    fit.metrics.map { case (depth, iter, rmse) =>
+      (depth, iter, rmse, rmse == fit.best)
     }.toDF("max_depth", "max_iter", "cv_rmse", "chosen")
   }
 
   /** The fitted CV state [[crossValidate]] and [[crossValidateVerdict]]
     * share: (maxDepth, maxIter, mean CV rmse) per grid point, the best
-    * rmse, and the labeled-frame row count. */
-  private def crossValidateFit(
-      s: SparkSession, d: String): (Seq[(Int, Int, Double)], Double, Long) = {
+    * rmse, the labeled-frame row count, and the (maxDepth, maxIter)
+    * CrossValidator itself selected (from `model.bestModel` — Spark's
+    * own argmin, independent of our re-derivation). */
+  private case class CvFit(metrics: Seq[(Int, Int, Double)], best: Double,
+      nLabeled: Long, sparkChose: (Int, Int))
+
+  private def crossValidateFit(s: SparkSession, d: String): CvFit = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     val labeled = TimeWindows.leadWindow(s, d)
       .withColumn("epoch_day", unix_timestamp(col("day").cast("timestamp")) / 86400)
       .withColumn("dow", dayofweek(col("day")).cast("double"))
-      .repartition(2)
+      .repartition(fitPartitions(s, d))
       .cache()
     try {
       val assembler = new VectorAssembler()
@@ -257,7 +281,10 @@ object Pipelines {
       val metrics = grid.zip(model.avgMetrics).toSeq.map { case (pm, rmse) =>
         (pm.get(gbt.maxDepth).get, pm.get(gbt.maxIter).get, rmse)
       }
-      (metrics, metrics.map(_._3).min, labeled.count())
+      val bestGbt = model.bestModel.asInstanceOf[PipelineModel]
+        .stages.last.asInstanceOf[GBTRegressionModel]
+      CvFit(metrics, metrics.map(_._3).min, labeled.count(),
+        (bestGbt.getMaxDepth, bestGbt.getMaxIter))
     } finally { labeled.unpersist(); () }
   }
 
@@ -265,23 +292,32 @@ object Pipelines {
     * family): the per-grid-point mean CV rmse values are seeded-JVM
     * floats, but the grid ENUMERATION and the labeled frame are exact —
     * the gate emits the (maxDepth, maxIter) grid (fixed literals the
-    * oracle re-enumerates) and the labeled-frame row count, plus contract
-    * booleans: every mean CV rmse finite and positive, the chosen flag
-    * marks exactly the minimum, and exactly one grid point chosen. The
-    * rmse values and selection stay visible through [[crossValidate]]
-    * and CrossValAlsSpec (best beats worst, chosen unique). */
+    * oracle re-enumerates) and the labeled-frame row count, plus the
+    * selection contract: every mean CV rmse finite and positive;
+    * `n_at_min` — how many grid points achieve the minimum mean rmse —
+    * as an INTEGER the oracle pins to 1 (so an exact rmse tie between
+    * two grid points surfaces as a visible 2 ≠ 1 in the dump, not an
+    * opaque boolean flip; ties are assumed absent for seeded continuous
+    * fits — ADVICE r14); and `spark_chose_argmin_ok` — CrossValidator's
+    * OWN selected model (`model.bestModel`) carries exactly our
+    * re-derived argmin's (maxDepth, maxIter), so the gate checks Spark's
+    * selection against an independent re-derivation instead of a
+    * tautology. The rmse values and selection stay visible through
+    * [[crossValidate]] and CrossValAlsSpec (best beats worst, chosen
+    * unique). */
   def crossValidateVerdict(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (metrics, best, nLabeled) = crossValidateFit(s, d)
-    val rmseOk = metrics.forall { case (_, _, r) =>
+    val fit = crossValidateFit(s, d)
+    val rmseOk = fit.metrics.forall { case (_, _, r) =>
       !r.isNaN && !r.isInfinite && r > 0.0 }
-    val oneChosen = metrics.count(_._3 == best) == 1
-    val chosenIsMin = metrics.filter(_._3 == best)
-      .forall { case (_, _, r) => metrics.forall(_._3 >= r) }
-    metrics.map { case (depth, iter, _) =>
-      (depth, iter, nLabeled, rmseOk, chosenIsMin, oneChosen)
+    val nAtMin = fit.metrics.count(_._3 == fit.best).toLong
+    val argmin = fit.metrics.filter(_._3 == fit.best)
+      .map { case (depth, iter, _) => (depth, iter) }
+    val sparkChoseArgmin = argmin.contains(fit.sparkChose)
+    fit.metrics.map { case (depth, iter, _) =>
+      (depth, iter, fit.nLabeled, rmseOk, nAtMin, sparkChoseArgmin)
     }.toDF("max_depth", "max_iter", "n_labeled", "rmse_finite_pos_ok",
-      "chosen_is_min_ok", "one_chosen_ok")
+      "n_at_min", "spark_chose_argmin_ok")
   }
 
   /** M-family extension — ALS implicit-feedback recommender over the
@@ -299,10 +335,18 @@ object Pipelines {
   def alsRecommend(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (top1, _) = alsTop1(s, d)
-    val names = Seq(0 -> "click", 1 -> "error", 2 -> "purchase",
-      3 -> "signup", 4 -> "view").toDF("item", "event_type")
-    top1.join(broadcast(names), Seq("item"))
-      .groupBy("event_type").agg(count(lit(1)).as("n_users_top1"))
+    try {
+      val names = Seq(0 -> "click", 1 -> "error", 2 -> "purchase",
+        3 -> "signup", 4 -> "view").toDF("item", "event_type")
+      // collect is bounded by the 5-item universe (≤ 5 rows); localizing
+      // lets the finally release the top1 cache instead of leaking it
+      // for the driver's lifetime (ADVICE r14)
+      top1.join(broadcast(names), Seq("item"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_users_top1"))
+        .collect().toSeq
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_users_top1")))
+        .toDF("event_type", "n_users_top1")
+    } finally { top1.unpersist(); () }
   }
 
   /** The fitted ALS state [[alsRecommend]] and [[alsRecommendVerdict]]
@@ -349,9 +393,11 @@ object Pipelines {
   def alsRecommendVerdict(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (top1, nUsers) = alsTop1(s, d)
-    val nRecs = top1.count()
-    val nRecUsers = top1.select("user").distinct().count()
-    val itemsValid = top1.where(col("item") < 0 || col("item") > 4).count() == 0L
+    val (nRecs, nRecUsers, itemsValid) = try {
+      (top1.count(),
+        top1.select("user").distinct().count(),
+        top1.where(col("item") < 0 || col("item") > 4).count() == 0L)
+    } finally { top1.unpersist(); () }  // terminal top1 actions done (ADVICE r14)
     val coverageOk = nRecUsers == nUsers
     val oneRecOk = nRecs == nRecUsers
     graft.Tables.events(s, d)
@@ -638,20 +684,28 @@ object Pipelines {
     kmeansTopicsVecs(s, graft.Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding")), k)
 
+  /** The ONE seeded-KMeans construction site [[kmeansTopicsVecs]] and
+    * [[kmeansTopicsVerdict]] share — if the spec-pinned params (k-means||
+    * seed 42, maxIter 10) ever change, the verdict gate and
+    * KmeansTopicsSpec move together instead of silently validating
+    * different models (ADVICE r14). */
+  private def kmeansFit(vecs: DataFrame,
+      k: Int): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = vecs.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    new KMeans()
+      .setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .fit(data)
+  }
+
   /** [[kmeansTopics]] over an arbitrary (vec_id, embedding float-array)
     * frame — the testable form. */
   def kmeansTopicsVecs(s: SparkSession, vecs: DataFrame, k: Int): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val data = vecs
-      .select(col("vec_id"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans()
-      .setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
-      .fit(data)
+    val model = kmeansFit(vecs, k)
     val cost = model.summary.trainingCost
-    val n = data.count().toDouble
+    val n = vecs.count().toDouble
     model.summary.predictions
       .groupBy(col("prediction").as("cluster"))
       .agg(count(lit(1)).as("n"))
@@ -673,16 +727,9 @@ object Pipelines {
     * KmeansTopicsSpec (planted-cluster recovery). */
   def kmeansTopicsVerdict(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val vecs = graft.Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-    val data = vecs
-      .select(col("vec_id"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans()
-      .setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
-      .fit(data)
+    val model = kmeansFit(vecs, k)
     val cost = model.summary.trainingCost
     val sizes = model.summary.predictions
       .groupBy(col("prediction")).agg(count(lit(1)).as("n"))

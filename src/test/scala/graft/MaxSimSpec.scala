@@ -115,4 +115,20 @@ class MaxSimSpec extends SparkTestBase {
     assert(dup.get._4 == refMaxSim(orig._3, orig._3),
       "duplicate's score must be the analytic self-score")
   }
+
+  test("pair-mass guard refuses pointedly past the exact scorer's domain") {
+    // VERDICT r14 #2: the exact form must never silently run n² — above
+    // maxScorePairs it fails with the IVF twin named in the message
+    val base = loadBase()
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.maxSimTopKVecs(
+        base.toDF("vec_id", "label", "embedding"), queryMod = 199, k = 5,
+        maxScorePairs = 1L)
+    }
+    assert(ex.getMessage.contains("query-candidate pairs"))
+    assert(ex.getMessage.contains("maxSimTopKIvf"),
+      "guard message must route the caller to the scale path")
+    // and the default cap admits every oracle/bench fixture scale
+    assert(runOp(base).nonEmpty)
+  }
 }

@@ -60,8 +60,11 @@ class MlVerdictSpec extends SparkTestBase {
       Set((2, 5), (2, 10), (4, 5), (4, 10)))
     val nLabeled = TimeWindows.leadWindow(spark, sf).count()
     assert(out.forall(_.getAs[Long]("n_labeled") == nLabeled))
-    out.foreach(boolCols(_, Seq("rmse_finite_pos_ok", "chosen_is_min_ok",
-      "one_chosen_ok")))
+    out.foreach(boolCols(_, Seq("rmse_finite_pos_ok",
+      "spark_chose_argmin_ok")))
+    // the min is unique (tie assumption the oracle pins as 1, not TRUE:
+    // a tie would surface as a visible 2 != 1, ADVICE r14)
+    assert(out.forall(_.getAs[Long]("n_at_min") == 1L))
   }
 
   test("ALS verdict: interaction universe exact, coverage booleans true") {
