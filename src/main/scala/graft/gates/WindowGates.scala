@@ -36,13 +36,20 @@ object WindowGates {
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
     "q_ar_forecast"    -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecast(s, d)),
     "q_holt_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.holtGridSearch(s, d)),
-    "q_arima_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaGridSearch(s, d)),
-    // ARIMA-vs-Holt cross-validation: per-series winner + MSE ratio on
-    // the shared walk-forward harness (no oracle: the ARIMA side's
-    // Hannan-Rissanen OLS solve is not SQL-replayable; ForecastCvSpec
-    // pins consistency, planted winners, and BIT-EQUALITY of both MSEs
-    // against the family gates — whose Holt side IS oracle-exact)
-    "q_forecast_cv" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecastCv(s, d)),
+    // ARIMA grid search re-gated at its verdict point (r15): exact grid
+    // literals + eligible-universe integers + selection-contract
+    // booleans, oracle-exact; raw winners/forecasts stay pinned by
+    // ArForecastSpec through arimaGridSearch
+    "q_arima_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaGridSearchVerdict(s, d)),
+    // ARIMA-vs-Holt cross-validation re-gated at its verdict point
+    // (r15): the per-series MSEs are JVM float folds (the ARIMA side's
+    // Hannan-Rissanen OLS solve is not SQL-replayable), so the gate
+    // emits the exact eligible universe + the cross-gate lockstep
+    // booleans (CV MSEs equal to BOTH family gates' emissions, winner /
+    // ratio exactly consistent) — ForecastCvSpec keeps pinning raw
+    // consistency, planted winners, and bit-equality at spec scale
+    // through forecastCv
+    "q_forecast_cv" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecastCvVerdict(s, d)),
     // Holt-Winters additive-seasonal (daily m=48 season over the 30-min
     // grid; oracled: a LIST-carrying recursive CTE replays the triple
     // smoothing — HwSeasonalSpec additionally pins exact-seasonal
@@ -67,11 +74,15 @@ object WindowGates {
     // 70-130 s at sf0.01 (check.py receipts, r12); the composite lands
     // orders of magnitude past the gate budget. What IS replayable is
     // oracled: the fixed-order estimation core (q_arma_hr below — HR at
-    // ARMA(2,1), m pinned to 10, 3×3 pivoted solve unrolled) and the
-    // pivot-free AR specialization (q_ar_forecast). The composite stays
-    // pinned by ArimaCssSpec + ForecastCvSpec's MSE bit-equality against
-    // the oracle-exact Holt side.
-    "q_arima_css" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaCss(s, d)),
+    // ARMA(2,1), m pinned to 10, 3×3 pivoted solve unrolled), the
+    // pivot-free AR specialization (q_ar_forecast) — and, since r15,
+    // this gate's VERDICT POINT: the exact eligible universe (count +
+    // dense-length sum via n + d) and the descent contract (CSS never
+    // worse than the HR start; orders inside the grid) as oracle-pinned
+    // booleans. The raw per-series conditional MSEs stay pinned by
+    // ArimaCssSpec + ForecastCvSpec's MSE bit-equality against the
+    // oracle-exact Holt side, through arimaCss.
+    "q_arima_css" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.arimaCssVerdict(s, d)),
     // Hannan-Rissanen at fixed ARMA(2,1), d=1 — the oracle-able
     // estimation core (raw mean/phi/theta per series)
     "q_arma_hr" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.armaHrFixed(s, d)),
@@ -118,6 +129,21 @@ object WindowGates {
     // reference, identity, symmetry, a hand warp)
     "q_dtw_shift"      -> ((s: SparkSession, d: String) => TimeWindows.dtwDayShift(s, d)),
   )
+
+  /** Eligible-series universe CTEs shared by the three ARIMA-composite
+    * verdict oracles (r15): dense 30-min bucket span per series (the
+    * q_holt_prep bucket expression) and the grid-search length rule
+    * `floor(0.8·nb) ≥ pMax + dMax + qMax + 2 = 16` applied as a literal
+    * computed from the default grids (p ≤ 10, d ≤ 2, q ≤ 2). */
+  private val ArimaEligibleCtes =
+    """bounds AS (
+      |  SELECT user_id AS series,
+      |    max(CAST(floor(epoch(ts)) AS BIGINT) // 1800)
+      |      - min(CAST(floor(epoch(ts)) AS BIGINT) // 1800) + 1 AS nb
+      |  FROM events GROUP BY 1),
+      |el AS (SELECT nb FROM bounds WHERE CAST(floor(0.8 * nb) AS BIGINT) >= 16),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_series,
+      |  CAST(sum(nb) AS BIGINT) AS sum_n_buckets FROM el)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // trailing-8 EWMA: lag columns + the same left-associative 8-term
@@ -934,6 +960,39 @@ object WindowGates {
         |  CAST(hs.h AS INT) AS step, s.level + hs.h * s.trend AS forecast
         |FROM scored s, (SELECT unnest(generate_series(1, 3)) AS h) hs
         |WHERE s.rk = 1""".stripMargin,
+
+    // ARIMA verdict-point oracles (r15): the JVM float-fold MSEs stay
+    // spec-pinned (see the impossibility note at the q_arima_css gate);
+    // what DuckDB replays exactly is the ELIGIBLE-SERIES universe — the
+    // kernel's length rule floor(0.8·nb) ≥ pMax+dMax+qMax+2 = 16 over
+    // the 30-min dense bucket span nb = max(b) − min(b) + 1 (the
+    // q_holt_prep bucket expression, proven hash-exact) — the fixed grid
+    // literals, and the contract booleans pinned TRUE
+    "q_arima_gridsearch" ->
+      s"""WITH $ArimaEligibleCtes
+        |SELECT g.p, g.d, g.q, 3 AS horizon, ag.n_series, ag.sum_n_buckets,
+        |  TRUE AS winner_in_grid_ok, TRUE AS winner_mse_finite_ok,
+        |  TRUE AS winner_first_argmin_ok, TRUE AS forecast_len_ok
+        |FROM (VALUES
+        |  (4, 1, 0), (4, 1, 1), (4, 1, 2), (4, 2, 0), (4, 2, 1), (4, 2, 2),
+        |  (6, 1, 0), (6, 1, 1), (6, 1, 2), (6, 2, 0), (6, 2, 1), (6, 2, 2),
+        |  (8, 1, 0), (8, 1, 1), (8, 1, 2), (8, 2, 0), (8, 2, 1), (8, 2, 2),
+        |  (10, 1, 0), (10, 1, 1), (10, 1, 2), (10, 2, 0), (10, 2, 1), (10, 2, 2)
+        |  ) AS g(p, d, q), ag""".stripMargin,
+
+    "q_forecast_cv" ->
+      s"""WITH $ArimaEligibleCtes
+        |SELECT n_series, sum_n_buckets, TRUE AS mses_finite_ok,
+        |  TRUE AS winner_consistent_ok, TRUE AS ratio_exact_ok,
+        |  TRUE AS holt_mse_matches_family_ok,
+        |  TRUE AS arima_mse_matches_family_ok, TRUE AS family_series_set_ok
+        |FROM ag""".stripMargin,
+
+    "q_arima_css" ->
+      s"""WITH $ArimaEligibleCtes
+        |SELECT n_series, sum_n_buckets, TRUE AS orders_in_grid_ok,
+        |  TRUE AS css_le_hr_ok
+        |FROM ag""".stripMargin,
 
     // shared SaxCtes (OracleCtes) — the word table q_sax_join also
     // reads, so index build and index use can never drift

@@ -504,18 +504,21 @@ object ArForecast {
       .toDF()
   }
 
-  /** The per-series grid-search kernel of [[arimaGridSearch]], shared
-    * with [[forecastCv]]: returns the argmin (p, d, q) and its
-    * walk-forward MSE, or None when the series is too short for the
+  /** Every grid combo one series actually SCORES, in the exact
+    * enumeration order [[bestArimaOrders]] minimizes over (dGrid.sorted
+    * outer, pGrid × qGrid inner): (p, d, q, validation MSE — possibly
+    * NaN for an unstable fit, which the argmin skips). Factored out of
+    * the argmin (r15 verdict-point re-gates) so
+    * [[arimaGridSearchVerdict]] can re-derive the first-argmin from the
+    * full enumeration; empty when the series is too short for the
     * grid. */
-  private[timeseries] def bestArimaOrders(raw: Array[Double], pGrid: Seq[Int],
-      dGrid: Seq[Int], qGrid: Seq[Int]): Option[(Int, Int, Int, Double)] = {
+  private[timeseries] def arimaGridMses(raw: Array[Double], pGrid: Seq[Int],
+      dGrid: Seq[Int], qGrid: Seq[Int]): Seq[(Int, Int, Int, Double)] = {
     val cut0 = (raw.length * 0.8).toInt
     val need = pGrid.max + dGrid.max + qGrid.max + 2
-    if (cut0 < need || raw.length - cut0 < 1) None
+    if (cut0 < need || raw.length - cut0 < 1) Seq.empty
     else {
-      var bestP = -1; var bestD = 0; var bestQ = 0
-      var bestMse = Double.PositiveInfinity
+      val scored = Seq.newBuilder[(Int, Int, Int, Double)]
       // everything (p, q)-independent is hoisted per differencing
       // order: the differenced series, its train mean, ONE
       // autocovariance pass to the deepest lag any combo needs, and
@@ -555,19 +558,181 @@ object ArForecast {
                     (coef.take(p), coef.drop(p))
                   }
                 val (mse, _) = armaWalkForward(x, cut, phi, theta)
-                // strict < keeps the first argmin in grid order
-                // (matches the reference's sequential best update);
-                // dGrid.sorted keeps that order stable
-                if (!mse.isNaN && mse < bestMse) {
-                  bestMse = mse; bestP = p; bestD = dd; bestQ = q
-                }
+                scored += ((p, dd, q, mse))
               }
             }
           }
         }
       }
-      if (bestP < 0) None else Some((bestP, bestD, bestQ, bestMse))
+      scored.result()
     }
+  }
+
+  /** The per-series grid-search kernel of [[arimaGridSearch]], shared
+    * with [[forecastCv]]: returns the argmin (p, d, q) and its
+    * walk-forward MSE, or None when the series is too short for the
+    * grid. Strict < keeps the FIRST argmin in grid order (matches the
+    * reference's sequential best update); NaN combos are skipped. */
+  private[timeseries] def bestArimaOrders(raw: Array[Double], pGrid: Seq[Int],
+      dGrid: Seq[Int], qGrid: Seq[Int]): Option[(Int, Int, Int, Double)] = {
+    var bestP = -1; var bestD = 0; var bestQ = 0
+    var bestMse = Double.PositiveInfinity
+    arimaGridMses(raw, pGrid, dGrid, qGrid).foreach { case (p, dd, q, mse) =>
+      if (!mse.isNaN && mse < bestMse) {
+        bestMse = mse; bestP = p; bestD = dd; bestQ = q
+      }
+    }
+    if (bestP < 0) None else Some((bestP, bestD, bestQ, bestMse))
+  }
+
+  /** [[arimaGridSearch]] re-gated at its VERDICT POINT (r15, completing
+    * the r14 seeded-fit treatment for the forecast composites): the
+    * winning MSEs are JVM float folds (the q_holt_forecast no-oracle
+    * class), but the grid ENUMERATION is fixed literals and the
+    * ELIGIBLE-SERIES universe is exact — the gate emits the full
+    * (p, d, q) grid, the eligible-series count and their dense-length
+    * sum (both DuckDB-derivable from the 30-min bucket bounds and the
+    * `floor(0.8·nb) ≥ pMax+dMax+qMax+2` length rule the kernel applies),
+    * plus selection-contract booleans over every series: the winner's
+    * orders inside the grid, its MSE finite-nonnegative, the winner
+    * equal to an INDEPENDENTLY re-derived first-argmin (indexed minBy
+    * over the full combo enumeration — a different selection code path
+    * than the kernel's sequential strict-< update), and the winner's
+    * `horizon`-step integrated forecast complete and finite. The raw
+    * per-series winners and forecasts stay visible through
+    * [[arimaGridSearch]] and ArForecastSpec. */
+  def arimaGridSearchVerdict(s: SparkSession, d: String,
+      pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
+      qGrid: Seq[Int] = Seq(0, 1, 2), horizon: Int = 3): DataFrame = {
+    import s.implicits._
+    val per = HoltForecast.denseSeries(s, d)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val raw = HoltForecast.denseArray(it)
+        val combos = arimaGridMses(raw, pGrid, dGrid, qGrid)
+        bestArimaOrders(raw, pGrid, dGrid, qGrid) match {
+          case None => Iterator.empty
+          case Some((p, dd, q, mse)) =>
+            val finite = combos.zipWithIndex.filter(c => !c._1._4.isNaN)
+            val am = finite.minBy { case ((_, _, _, m), i) => (m, i) }
+            val argminOk = am._1._1 == p && am._1._2 == dd &&
+              am._1._3 == q && am._1._4 == mse
+            val inGridOk = pGrid.contains(p) && dGrid.contains(dd) &&
+              qGrid.contains(q)
+            val finiteOk = java.lang.Double.isFinite(mse) && mse >= 0.0
+            val fc = arimaForecast(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(raw),
+              p, dd, q, horizon)
+            val fcOk = fc.length == horizon &&
+              fc.forall(java.lang.Double.isFinite)
+            Iterator.single(
+              (k, raw.length.toLong, inGridOk, finiteOk, argminOk, fcOk))
+        }
+      }
+      .toDF("series", "nb", "in_grid", "mse_ok", "argmin_ok", "fc_ok")
+    val a = per.agg(
+      count(lit(1)).as("n_series"),
+      sum(col("nb")).as("sum_nb"),
+      sum(when(!col("in_grid"), 1L).otherwise(0L)).as("v_grid"),
+      sum(when(!col("mse_ok"), 1L).otherwise(0L)).as("v_mse"),
+      sum(when(!col("argmin_ok"), 1L).otherwise(0L)).as("v_argmin"),
+      sum(when(!col("fc_ok"), 1L).otherwise(0L)).as("v_fc")).head()
+    val n = a.getAs[Long]("n_series")
+    val snb = if (a.isNullAt(a.fieldIndex("sum_nb"))) 0L
+      else a.getAs[Long]("sum_nb")
+    def ok(c: String): Boolean = n == 0L || a.getAs[Long](c) == 0L
+    val rows = for { p <- pGrid; dd <- dGrid; q <- qGrid } yield
+      (p, dd, q, horizon, n, snb,
+        ok("v_grid"), ok("v_mse"), ok("v_argmin"), ok("v_fc"))
+    rows.toDF("p", "d", "q", "horizon", "n_series", "sum_n_buckets",
+      "winner_in_grid_ok", "winner_mse_finite_ok",
+      "winner_first_argmin_ok", "forecast_len_ok")
+  }
+
+  /** [[forecastCv]] re-gated at its VERDICT POINT (r15): the per-series
+    * MSEs are JVM float folds, but the ELIGIBLE universe is exact
+    * (same length rule as [[arimaGridSearchVerdict]] — ARIMA
+    * eligibility implies Holt eligibility) and the CROSS-GATE lockstep
+    * ForecastCvSpec pins at spec scale is re-checked here at Verify
+    * scale THROUGH THE ACTUAL GATES: the CV frame's holt_mse /
+    * arima_mse must equal (SQL double equality — NaN-safe) the val_mse
+    * the two family gates emit for the same series, the emitted series
+    * set must equal the ARIMA family gate's, and the winner / ratio
+    * must be exactly consistent with the two MSEs. */
+  def forecastCvVerdict(s: SparkSession, d: String,
+      pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
+      qGrid: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
+    import s.implicits._
+    val inf = lit(Double.PositiveInfinity)
+    val cv = forecastCv(s, d, pGrid, dGrid, qGrid).cache()
+    try {
+      val cvAgg = cv.agg(
+        count(lit(1)).as("n_series"),
+        sum(col("n_buckets").cast("long")).as("sum_nb"),
+        sum(when(isnan(col("holt_mse")) || col("holt_mse") >= inf ||
+          col("holt_mse") < 0.0 || isnan(col("arima_mse")) ||
+          col("arima_mse") >= inf || col("arima_mse") < 0.0, 1L)
+          .otherwise(0L)).as("v_finite"),
+        sum(when(!(col("winner") ===
+          when(col("arima_mse") < col("holt_mse"), "arima")
+            .otherwise("holt")), 1L).otherwise(0L)).as("v_winner"),
+        sum(when(!(col("mse_ratio") ===
+          col("holt_mse") / col("arima_mse")), 1L).otherwise(0L))
+          .as("v_ratio")).head()
+      val n = cvAgg.getAs[Long]("n_series")
+      val snb = if (cvAgg.isNullAt(cvAgg.fieldIndex("sum_nb"))) 0L
+        else cvAgg.getAs[Long]("sum_nb")
+      val holt = holtGridSearch(s, d).where(col("step") === 1)
+        .select(col("series"), col("valMse").as("family_mse"))
+      val arima = arimaGridSearch(s, d, pGrid, dGrid, qGrid)
+        .where(col("step") === 1)
+        .select(col("series"), col("valMse").as("family_mse"))
+      val holtBad = cv.select("series", "holt_mse").join(holt, Seq("series"), "left")
+        .where(col("family_mse").isNull ||
+          !(col("holt_mse") === col("family_mse"))).count()
+      val arimaBad = cv.select("series", "arima_mse").join(arima, Seq("series"), "left")
+        .where(col("family_mse").isNull ||
+          !(col("arima_mse") === col("family_mse"))).count()
+      val setOk = arima.count() == n
+      Seq((n, snb,
+        cvAgg.getAs[Long]("v_finite") == 0L,
+        cvAgg.getAs[Long]("v_winner") == 0L,
+        cvAgg.getAs[Long]("v_ratio") == 0L,
+        holtBad == 0L, arimaBad == 0L, setOk))
+        .toDF("n_series", "sum_n_buckets", "mses_finite_ok",
+          "winner_consistent_ok", "ratio_exact_ok",
+          "holt_mse_matches_family_ok", "arima_mse_matches_family_ok",
+          "family_series_set_ok")
+    } finally { cv.unpersist(); () }
+  }
+
+  /** [[arimaCss]] re-gated at its VERDICT POINT (r15): the conditional
+    * MSEs are JVM float folds past any oracle budget (see the
+    * impossibility note at the q_arima_css gate), but the eligible
+    * universe is exact — `n + d` replays each series' dense bucket
+    * length (differencing drops exactly d points), so the gate emits
+    * the eligible count and dense-length sum as DuckDB-exact integers —
+    * and the DESCENT CONTRACT is a pinnable boolean: cssRefine's
+    * accept/reject coordinate descent must never leave the final
+    * conditional MSE above the Hannan-Rissanen start, for every series;
+    * the chosen orders must sit inside the grid. Raw per-series MSEs
+    * stay visible through [[arimaCss]] and ArimaCssSpec. */
+  def arimaCssVerdict(s: SparkSession, d: String,
+      pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
+      qGrid: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
+    import s.implicits._
+    val a = arimaCss(s, d, pGrid, dGrid, qGrid).agg(
+      count(lit(1)).as("n_series"),
+      sum(col("n") + col("d")).as("sum_nb"),
+      sum(when(!(col("p").isin(pGrid: _*) && col("d").isin(dGrid: _*) &&
+        col("q").isin(qGrid: _*)), 1L).otherwise(0L)).as("v_grid"),
+      sum(when(!col("improved"), 1L).otherwise(0L)).as("v_css")).head()
+    val n = a.getAs[Long]("n_series")
+    val snb = if (a.isNullAt(a.fieldIndex("sum_nb"))) 0L
+      else a.getAs[Long]("sum_nb")
+    Seq((n, snb,
+      n == 0L || a.getAs[Long]("v_grid") == 0L,
+      n == 0L || a.getAs[Long]("v_css") == 0L))
+      .toDF("n_series", "sum_n_buckets", "orders_in_grid_ok", "css_le_hr_ok")
   }
 
   private val alphaGrid = Seq(0.2, 0.5, 0.8)
