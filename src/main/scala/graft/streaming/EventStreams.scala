@@ -314,7 +314,11 @@ object EventStreams {
     * them); ts is already normalized by Tables.events, so readers use
     * [[eventSchema]] directly. */
   private def stagedTimeSlices(s: SparkSession, d: String, nSlices: Int = 6): String = {
-    val staged = graft.Scratch.dir(s"slices_$d")
+    // non-default slice counts stage separately: the staging layout IS
+    // the batch cadence, and a checkpoint written against one cadence
+    // must never resume against another
+    val staged = graft.Scratch.dir(
+      if (nSlices == 6) s"slices_$d" else s"slices_${nSlices}_$d")
     val done = new java.io.File(staged, "_STAGED")
     if (!done.exists()) {
       new java.io.File(staged).mkdirs()
@@ -377,16 +381,27 @@ object EventStreams {
     * exactly-once resume contract, exercised by the bench's repeat
     * reps. */
   def streamSink(s: SparkSession, d: String): DataFrame = {
+    // Batch cadence knob (r15 verdict #7): SPARK_GRAFT_SINK_SLICES sets
+    // the replay's micro-batch count (default 6). The emitted window set
+    // is cadence-INDEPENDENT (day-contiguous slices never produce late
+    // rows; the final watermark is fixed by the data), so the same
+    // oracle pins every setting — what moves is the state-size vs
+    // per-batch-machinery trade: fewer slices = fewer sink commits +
+    // manifest read-backs but more live windows per batch. Non-default
+    // cadences get their own staging + checkpoint roots (a checkpoint
+    // must never resume across cadences). sf100 receipts in SCALE.md.
+    val nSlices = sys.env.get("SPARK_GRAFT_SINK_SLICES").map(_.toInt).getOrElse(6)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     // this is the one query whose checkpoint persists (and is resumed
     // by repeat reps), so the store count is read from / pinned to it
-    val base = graft.Scratch.dir(s"streamsink_$d")
+    val base = graft.Scratch.dir(
+      if (nSlices == 6) s"streamsink_$d" else s"streamsink_${nSlices}_$d")
     s.conf.set("spark.sql.shuffle.partitions", streamPartsPinned(s, s"$base/ckpt"))
     try withRocksDbStore(s) {
       val stream = s.readStream.schema(eventSchema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "part-*.parquet")
-        .parquet(stagedTimeSlices(s, d))
+        .parquet(stagedTimeSlices(s, d, nSlices))
       val q = windowedMeans(stream).writeStream
         .format("parquet")
         .option("path", s"$base/out")

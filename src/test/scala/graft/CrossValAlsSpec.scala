@@ -91,6 +91,14 @@ class CrossValAlsSpec extends SparkTestBase {
     info(s"distributed rerun in-topic: $rerunPure/5 $rerunSyn")
     assert(rerunPure >= 4,
       s"distributed rerun lost planted structure: $rerunSyn")
+    // r15 verdict #8: PRICE the documented override ("a deployment
+    // raises numPartitions and owns the quality trade") — at 4× the
+    // gate's pinned training parallelism the averaged-SGD fit must
+    // still recover the planted topics (numbers quoted in SCALE.md)
+    val (p32Pure, p32Syn) = topicPurity(32)
+    info(s"numPartitions=32 top-5 in-topic: $p32Pure/5 $p32Syn")
+    assert(p32Pure >= 4,
+      s"numPartitions=32 override lost planted structure: $p32Syn")
   }
 
   test("ALS covers every interacting user with one top-1 recommendation") {

@@ -26,14 +26,21 @@ package graft
   * codegen in the returned frame. A gate LEAVING the allowlist is an
   * improvement, never a failure.
   *
-  * Cost: ~3 min at sf0.001 (the full gate surface executes once; memo
-  * families share their fixpoint builds via Memo like Verify does). */
+  * Cost: ~3 min at sf0.001 + the same surface again at sf0.01 (r15
+  * verdict #5: AQE picks physical shapes from RUNTIME stats, so a
+  * codegen floor asserted at one scale can silently flip at another —
+  * sf0.01 is the driver's Verify scale, so both scales the artifacts
+  * are produced at are now pinned; memo families share their fixpoint
+  * builds via Memo like Verify does). */
 class ExecutedPlanContractSpec extends SparkTestBase {
 
   /** Gates whose executed plan legitimately has NO WholeStageCodegen:
     * each returns a driver-side LocalTableScan of a bounded kernel's
     * result; the data-scale scans/aggregations feeding the kernel run
-    * as separate jobs (covered by the pre-exec floor + bench receipts). */
+    * as separate jobs (covered by the pre-exec floor + bench receipts).
+    * Scale-independent by construction (a LocalTableScan result frame
+    * stays local at every sf — the r15 two-scale runs confirmed no
+    * entry needed a per-scale reason). */
   private val noWscgOk: Map[String, String] = Map(
     "q_acf"         -> "LocalTableScan: per-type ACF from one collected exact-moment row",
     "q_ccf"         -> "LocalTableScan: cross-correlation from one collected exact-moment row",
@@ -43,33 +50,41 @@ class ExecutedPlanContractSpec extends SparkTestBase {
     "q_ml_classification" -> "LocalTableScan: classification verdict rows (r14 re-gate; <= |classes| collected)",
     "q_ml_regression" -> "LocalTableScan: GBT metric rows from the fitted model",
     "q_pca"         -> "LocalTableScan: covariance+eigensolve verdict rows (1-row moment collect)",
-    "q_word2vec"    -> "LocalTableScan: model-audit verdict row from the fitted model")
+    "q_word2vec"    -> "LocalTableScan: model-audit verdict row from the fitted model",
+    "q_arima_gridsearch" -> "LocalTableScan: grid-literal verdict rows (r15 re-gate; one bounded aggregate row collected)",
+    "q_forecast_cv" -> "LocalTableScan: cross-gate lockstep verdict row (r15 re-gate; bounded aggregates collected)",
+    "q_arima_css"   -> "LocalTableScan: descent-contract verdict row (r15 re-gate; one bounded aggregate row collected)")
 
-  test("every gate's EXECUTED (post-AQE) plan keeps WholeStageCodegen, or is an allowlisted driver-result frame") {
-    val wscgRe = """\*\(\d+\)""".r
-    val broken = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sf)
-        // drive THIS QueryExecution (finalizes AQE on the object we read)
-        df.queryExecution.executedPlan.execute().count()
-        val plan = df.queryExecution.executedPlan.toString
-        val hasWscg = wscgRe.findFirstIn(plan).nonEmpty
-        if (!hasWscg && !noWscgOk.contains(name)) {
-          broken += s"$name (top: ${plan.linesIterator.take(1).mkString.take(100)})"
-        }
-        // the allowlist must stay honest: an allowlisted gate that DOES
-        // codegen now should leave the list
-        if (hasWscg && noWscgOk.contains(name)) {
-          broken += s"$name: allowlisted as codegen-free but renders WSCG — remove it from noWscgOk"
-        }
-        // sanity: an AQE-wrapped plan we claim to have executed must be final
-        if (plan.contains("AdaptiveSparkPlan") && !plan.contains("isFinalPlan=true")) {
-          broken += s"$name: AQE plan not finalized — the execute() didn't drive this QueryExecution"
-        }
-      } finally Memo.sweep(spark)
+  private val scales = Seq(
+    "sf0.001 (suite scale)" -> "/root/testdata/sf0.001",
+    "sf0.01 (the driver's Verify scale)" -> "/root/testdata/sf0.01")
+
+  for ((label, dir) <- scales)
+    test(s"every gate's EXECUTED (post-AQE) plan keeps WholeStageCodegen at $label, or is an allowlisted driver-result frame") {
+      val wscgRe = """\*\(\d+\)""".r
+      val broken = scala.collection.mutable.ListBuffer.empty[String]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, dir)
+          // drive THIS QueryExecution (finalizes AQE on the object we read)
+          df.queryExecution.executedPlan.execute().count()
+          val plan = df.queryExecution.executedPlan.toString
+          val hasWscg = wscgRe.findFirstIn(plan).nonEmpty
+          if (!hasWscg && !noWscgOk.contains(name)) {
+            broken += s"$name (top: ${plan.linesIterator.take(1).mkString.take(100)})"
+          }
+          // the allowlist must stay honest: an allowlisted gate that DOES
+          // codegen now should leave the list
+          if (hasWscg && noWscgOk.contains(name)) {
+            broken += s"$name: allowlisted as codegen-free but renders WSCG — remove it from noWscgOk"
+          }
+          // sanity: an AQE-wrapped plan we claim to have executed must be final
+          if (plan.contains("AdaptiveSparkPlan") && !plan.contains("isFinalPlan=true")) {
+            broken += s"$name: AQE plan not finalized — the execute() didn't drive this QueryExecution"
+          }
+        } finally Memo.sweep(spark)
+      }
+      assert(broken.isEmpty,
+        s"executed-plan codegen contract violations at $label:\n  ${broken.mkString("\n  ")}")
     }
-    assert(broken.isEmpty,
-      s"executed-plan codegen contract violations:\n  ${broken.mkString("\n  ")}")
-  }
 }
