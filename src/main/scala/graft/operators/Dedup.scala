@@ -555,11 +555,12 @@ object Dedup {
     * bound shape as [[rarePostings]]. The bucket build is ONE shuffle
     * (collect_list under the cap contract) and pairs explode bucket-local,
     * replacing the former bandRows self-join. */
-  private def bandCandidatesFromSigs(sigs: DataFrame, bands: Int, r: Int,
-      maxBucket: Int = 64): DataFrame = {
+  /** (doc_id, band_idx, band_key) rows — the banded-LSH bucket keys,
+    * shared by [[bandCandidatesFromSigs]] and [[bandBucketHistogram]]. */
+  private def bandRows(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
-    val bandRows = sigs.as[(Long, Array[Long])]
+    sigs.as[(Long, Array[Long])]
       .mapPartitions { it =>
         it.flatMap { case (id, sig) =>
           (0 until bands).iterator.map { b =>
@@ -572,7 +573,30 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "band_idx", "band_key")
-    bandRows
+  }
+
+  /** Diagnostic (r15 verdict #6): banded-LSH bucket-size histogram for
+    * the [[ngramJaccardBandedDocs]] candidate stage — one row per bucket
+    * size with the bucket count and the candidate-pair mass that size
+    * class contributes (size·(size−1)/2 per bucket, the work the
+    * maxBucket cap bounds). Reads the growth curve directly: if the
+    * per-10× postings step is driven by a FEW oversized buckets the
+    * histogram shows mass concentrating at the cap; if buckets stay
+    * small and only their NUMBER grows, the step is linear corpus
+    * growth. */
+  def bandBucketHistogram(docs: DataFrame, k: Int = 128,
+      bands: Int = 64): DataFrame = {
+    bandRows(minhashSignatures(docs, k), bands, k / bands)
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("pair_mass"))
+      .orderBy(col("sz"))
+  }
+
+  private def bandCandidatesFromSigs(sigs: DataFrame, bands: Int, r: Int,
+      maxBucket: Int = 64): DataFrame = {
+    bandRows(sigs, bands, r)
       .groupBy("band_idx", "band_key")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
