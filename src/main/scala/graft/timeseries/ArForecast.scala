@@ -574,10 +574,20 @@ object ArForecast {
     * grid. Strict < keeps the FIRST argmin in grid order (matches the
     * reference's sequential best update); NaN combos are skipped. */
   private[timeseries] def bestArimaOrders(raw: Array[Double], pGrid: Seq[Int],
-      dGrid: Seq[Int], qGrid: Seq[Int]): Option[(Int, Int, Int, Double)] = {
+      dGrid: Seq[Int], qGrid: Seq[Int]): Option[(Int, Int, Int, Double)] =
+    firstArgmin(arimaGridMses(raw, pGrid, dGrid, qGrid))
+
+  /** The production selector: first strict-< argmin over the scored
+    * combos in enumeration order, NaN skipped. Shared by
+    * [[bestArimaOrders]] and [[arimaGridSearchVerdict]] (which applies
+    * it to an already-computed enumeration rather than re-running the
+    * grid — the r15 sf1 bench measured the double enumeration at 2.2×
+    * the raw gate). */
+  private def firstArgmin(
+      combos: Seq[(Int, Int, Int, Double)]): Option[(Int, Int, Int, Double)] = {
     var bestP = -1; var bestD = 0; var bestQ = 0
     var bestMse = Double.PositiveInfinity
-    arimaGridMses(raw, pGrid, dGrid, qGrid).foreach { case (p, dd, q, mse) =>
+    combos.foreach { case (p, dd, q, mse) =>
       if (!mse.isNaN && mse < bestMse) {
         bestMse = mse; bestP = p; bestD = dd; bestQ = q
       }
@@ -609,7 +619,7 @@ object ArForecast {
       .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
         val raw = HoltForecast.denseArray(it)
         val combos = arimaGridMses(raw, pGrid, dGrid, qGrid)
-        bestArimaOrders(raw, pGrid, dGrid, qGrid) match {
+        firstArgmin(combos) match {
           case None => Iterator.empty
           case Some((p, dd, q, mse)) =>
             val finite = combos.zipWithIndex.filter(c => !c._1._4.isNaN)
