@@ -35,7 +35,9 @@ object WindowGates {
     "q_holt_prep"      -> ((s: SparkSession, d: String) => HoltForecast.prep(s, d)),
     "q_holt_forecast"  -> ((s: SparkSession, d: String) => HoltForecast.forecast(s, d)),
     "q_ar_forecast"    -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.forecast(s, d)),
-    "q_holt_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.holtGridSearch(s, d)),
+    // memoized (r16): one grid build shared with q_forecast_cv's
+    // lockstep join — identical rows to the raw holtGridSearch
+    "q_holt_gridsearch" -> ((s: SparkSession, d: String) => graft.timeseries.ArForecast.holtGridSearchMemo(s, d)),
     // ARIMA grid search re-gated at its verdict point (r15): exact grid
     // literals + eligible-universe integers + selection-contract
     // booleans, oracle-exact; raw winners/forecasts stay pinned by
@@ -143,7 +145,7 @@ object WindowGates {
       |  FROM events GROUP BY 1),
       |el AS (SELECT nb FROM bounds WHERE CAST(floor(0.8 * nb) AS BIGINT) >= 16),
       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_series,
-      |  CAST(sum(nb) AS BIGINT) AS sum_n_buckets FROM el)""".stripMargin
+      |  CAST(COALESCE(sum(nb), 0) AS BIGINT) AS sum_n_buckets FROM el)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // trailing-8 EWMA: lag columns + the same left-associative 8-term
@@ -971,6 +973,7 @@ object WindowGates {
     "q_arima_gridsearch" ->
       s"""WITH $ArimaEligibleCtes
         |SELECT g.p, g.d, g.q, 3 AS horizon, ag.n_series, ag.sum_n_buckets,
+        |  CAST(0 AS BIGINT) AS nan_winner,
         |  TRUE AS winner_in_grid_ok, TRUE AS winner_mse_finite_ok,
         |  TRUE AS winner_first_argmin_ok, TRUE AS forecast_len_ok
         |FROM (VALUES
@@ -982,7 +985,8 @@ object WindowGates {
 
     "q_forecast_cv" ->
       s"""WITH $ArimaEligibleCtes
-        |SELECT n_series, sum_n_buckets, TRUE AS mses_finite_ok,
+        |SELECT n_series, sum_n_buckets, CAST(0 AS BIGINT) AS nan_winner,
+        |  TRUE AS mses_finite_ok,
         |  TRUE AS winner_consistent_ok, TRUE AS ratio_exact_ok,
         |  TRUE AS holt_mse_matches_family_ok,
         |  TRUE AS arima_mse_matches_family_ok, TRUE AS family_series_set_ok
@@ -990,7 +994,8 @@ object WindowGates {
 
     "q_arima_css" ->
       s"""WITH $ArimaEligibleCtes
-        |SELECT n_series, sum_n_buckets, TRUE AS orders_in_grid_ok,
+        |SELECT n_series, sum_n_buckets, CAST(0 AS BIGINT) AS nan_winner,
+        |  TRUE AS orders_in_grid_ok,
         |  TRUE AS css_le_hr_ok
         |FROM ag""".stripMargin,
 

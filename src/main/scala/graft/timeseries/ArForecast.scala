@@ -2,7 +2,7 @@ package graft.timeseries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Memo, Tables}
 
 /** AR(p) point forecast for one series (d = differencing order applied). */
 case class ArPoint(series: Long, step: Int, forecast: Double, p: Int, d: Int, n_obs: Int)
@@ -317,8 +317,17 @@ object ArForecast {
     HoltForecast.denseSeries(s, d)
       .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
         val raw = HoltForecast.denseArray(it)
-        bestArimaOrders(raw, pGrid, dGrid, qGrid) match {
-          case None => Iterator.empty
+        val combos = arimaGridMses(raw, pGrid, dGrid, qGrid)
+        if (combos.isEmpty) Iterator.empty // below the grid length rule
+        else firstArgmin(combos) match {
+          case None =>
+            // eligible length, all-NaN grid (degenerate series): emit a
+            // FLAGGED row (d = 0 so n + d still replays the dense bucket
+            // length) instead of dropping it, so the verdict gate's
+            // universe integers keep matching the oracle and nan_winner
+            // names the cause (ADVICE r15 #1)
+            Iterator.single((k, -1, 0, 0, raw.length.toLong,
+              Double.NaN, Double.NaN, true, true))
           case Some((p, dd, q, _)) =>
             var cur = raw
             var i = 0
@@ -342,10 +351,11 @@ object ArForecast {
                 BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
               else v
             Iterator.single((k, p, dd, q, cur.length.toLong,
-              round6(hrMse), round6(cssMse), cssMse <= hrMse))
+              round6(hrMse), round6(cssMse), cssMse <= hrMse, false))
         }
       }
-      .toDF("series", "p", "d", "q", "n", "hr_mse", "css_mse", "improved")
+      .toDF("series", "p", "d", "q", "n", "hr_mse", "css_mse", "improved",
+        "nan_winner")
   }
 
   /** Hannan-Rissanen at a FIXED small order — ARMA(2,1) on the d = 1
@@ -595,6 +605,68 @@ object ArForecast {
     if (bestP < 0) None else Some((bestP, bestD, bestQ, bestMse))
   }
 
+  /** Per-series ARIMA family table — ONE 24-combo grid enumeration per
+    * (session, dir, grids), memoized via [[graft.Memo]] (the dedup_pairs
+    * precedent that amortizes one build across four graph gates):
+    * series, dense bucket length, the winning (p, d, q) and its
+    * walk-forward MSE, the verdict-point contract booleans, and a
+    * `nan_winner` flag for a series that PASSES the grid length rule but
+    * whose every combo scores NaN (e.g. a constant series: differencing
+    * yields all zeros and there is no finite argmin). Such series used
+    * to be silently dropped, surfacing only as an opaque n_series
+    * mismatch against the oracle's length-rule universe (ADVICE r15 #1);
+    * now they are counted — the gates emit the flag's sum as a
+    * `nan_winner` column the oracle pins to 0, so a degenerate-series
+    * failure is self-describing.
+    *
+    * Consumers: [[arimaGridSearchVerdict]] (aggregates it) and
+    * [[forecastCvVerdict]] (lockstep join), so the grid walk-forward
+    * runs once per suite instead of three times — q_forecast_cv was the
+    * r15 suite's most expensive query at ~⅔ redundant compute (VERDICT
+    * r15 #1). [[forecastCv]] keeps its own independent per-series dual
+    * enumeration; that independence is exactly what the lockstep join
+    * then checks against this table. */
+  private def arimaFamily(s: SparkSession, d: String, pGrid: Seq[Int],
+      dGrid: Seq[Int], qGrid: Seq[Int], horizon: Int): DataFrame =
+    Memo.cached(s, s"arima_family:$d:p=${pGrid.mkString("_")}" +
+        s":d=${dGrid.mkString("_")}:q=${qGrid.mkString("_")}:h=$horizon") {
+      import s.implicits._
+      HoltForecast.denseSeries(s, d)
+        .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+          val raw = HoltForecast.denseArray(it)
+          val combos = arimaGridMses(raw, pGrid, dGrid, qGrid)
+          if (combos.isEmpty) Iterator.empty // below the grid length rule
+          else firstArgmin(combos) match {
+            case None => // eligible, but every combo NaN — degenerate
+              Iterator.single((k, raw.length.toLong, true, -1, 0, 0,
+                Double.NaN, true, true, true, true))
+            case Some((p, dd, q, mse)) =>
+              val finite = combos.zipWithIndex.filter(c => !c._1._4.isNaN)
+              val am = finite.minBy { case ((_, _, _, m), i) => (m, i) }
+              val argminOk = am._1._1 == p && am._1._2 == dd &&
+                am._1._3 == q && am._1._4 == mse
+              val inGridOk = pGrid.contains(p) && dGrid.contains(dd) &&
+                qGrid.contains(q)
+              val finiteOk = java.lang.Double.isFinite(mse) && mse >= 0.0
+              val fc = arimaForecast(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(raw),
+                p, dd, q, horizon)
+              val fcOk = fc.length == horizon &&
+                fc.forall(java.lang.Double.isFinite)
+              Iterator.single((k, raw.length.toLong, false, p, dd, q, mse,
+                inGridOk, finiteOk, argminOk, fcOk))
+          }
+        }
+        .toDF("series", "nb", "nan_winner", "p", "d", "q", "val_mse",
+          "in_grid", "mse_ok", "argmin_ok", "fc_ok")
+    }
+
+  /** [[holtGridSearch]] behind the session memo: the q_holt_gridsearch
+    * gate and [[forecastCvVerdict]]'s lockstep join share one build
+    * (identical rows — the build is the same deterministic kernel). */
+  def holtGridSearchMemo(s: SparkSession, d: String, horizon: Int = 3): DataFrame =
+    Memo.cached(s, s"holt_grid:$d:h=$horizon")(holtGridSearch(s, d, horizon))
+
   /** [[arimaGridSearch]] re-gated at its VERDICT POINT (r15, completing
     * the r14 seeded-fit treatment for the forecast composites): the
     * winning MSEs are JVM float folds (the q_holt_forecast no-oracle
@@ -615,46 +687,28 @@ object ArForecast {
       pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
       qGrid: Seq[Int] = Seq(0, 1, 2), horizon: Int = 3): DataFrame = {
     import s.implicits._
-    val per = HoltForecast.denseSeries(s, d)
-      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
-        val raw = HoltForecast.denseArray(it)
-        val combos = arimaGridMses(raw, pGrid, dGrid, qGrid)
-        firstArgmin(combos) match {
-          case None => Iterator.empty
-          case Some((p, dd, q, mse)) =>
-            val finite = combos.zipWithIndex.filter(c => !c._1._4.isNaN)
-            val am = finite.minBy { case ((_, _, _, m), i) => (m, i) }
-            val argminOk = am._1._1 == p && am._1._2 == dd &&
-              am._1._3 == q && am._1._4 == mse
-            val inGridOk = pGrid.contains(p) && dGrid.contains(dd) &&
-              qGrid.contains(q)
-            val finiteOk = java.lang.Double.isFinite(mse) && mse >= 0.0
-            val fc = arimaForecast(
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(raw),
-              p, dd, q, horizon)
-            val fcOk = fc.length == horizon &&
-              fc.forall(java.lang.Double.isFinite)
-            Iterator.single(
-              (k, raw.length.toLong, inGridOk, finiteOk, argminOk, fcOk))
-        }
-      }
-      .toDF("series", "nb", "in_grid", "mse_ok", "argmin_ok", "fc_ok")
-    val a = per.agg(
+    // n_series counts EVERY length-eligible series (degenerate all-NaN
+    // winners included, flagged) so it always equals the oracle's
+    // length-rule universe; nan_winner (oracle-pinned 0) carries the
+    // degenerate count visibly (ADVICE r15 #1)
+    val a = arimaFamily(s, d, pGrid, dGrid, qGrid, horizon).agg(
       count(lit(1)).as("n_series"),
       sum(col("nb")).as("sum_nb"),
-      sum(when(!col("in_grid"), 1L).otherwise(0L)).as("v_grid"),
-      sum(when(!col("mse_ok"), 1L).otherwise(0L)).as("v_mse"),
-      sum(when(!col("argmin_ok"), 1L).otherwise(0L)).as("v_argmin"),
-      sum(when(!col("fc_ok"), 1L).otherwise(0L)).as("v_fc")).head()
+      sum(when(col("nan_winner"), 1L).otherwise(0L)).as("n_nan"),
+      sum(when(!col("nan_winner") && !col("in_grid"), 1L).otherwise(0L)).as("v_grid"),
+      sum(when(!col("nan_winner") && !col("mse_ok"), 1L).otherwise(0L)).as("v_mse"),
+      sum(when(!col("nan_winner") && !col("argmin_ok"), 1L).otherwise(0L)).as("v_argmin"),
+      sum(when(!col("nan_winner") && !col("fc_ok"), 1L).otherwise(0L)).as("v_fc")).head()
     val n = a.getAs[Long]("n_series")
     val snb = if (a.isNullAt(a.fieldIndex("sum_nb"))) 0L
       else a.getAs[Long]("sum_nb")
+    val nNan = a.getAs[Long]("n_nan")
     def ok(c: String): Boolean = n == 0L || a.getAs[Long](c) == 0L
     val rows = for { p <- pGrid; dd <- dGrid; q <- qGrid } yield
-      (p, dd, q, horizon, n, snb,
+      (p, dd, q, horizon, n, snb, nNan,
         ok("v_grid"), ok("v_mse"), ok("v_argmin"), ok("v_fc"))
     rows.toDF("p", "d", "q", "horizon", "n_series", "sum_n_buckets",
-      "winner_in_grid_ok", "winner_mse_finite_ok",
+      "nan_winner", "winner_in_grid_ok", "winner_mse_finite_ok",
       "winner_first_argmin_ok", "forecast_len_ok")
   }
 
@@ -663,11 +717,14 @@ object ArForecast {
     * (same length rule as [[arimaGridSearchVerdict]] — ARIMA
     * eligibility implies Holt eligibility) and the CROSS-GATE lockstep
     * ForecastCvSpec pins at spec scale is re-checked here at Verify
-    * scale THROUGH THE ACTUAL GATES: the CV frame's holt_mse /
-    * arima_mse must equal (SQL double equality — NaN-safe) the val_mse
-    * the two family gates emit for the same series, the emitted series
-    * set must equal the ARIMA family gate's, and the winner / ratio
-    * must be exactly consistent with the two MSEs. */
+    * scale against the MEMOIZED family tables (r16 — the same rows the
+    * sibling gates aggregate, built once per suite; VERDICT r15 #1):
+    * the CV frame's holt_mse / arima_mse must equal (SQL double
+    * equality — NaN-safe) the family val_mse for the same series, the
+    * emitted series set must equal the ARIMA family's fit set, and the
+    * winner / ratio must be exactly consistent with the two MSEs. The
+    * independent recompute is [[forecastCv]]'s own dual enumeration —
+    * that is what the joins check. */
   def forecastCvVerdict(s: SparkSession, d: String,
       pGrid: Seq[Int] = Seq(4, 6, 8, 10), dGrid: Seq[Int] = Seq(1, 2),
       qGrid: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
@@ -691,24 +748,39 @@ object ArForecast {
       val n = cvAgg.getAs[Long]("n_series")
       val snb = if (cvAgg.isNullAt(cvAgg.fieldIndex("sum_nb"))) 0L
         else cvAgg.getAs[Long]("sum_nb")
-      val holt = holtGridSearch(s, d).where(col("step") === 1)
+      // lockstep targets come from the MEMOIZED family tables (VERDICT
+      // r15 #1): cv's per-series dual enumeration above stays the
+      // independent recompute; the joins below check it against the
+      // tables the sibling gates aggregate, without re-running either
+      // family grid a third time
+      val fam = arimaFamily(s, d, pGrid, dGrid, qGrid, 3)
+      val famAgg = fam.agg(
+        coalesce(sum(when(col("nan_winner"), 1L).otherwise(0L)), lit(0L)).as("n_nan"),
+        coalesce(sum(when(col("nan_winner"), col("nb")).otherwise(0L)), lit(0L)).as("nan_nb"),
+        coalesce(sum(when(!col("nan_winner"), 1L).otherwise(0L)), lit(0L)).as("n_fit")).head()
+      val nNan = famAgg.getAs[Long]("n_nan")
+      val nanNb = famAgg.getAs[Long]("nan_nb")
+      val holt = holtGridSearchMemo(s, d).where(col("step") === 1)
         .select(col("series"), col("valMse").as("family_mse"))
-      val arima = arimaGridSearch(s, d, pGrid, dGrid, qGrid)
-        .where(col("step") === 1)
-        .select(col("series"), col("valMse").as("family_mse"))
+      val arima = fam.where(!col("nan_winner"))
+        .select(col("series"), col("val_mse").as("family_mse"))
       val holtBad = cv.select("series", "holt_mse").join(holt, Seq("series"), "left")
         .where(col("family_mse").isNull ||
           !(col("holt_mse") === col("family_mse"))).count()
       val arimaBad = cv.select("series", "arima_mse").join(arima, Seq("series"), "left")
         .where(col("family_mse").isNull ||
           !(col("arima_mse") === col("family_mse"))).count()
-      val setOk = arima.count() == n
-      Seq((n, snb,
+      val setOk = famAgg.getAs[Long]("n_fit") == n
+      // n_series / sum_n_buckets span the FULL eligible universe (cv's
+      // emitted series plus flagged degenerates) so they match the
+      // oracle's length-rule integers even when nan_winner > 0 — the
+      // flag, pinned 0 by the oracle, then names the cause
+      Seq((n + nNan, snb + nanNb, nNan,
         cvAgg.getAs[Long]("v_finite") == 0L,
         cvAgg.getAs[Long]("v_winner") == 0L,
         cvAgg.getAs[Long]("v_ratio") == 0L,
         holtBad == 0L, arimaBad == 0L, setOk))
-        .toDF("n_series", "sum_n_buckets", "mses_finite_ok",
+        .toDF("n_series", "sum_n_buckets", "nan_winner", "mses_finite_ok",
           "winner_consistent_ok", "ratio_exact_ok",
           "holt_mse_matches_family_ok", "arima_mse_matches_family_ok",
           "family_series_set_ok")
@@ -733,16 +805,20 @@ object ArForecast {
     val a = arimaCss(s, d, pGrid, dGrid, qGrid).agg(
       count(lit(1)).as("n_series"),
       sum(col("n") + col("d")).as("sum_nb"),
-      sum(when(!(col("p").isin(pGrid: _*) && col("d").isin(dGrid: _*) &&
-        col("q").isin(qGrid: _*)), 1L).otherwise(0L)).as("v_grid"),
-      sum(when(!col("improved"), 1L).otherwise(0L)).as("v_css")).head()
+      sum(when(col("nan_winner"), 1L).otherwise(0L)).as("n_nan"),
+      sum(when(!col("nan_winner") &&
+        !(col("p").isin(pGrid: _*) && col("d").isin(dGrid: _*) &&
+          col("q").isin(qGrid: _*)), 1L).otherwise(0L)).as("v_grid"),
+      sum(when(!col("nan_winner") && !col("improved"), 1L).otherwise(0L))
+        .as("v_css")).head()
     val n = a.getAs[Long]("n_series")
     val snb = if (a.isNullAt(a.fieldIndex("sum_nb"))) 0L
       else a.getAs[Long]("sum_nb")
-    Seq((n, snb,
+    Seq((n, snb, a.getAs[Long]("n_nan"),
       n == 0L || a.getAs[Long]("v_grid") == 0L,
       n == 0L || a.getAs[Long]("v_css") == 0L))
-      .toDF("n_series", "sum_n_buckets", "orders_in_grid_ok", "css_le_hr_ok")
+      .toDF("n_series", "sum_n_buckets", "nan_winner",
+        "orders_in_grid_ok", "css_le_hr_ok")
   }
 
   private val alphaGrid = Seq(0.2, 0.5, 0.8)

@@ -57,6 +57,8 @@ class ArimaCssSpec extends SparkTestBase {
     val out = ArForecast.arimaCss(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
+      assert(!r.getAs[Boolean]("nan_winner"),
+        s"fixture grew a degenerate (all-NaN-grid) series: $r")
       assert(r.getAs[Boolean]("improved"), s"descent worsened a series: $r")
       assert(r.getAs[Double]("css_mse") <= r.getAs[Double]("hr_mse") + 1e-6)
     }

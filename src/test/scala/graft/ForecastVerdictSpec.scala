@@ -36,6 +36,8 @@ class ForecastVerdictSpec extends SparkTestBase {
       assert(r.getAs[Int]("horizon") == 3)
       assert(r.getAs[Long]("n_series") == eligible.length.toLong)
       assert(r.getAs[Long]("sum_n_buckets") == eligible.sum)
+      assert(r.getAs[Long]("nan_winner") == 0L,
+        "fixture grew a degenerate (all-NaN-grid) series")
       boolCols(r, Seq("winner_in_grid_ok", "winner_mse_finite_ok",
         "winner_first_argmin_ok", "forecast_len_ok"))
     }
@@ -47,6 +49,7 @@ class ForecastVerdictSpec extends SparkTestBase {
     val r = out.head
     assert(r.getAs[Long]("n_series") == eligible.length.toLong)
     assert(r.getAs[Long]("sum_n_buckets") == eligible.sum)
+    assert(r.getAs[Long]("nan_winner") == 0L)
     boolCols(r, Seq("mses_finite_ok", "winner_consistent_ok",
       "ratio_exact_ok", "holt_mse_matches_family_ok",
       "arima_mse_matches_family_ok", "family_series_set_ok"))
@@ -58,6 +61,7 @@ class ForecastVerdictSpec extends SparkTestBase {
     val r = out.head
     assert(r.getAs[Long]("n_series") == eligible.length.toLong)
     assert(r.getAs[Long]("sum_n_buckets") == eligible.sum)
+    assert(r.getAs[Long]("nan_winner") == 0L)
     boolCols(r, Seq("orders_in_grid_ok", "css_le_hr_ok"))
   }
 }
