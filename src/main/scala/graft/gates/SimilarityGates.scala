@@ -54,6 +54,11 @@ object SimilarityGates {
     // through the IVF coarse buckets (nprobe·√N candidates per query,
     // linear corpus cost) instead of q_maxsim's n²/199 label blocks
     "q_maxsim_ivf"     -> ((s: SparkSession, d: String) => Similarity.maxSimTopKIvf(s, d)),
+    // exact-rescore over IVF candidates (r16): q_maxsim's query set and
+    // same-label contract, candidates bounded by nprobe coarse buckets,
+    // scoring still the exact integer MaxSim kernel — the path the
+    // exact gate's pair-mass guard names for corpora above its cap
+    "q_maxsim_rescore" -> ((s: SparkSession, d: String) => Similarity.maxSimTopKRescore(s, d)),
     // sign-bit binary quantization: 64-d float → ONE long, Hamming
     // (bit_count ⊕) top-m prefilter, exact-cosine rerank — 32× smaller
     // hot set, integer candidate math, full oracle
@@ -470,6 +475,65 @@ object SimilarityGates {
         |  SELECT p.q_id, a.vec_id, a.bucket
         |  FROM asg a JOIN probes p USING (bucket)
         |  WHERE a.vec_id <> p.q_id),
+        |toks AS (
+        |  SELECT vec_id, i // 8 AS t, i % 8 AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS v
+        |  FROM embeddings, range(64) r(i)),
+        |dots AS (
+        |  SELECT cd.q_id, cd.vec_id, cd.bucket, qt.t AS qt_i, dt.t AS dt_j,
+        |    CAST(SUM(qt.v * dt.v) AS BIGINT) AS dot
+        |  FROM cand cd
+        |  JOIN toks qt ON qt.vec_id = cd.q_id
+        |  JOIN toks dt ON dt.vec_id = cd.vec_id AND dt.dim = qt.dim
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |best AS (SELECT q_id, vec_id, bucket, qt_i, MAX(dot) AS m
+        |  FROM dots GROUP BY 1, 2, 3, 4),
+        |score AS (SELECT q_id, vec_id, bucket, CAST(SUM(m) AS BIGINT) AS maxsim
+        |  FROM best GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT q_id, vec_id, bucket, maxsim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY maxsim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM score)
+        |SELECT q_id, vec_id, bucket, rank, maxsim FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // exact-rescore MaxSim: the q_maxsim_ivf probe/assignment CTEs with
+    // q_maxsim's % 199 query set, a label-equality candidate filter, and
+    // the same integer MaxSim scoring CTEs
+    "q_maxsim_rescore" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+        |  WHERE vec_id < LEAST(4096, GREATEST(4,
+        |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |asg AS (
+        |  SELECT vec_id, label, c_id AS bucket FROM (
+        |    SELECT n.vec_id, n.label, c.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+        |        c.c_id) AS rn
+        |    FROM n, c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nrm AS q_nrm
+        |  FROM n WHERE vec_id % 199 = 0),
+        |probes AS (
+        |  SELECT q_id, q_label, c_id AS bucket FROM (
+        |    SELECT q.q_id, q.q_label, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(q.q_emb[i] AS DOUBLE) * c.c_emb[i])) / (q.q_nrm * c.c_nrm), 6) DESC,
+        |        c.c_id) AS rn
+        |    FROM q, c) t
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id, a.bucket
+        |  FROM asg a JOIN probes p USING (bucket)
+        |  WHERE a.vec_id <> p.q_id AND a.label = p.q_label),
         |toks AS (
         |  SELECT vec_id, i // 8 AS t, i % 8 AS dim,
         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS v

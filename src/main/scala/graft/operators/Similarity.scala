@@ -1022,7 +1022,16 @@ object Similarity {
     maxSimTopKVecs(Tables.embeddings(s, d), queryMod, k)
 
   /** [[maxSimTopK]] over a caller-supplied (vec_id, label, embedding)
-    * frame — the spec entry point for planted corpora. */
+    * frame — the spec entry point for planted corpora.
+    *
+    * NOTE (ADVICE r15 #4): the pair-mass guard is an EAGER one-row
+    * aggregation job over (vec_id, label) that runs at call time, before
+    * the returned frame is used — so this builder both costs a linear
+    * scan up front and can throw IllegalArgumentException at plan-build
+    * time. That is the documented refuse-loudly contract (failing
+    * pointedly BEFORE committing to a quadratic block join); callers
+    * composing the frame lazily should call this once and reuse the
+    * result rather than re-invoking per downstream plan. */
   private[graft] def maxSimTopKVecs(e0: DataFrame, queryMod: Int = 199,
       k: Int = 5, maxScorePairs: Long = 100000000L): DataFrame = {
     // pair-mass guard: one column-pruned linear aggregate over
@@ -1037,10 +1046,12 @@ object Similarity {
     require(mass <= maxScorePairs,
       s"maxSimTopK: exact late-interaction scoring would evaluate $mass " +
       s"query-candidate pairs (cap $maxScorePairs): the label blocks have " +
-      "outgrown the exact scorer's contractual domain. Use maxSimTopKIvf " +
-      "(IVF-routed candidates, nprobe*sqrt(N) per query — 17.2 s on the " +
-      "sf100 fixture where the exact form exceeded 2400 s) or raise " +
-      "maxScorePairs deliberately.")
+      "outgrown the exact scorer's contractual domain. Use " +
+      "maxSimTopKRescore for the SAME query set and same-label contract " +
+      "with IVF-routed candidates exactly rescored (completes in minutes " +
+      "on the sf100 fixture where this exact form exceeded 2400 s), " +
+      "maxSimTopKIvf for a fixed query set (17.2 s on that fixture), or " +
+      "raise maxScorePairs deliberately.")
     val e = e0
       .select(col("vec_id"), col("label"), tokenQuant(col("embedding")).as("toks"))
     val q = e.where(col("vec_id") % queryMod === 0)
@@ -1086,6 +1097,73 @@ object Similarity {
     val wTop = Window.partitionBy("q_id").orderBy(col("maxsim").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("bucket"))
       .where(col("vec_id") =!= col("q_id"))
+      .withColumn("maxsim", maxSimScore(col("q_toks"), tokenQuant(col("embedding"))))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("bucket"), col("rank"), col("maxsim"))
+  }
+
+  /** Exact-rescore MaxSim over the IVF candidate set — the production
+    * answer for the workload [[maxSimTopK]]'s pair-mass guard refuses
+    * (VERDICT r15 #2): the SAME query set (`% queryMod`, linear in the
+    * corpus) and the same same-label top-k contract, but each query
+    * scores only the nprobe IVF-probed buckets of its single-vector
+    * view intersected with its label block. Candidate mass drops from
+    * Σ n_label·q_label (quadratic under a fixed label universe — the
+    * measured sf100 2.0 B-pair timeout) to ≈ queries·nprobe·√N /
+    * |labels|, while the SCORING stays the exact integer
+    * late-interaction kernel: recall is approximate (a true neighbor
+    * hiding in an unprobed bucket is missed — the standard IVF trade),
+    * the scores and ordering of what IS scored are exact. Routing
+    * reuses [[annIvf]]'s seed-centroid scheme; the assignment pass here
+    * carries `label` through (assignWith drops it). The probe frame
+    * (queries × nprobe rows of 8×8 token bags) rides a broadcast —
+    * ~30 MB at sf100's 25 K queries; a truly unbounded query set would
+    * switch to a shuffle join on `bucket`, same plan shape. Every stage
+    * is deterministic (round(cos, 6) probe keys, integer MaxSim,
+    * vec_id tiebreaks) → full DuckDB oracle. */
+  def maxSimTopKRescore(s: SparkSession, d: String, queryMod: Int = 199,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = withNorm(s, d)
+    val nc = centroidCount(e.count())
+    val centArr = seedCents(e, nc)
+    val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
+    val bc = s.sparkContext.broadcast(centArr)
+    val assigned = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+      .as[(Long, Int, Array[Float], Double)]
+      .map { case (id, lab, emb, nrm) =>
+        val cs = bc.value
+        var bestId = -1L
+        var bestSim = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          val cemb = c._2
+          var j = 0
+          var dot = 0.0
+          while (j < emb.length) { dot += emb(j).toDouble * cemb(j).toDouble; j += 1 }
+          val sim = dot / (nrm * c._3)
+          if (sim > bestSim) { bestSim = sim; bestId = c._1 }
+          i += 1
+        }
+        (id, lab, emb, nrm, bestId)
+      }
+      .toDF("vec_id", "label", "embedding", "nrm", "bucket")
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("p_sim_key").desc, col("c_id"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("p_sim_key",
+        round(floatDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("p_rank", row_number().over(wProbe))
+      .where(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("q_label"), tokenQuant(col("q_emb")).as("q_toks"),
+        col("c_id").as("bucket"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("maxsim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
       .withColumn("maxsim", maxSimScore(col("q_toks"), tokenQuant(col("embedding"))))
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)

@@ -27,7 +27,7 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (218 queries, 218 oracles)") {
+  test("registry carries the full suite (219 queries, 219 oracles)") {
     // r13: +q_arma_hr (218); oracles 189 + {q_semdedup, q_semdedup_linear,
     // q_compaction_plan, q_arma_hr, q_pq_topk, q_ivf_pq_topk,
     // q_ivf_pq_topk_res, q_ivf_pq_recall, q_ivf_pq_recall_res,
@@ -43,7 +43,9 @@ class GateRegistrySpec extends AnyFunSuite {
     // = 218 — every registered gate now carries a DuckDB oracle (the
     // raw float-fold MSEs stay spec-pinned; see the impossibility note
     // at the q_arima_css gate in WindowGates).
-    assert(SparkEntry.queries.size == 218)
-    assert(SparkEntry.oracleSql.size == 218)
+    // r16: + q_maxsim_rescore (exact-rescore over IVF candidates, the
+    // guard-named path past the exact gate's pair-mass cap) = 219.
+    assert(SparkEntry.queries.size == 219)
+    assert(SparkEntry.oracleSql.size == 219)
   }
 }

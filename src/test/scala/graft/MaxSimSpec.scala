@@ -128,6 +128,58 @@ class MaxSimSpec extends SparkTestBase {
     assert(ex.getMessage.contains("query-candidate pairs"))
     assert(ex.getMessage.contains("maxSimTopKIvf"),
       "guard message must route the caller to the scale path")
+    assert(ex.getMessage.contains("maxSimTopKRescore"),
+      "guard message must name the exact-rescore twin (r16)")
+  }
+
+  test("exact-rescore top-5 equals an independent probe+label+rescore reference") {
+    // r16: same query set and same-label contract as the exact gate,
+    // candidates bounded to the 2 probed IVF buckets, scores exact
+    val base = loadBase().sortBy(_._1)
+    val nc = Similarity.centroidCount(base.length.toLong)
+    val cents = base.filter(_._1 < nc).map(c => (c._1, c._3))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      (0 until a.length).map(i => a(i).toDouble * b(i).toDouble).sum
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val bucketOf = base.map { case (id, _, v) =>
+      var bestId = -1L; var bestSim = Double.NegativeInfinity
+      cents.foreach { case (cid, cv) =>
+        val sim = dot(v, cv) / (nrm(v) * nrm(cv))
+        if (sim > bestSim) { bestSim = sim; bestId = cid }
+      }
+      id -> bestId
+    }.toMap
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val truth = base.filter(_._1 % 199 == 0).map { case (qid, qlab, qv) =>
+      val probed = cents
+        .map { case (cid, cv) => (cid, r6(dot(qv, cv) / (nrm(qv) * nrm(cv)))) }
+        .sortBy { case (cid, key) => (-key, cid) }
+        .take(2).map(_._1).toSet
+      qid -> base
+        .filter(c => probed(bucketOf(c._1)) && c._2 == qlab && c._1 != qid)
+        .map(c => (c._1, refMaxSim(qv, c._3)))
+        .sortBy { case (id, score) => (-score, id) }
+        .take(5)
+    }.toMap
+    val out = Similarity.maxSimTopKRescore(spark, sf)
+      .select("q_id", "vec_id", "rank", "maxsim")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == truth.filter(_._2.nonEmpty).keySet)
+    byQ.foreach { case (qid, rows) =>
+      val got = rows.sortBy(_._3).map(r => (r._2, r._4))
+      assert(got == truth(qid), s"rescore top-5 mismatch for query $qid")
+    }
+    // every rescored pair the exact block scorer also scored must carry
+    // the IDENTICAL integer score (rescoring is exact, routing is not)
+    val exact = runOp(base).map(r => (r._1, r._2) -> r._4).toMap
+    out.foreach { case (qid, vid, _, score) =>
+      exact.get((qid, vid)).foreach { es =>
+        assert(es == score, s"score drift vs exact scorer for ($qid, $vid)")
+      }
+    }
     // and the default cap admits every oracle/bench fixture scale
     assert(runOp(base).nonEmpty)
   }
