@@ -1014,9 +1014,11 @@ object Similarity {
     * The gate therefore pre-counts the mass with one linear aggregate
     * and REFUSES loudly above `maxScorePairs` (default 10⁸ ≈ 4 min of
     * scoring) instead of silently running n² — the nc ≤ 512 SemDeDup
-    * precedent. Past the cap the scale path is [[maxSimTopKIvf]]
-    * (nprobe·√N candidates per query; 17.2 s cold on the same sf100
-    * fixture where this exact form timed out). */
+    * precedent. Past the cap the scale paths are [[maxSimTopKRescore]]
+    * (SAME query set and same-label contract, candidates IVF-routed,
+    * scoring still exact — 174.6 s on the sf100 fixture where this
+    * exact form timed out at >2400 s) and [[maxSimTopKIvf]] (fixed
+    * query set; 8.9 s on that fixture). */
   def maxSimTopK(s: SparkSession, d: String, queryMod: Int = 199,
       k: Int = 5): DataFrame =
     maxSimTopKVecs(Tables.embeddings(s, d), queryMod, k)
