@@ -51,8 +51,10 @@ class ExecutedPlanContractSpec extends SparkTestBase {
     "q_ml_regression" -> "LocalTableScan: GBT metric rows from the fitted model",
     "q_pca"         -> "LocalTableScan: covariance+eigensolve verdict rows (1-row moment collect)",
     "q_word2vec"    -> "LocalTableScan: model-audit verdict row from the fitted model",
+    // NOTE r16: q_holt_gridsearch became memo-backed (ExistingRDD scan of
+    // the checkpointed family table) and STILL renders WSCG — the
+    // ExistingRDD scan is codegen'd — so it stays OFF this allowlist.
     "q_arima_gridsearch" -> "LocalTableScan: grid-literal verdict rows (r15 re-gate; one bounded aggregate row collected)",
-    "q_holt_gridsearch" -> "ExistingRDD scan: the memoized family table (r16 — one grid build shared with q_forecast_cv's lockstep join; the build's own plan has the codegen)",
     "q_forecast_cv" -> "LocalTableScan: cross-gate lockstep verdict row (r15 re-gate; bounded aggregates collected)",
     "q_arima_css"   -> "LocalTableScan: descent-contract verdict row (r15 re-gate; one bounded aggregate row collected)")
 

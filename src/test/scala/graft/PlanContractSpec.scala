@@ -45,6 +45,10 @@ class PlanContractSpec extends SparkTestBase {
     "q_ivf_pq_recall_res" -> "broadcast probe set, residual-PQ recall readout",
     "q_cosine_topk"       -> "broadcast query rows vs corpus cosine (no equi-key)",
     "q_maxsim_ivf"        -> "broadcast multi-vector query set vs IVF buckets",
+    // the centroid cross-join that ranks probe buckets: build side is
+    // the ≤4096-row centroid frame (the r16 rescore twin's probes stage,
+    // same shape as q_maxsim_ivf's)
+    "q_maxsim_rescore"    -> "broadcast centroid set vs query probe ranking",
     "q_mrl_recall"        -> "broadcast probe set, truncated-dim recall readout",
     "q_hard_negatives"    -> "broadcast anchor rows vs near-miss band (inequality)",
     "q_simhash_recall"    -> "broadcast probe fingerprints vs band blocks",
