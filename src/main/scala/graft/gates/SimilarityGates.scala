@@ -59,6 +59,12 @@ object SimilarityGates {
     // scoring still the exact integer MaxSim kernel — the path the
     // exact gate's pair-mass guard names for corpora above its cap
     "q_maxsim_rescore" -> ((s: SparkSession, d: String) => Similarity.maxSimTopKRescore(s, d)),
+    // IVFADC-prefiltered rescore (r17): same routing and same-label
+    // contract, but candidates are PQ-ADC proxy-scored first and only
+    // the top-m per query reach the exact integer MaxSim kernel — the
+    // emitted top-k stays exactly scored; the prune cost is 4 LUT
+    // lookups/candidate vs the 8×8 late-interaction scorer
+    "q_maxsim_rescore_adc" -> ((s: SparkSession, d: String) => Similarity.maxSimTopKRescoreAdc(s, d)),
     // sign-bit binary quantization: 64-d float → ONE long, Hamming
     // (bit_count ⊕) top-m prefilter, exact-cosine rerank — 32× smaller
     // hot set, integer candidate math, full oracle
@@ -544,6 +550,89 @@ object SimilarityGates {
         |  FROM cand cd
         |  JOIN toks qt ON qt.vec_id = cd.q_id
         |  JOIN toks dt ON dt.vec_id = cd.vec_id AND dt.dim = qt.dim
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |best AS (SELECT q_id, vec_id, bucket, qt_i, MAX(dot) AS m
+        |  FROM dots GROUP BY 1, 2, 3, 4),
+        |score AS (SELECT q_id, vec_id, bucket, CAST(SUM(m) AS BIGINT) AS maxsim
+        |  FROM best GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT q_id, vec_id, bucket, maxsim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY maxsim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM score)
+        |SELECT q_id, vec_id, bucket, rank, maxsim FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // ADC-prefiltered rescore: the q_maxsim_rescore chain with the
+    // q_pq_topk codebook/encode CTEs composed in — per-(query, sub, code)
+    // LUT dot products (qt), candidate ADC = the sub-ordered double sum
+    // (list_sum(list ORDER BY sub) replays Spark's fixed s = 0..3 fold),
+    // top-m prune on (round(adc, 6) DESC, vec_id), then the exact integer
+    // MaxSim CTEs over the pruned candidate set only
+    "q_maxsim_rescore_adc" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+        |  WHERE vec_id < LEAST(4096, GREATEST(4,
+        |    CAST(round(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)))),
+        |asg AS (
+        |  SELECT vec_id, label, c_id AS bucket FROM (
+        |    SELECT n.vec_id, n.label, c.c_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(n.embedding[i] AS DOUBLE) * c.c_emb[i])) / (n.nrm * c.c_nrm) DESC,
+        |        c.c_id) AS rn
+        |    FROM n, c) t
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb, nrm AS q_nrm
+        |  FROM n WHERE vec_id % 199 = 0),
+        |probes AS (
+        |  SELECT q_id, q_label, c_id AS bucket FROM (
+        |    SELECT q.q_id, q.q_label, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> CAST(q.q_emb[i] AS DOUBLE) * c.c_emb[i])) / (q.q_nrm * c.c_nrm), 6) DESC,
+        |        c.c_id) AS rn
+        |    FROM q, c) t
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id, a.bucket
+        |  FROM asg a JOIN probes p USING (bucket)
+        |  WHERE a.vec_id <> p.q_id AND a.label = p.q_label),
+        |${pqCtes("embeddings")},
+        |qt AS (
+        |  SELECT q.vec_id AS q_id, c.sub, c.code,
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> CAST(q.embedding[i + c.sub * 16] AS DOUBLE) * c.cw[i]), (u, v) -> u + v) AS dotv
+        |  FROM embeddings q JOIN pq_cb3 c ON TRUE
+        |  WHERE q.vec_id % 199 = 0),
+        |adc AS (
+        |  SELECT cd.q_id, cd.vec_id, cd.bucket,
+        |    list_sum(list(qt.dotv ORDER BY qt.sub)) AS adc
+        |  FROM cand cd
+        |  JOIN pq_enc e ON e.vec_id = cd.vec_id
+        |  JOIN qt ON qt.q_id = cd.q_id AND qt.sub = e.sub AND qt.code = e.code
+        |  GROUP BY 1, 2, 3),
+        |pruned AS (
+        |  SELECT q_id, vec_id, bucket FROM (
+        |    SELECT q_id, vec_id, bucket,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY round(adc, 6) DESC, vec_id) AS rn
+        |    FROM adc) t
+        |  WHERE rn <= 32),
+        |toks AS (
+        |  SELECT vec_id, i // 8 AS t, i % 8 AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS v
+        |  FROM embeddings, range(64) r(i)),
+        |dots AS (
+        |  SELECT cd.q_id, cd.vec_id, cd.bucket, qt2.t AS qt_i, dt.t AS dt_j,
+        |    CAST(SUM(qt2.v * dt.v) AS BIGINT) AS dot
+        |  FROM pruned cd
+        |  JOIN toks qt2 ON qt2.vec_id = cd.q_id
+        |  JOIN toks dt ON dt.vec_id = cd.vec_id AND dt.dim = qt2.dim
         |  GROUP BY 1, 2, 3, 4, 5),
         |best AS (SELECT q_id, vec_id, bucket, qt_i, MAX(dot) AS m
         |  FROM dots GROUP BY 1, 2, 3, 4),

@@ -59,8 +59,16 @@ object Pipelines {
     val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val rows = if (fs.exists(p)) graft.Tables.events(s, d).count() else 0L
-    val cap = 32L * s.sparkContext.defaultParallelism
-    math.max(2L, math.min(cap, (rows + 6999999L) / 7000000L)).toInt
+    // The cap is a DATA-ONLY constant (ADVICE r16 #1): the r16 form was
+    // 32 × defaultParallelism, which re-introduced environment
+    // sensitivity above the cap — the fit-frame partition count (and so
+    // every seeded fit's round-robin repartition) would depend on the
+    // machine's core count once rows/7M exceeded it. 1024 is the same
+    // value on this 32-thread box (every historical receipt and seeded
+    // pin reproduces bit-for-bit) and is reached only past ~7.1 B event
+    // rows, where the labeled per-(user, day) fit frame is still a
+    // thousand healthy partitions on any cluster width.
+    math.max(2L, math.min(1024L, (rows + 6999999L) / 7000000L)).toInt
   }
 
   /** M1-M5,M7,M8 + S6 — gas-event-classifier analog: per-(user,day) wide

@@ -37,6 +37,34 @@ object PqKernel {
   }
 }
 
+/** THE nearest-centroid assignment kernel (top level so Spark serializes
+  * only the static call, not an enclosing object): exact double cosine
+  * against every centroid, strict `>` first-best scan — ties to the
+  * lowest c_id, centroids pre-sorted ascending. ONE copy shared by
+  * [[Similarity.assignWith]] and the label-carrying assignments in
+  * [[Similarity.maxSimTopKRescore]] / [[Similarity.maxSimTopKRescoreAdc]]
+  * (ADVICE r16 #2: two inline copies of this loop could drift, and the
+  * q_ann_ivf / q_maxsim_rescore oracles both replay exactly this scan). */
+object AssignKernel {
+  def nearestCent(cs: Array[(Long, Array[Float], Double)], emb: Array[Float],
+      nrm: Double): Long = {
+    var bestId = -1L
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      val cemb = c._2
+      var dot = 0.0
+      var k = 0
+      while (k < emb.length) { dot += emb(k).toDouble * cemb(k).toDouble; k += 1 }
+      val sim = dot / (nrm * c._3)
+      if (sim > bestSim) { bestSim = sim; bestId = c._1 }
+      i += 1
+    }
+    bestId
+  }
+}
+
 /** Similarity search over the `embeddings` table (brief north-star):
   * brute-force cosine top-k as the correctness baseline, IVF (coarse
   * centroid bucketing) as the scale path.
@@ -158,7 +186,9 @@ object Similarity {
     assignWith(e, seedCents(e, nCentroids))
 
   /** Assignment pass against an explicit centroid set (seeded or
-    * Lloyd-refined): one narrow closure map, no shuffle. */
+    * Lloyd-refined): one narrow closure map, no shuffle. The scan itself
+    * is [[AssignKernel.nearestCent]] — the single kernel every
+    * assignment path shares (ADVICE r16 #2). */
   def assignWith(e: DataFrame, cents: Array[Cent]): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
@@ -166,21 +196,7 @@ object Similarity {
     e.select(col("vec_id"), col("embedding"), col("nrm"))
       .as[(Long, Array[Float], Double)]
       .map { case (id, emb, nrm) =>
-        val cs = bc.value
-        var bestId = -1L
-        var bestSim = Double.NegativeInfinity
-        var i = 0
-        while (i < cs.length) {
-          val c = cs(i)
-          val cemb = c._2
-          var dot = 0.0
-          var k = 0
-          while (k < emb.length) { dot += emb(k).toDouble * cemb(k).toDouble; k += 1 }
-          val sim = dot / (nrm * c._3)
-          if (sim > bestSim) { bestSim = sim; bestId = c._1 }
-          i += 1
-        }
-        (id, emb, nrm, bestId)
+        (id, emb, nrm, AssignKernel.nearestCent(bc.value, emb, nrm))
       }
       .toDF("vec_id", "embedding", "nrm", "bucket")
   }
@@ -1017,8 +1033,10 @@ object Similarity {
     * precedent. Past the cap the scale paths are [[maxSimTopKRescore]]
     * (SAME query set and same-label contract, candidates IVF-routed,
     * scoring still exact — 174.6 s on the sf100 fixture where this
-    * exact form timed out at >2400 s) and [[maxSimTopKIvf]] (fixed
-    * query set; 8.9 s on that fixture). */
+    * exact form timed out at >2400 s), [[maxSimTopKRescoreAdc]] (same
+    * contract again with a PQ-ADC top-m prune ahead of the exact
+    * kernel) and [[maxSimTopKIvf]] (fixed query set; 8.9 s warm r16 /
+    * 17.2 s cold r14 on that fixture). */
   def maxSimTopK(s: SparkSession, d: String, queryMod: Int = 199,
       k: Int = 5): DataFrame =
     maxSimTopKVecs(Tables.embeddings(s, d), queryMod, k)
@@ -1052,8 +1070,8 @@ object Similarity {
       "maxSimTopKRescore for the SAME query set and same-label contract " +
       "with IVF-routed candidates exactly rescored (completes in minutes " +
       "on the sf100 fixture where this exact form exceeded 2400 s), " +
-      "maxSimTopKIvf for a fixed query set (17.2 s on that fixture), or " +
-      "raise maxScorePairs deliberately.")
+      "maxSimTopKIvf for a fixed query set (8.9 s warm r16 / 17.2 s cold " +
+      "r14 on that fixture), or raise maxScorePairs deliberately.")
     val e = e0
       .select(col("vec_id"), col("label"), tokenQuant(col("embedding")).as("toks"))
     val q = e.where(col("vec_id") % queryMod === 0)
@@ -1128,28 +1146,15 @@ object Similarity {
       nprobe: Int = 2, k: Int = 5): DataFrame = {
     import s.implicits._
     val e = withNorm(s, d)
-    val nc = centroidCount(e.count())
+    val n = e.count()
+    val nc = centroidCount(n)
     val centArr = seedCents(e, nc)
     val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
     val bc = s.sparkContext.broadcast(centArr)
     val assigned = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
       .as[(Long, Int, Array[Float], Double)]
       .map { case (id, lab, emb, nrm) =>
-        val cs = bc.value
-        var bestId = -1L
-        var bestSim = Double.NegativeInfinity
-        var i = 0
-        while (i < cs.length) {
-          val c = cs(i)
-          val cemb = c._2
-          var j = 0
-          var dot = 0.0
-          while (j < emb.length) { dot += emb(j).toDouble * cemb(j).toDouble; j += 1 }
-          val sim = dot / (nrm * c._3)
-          if (sim > bestSim) { bestSim = sim; bestId = c._1 }
-          i += 1
-        }
-        (id, lab, emb, nrm, bestId)
+        (id, lab, emb, nrm, AssignKernel.nearestCent(bc.value, emb, nrm))
       }
       .toDF("vec_id", "label", "embedding", "nrm", "bucket")
     val q = e.where(col("vec_id") % queryMod === 0)
@@ -1164,8 +1169,117 @@ object Similarity {
       .select(col("q_id"), col("q_label"), tokenQuant(col("q_emb")).as("q_toks"),
         col("c_id").as("bucket"))
     val wTop = Window.partitionBy("q_id").orderBy(col("maxsim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("bucket"))
+    joinProbes(assigned, probes, n, queryMod, nprobe)
       .where(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .withColumn("maxsim", maxSimScore(col("q_toks"), tokenQuant(col("embedding"))))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("bucket"), col("rank"), col("maxsim"))
+  }
+
+  /** The probe-frame join shared by [[maxSimTopKRescore]] /
+    * [[maxSimTopKRescoreAdc]] — ADVICE r16 #3: the probe set grows
+    * linearly with the corpus (n/queryMod queries × nprobe rows of 8×8
+    * token bags, ~600 B each), so an unconditional broadcast hint would
+    * eventually OOM the driver. While the estimated frame stays
+    * executor-trivial (≤ 256 MB — an order of magnitude under the r16
+    * sf100 measurement's headroom) it rides a broadcast; past that the
+    * SAME rows flow through a shuffle hash join on `bucket` — output
+    * identical, cost the documented production trade. */
+  private def joinProbes(assigned: DataFrame, probes: DataFrame, n: Long,
+      queryMod: Int, nprobe: Int, rowBytes: Long = 600L): DataFrame = {
+    val probeBytes = (n / queryMod + 1L) * nprobe * rowBytes
+    if (probeBytes <= (256L << 20)) assigned.join(broadcast(probes), Seq("bucket"))
+    else assigned.join(probes.hint("shuffle_hash"), Seq("bucket"))
+  }
+
+  /** [[maxSimTopKRescore]] with a PQ-ADC top-m prune ahead of the exact
+    * kernel (VERDICT r16 "Next" #3) — the IVFADC composition: routing and
+    * the same-label contract are identical to the rescore twin, but each
+    * query's probed candidates are first scored by the asymmetric-distance
+    * proxy (4 table lookups per candidate against the per-query codeword
+    * LUT — ~100× cheaper than the 8×8 integer late-interaction kernel)
+    * and only the top `m` per query (round(adc, 6) DESC, vec_id — the
+    * [[pqTopK]] rank key) reach the exact MaxSim scorer. The EMITTED
+    * top-k therefore remains exactly scored and exactly ordered; what the
+    * prune trades is membership recall (a true MaxSim neighbor with a
+    * poor single-vector ADC proxy can fall outside the top m — measured
+    * against [[maxSimTopKRescore]] in MaxSimSpec and SCALE.md). PQ
+    * training/encoding reuse [[pqTrain]]/[[PqKernel.nearestL2]] with the
+    * q_ann_pq parameterization (m = 4 subspaces × k = 16 codes, 3
+    * seeded Lloyd rounds), so the whole chain — probes, codes, LUT sums,
+    * both rank keys — is deterministic and carries a full DuckDB oracle
+    * (the pqCtes + rescore CTEs composed). */
+  def maxSimTopKRescoreAdc(s: SparkSession, d: String, queryMod: Int = 199,
+      nprobe: Int = 2, k: Int = 5, m: Int = 32): DataFrame = {
+    import s.implicits._
+    val e = withNorm(s, d)
+    val n = e.count()
+    val nc = centroidCount(n)
+    val centArr = seedCents(e, nc)
+    val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
+    val books = pqTrain(e, 4, 16, 3)
+    val dSub = books(0)(0).length
+    val bcC = s.sparkContext.broadcast(centArr)
+    val bcB = s.sparkContext.broadcast(books)
+    // ONE corpus pass: coarse bucket (shared kernel) + PQ codes — the
+    // encode rides the assignment scan instead of a second pass + join
+    val assigned = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+      .as[(Long, Int, Array[Float], Double)]
+      .map { case (id, lab, emb, nrm) =>
+        val bk = bcB.value
+        val codes = Array.tabulate(bk.length)(sub =>
+          PqKernel.nearestL2(bk(sub), emb.slice(sub * dSub, (sub + 1) * dSub)))
+        (id, lab, emb, nrm, AssignKernel.nearestCent(bcC.value, emb, nrm), codes)
+      }
+      .toDF("vec_id", "label", "embedding", "nrm", "bucket", "codes")
+    // per-query flattened ADC LUT: lut[sub * 16 + code] = <q_slice, codeword>
+    val qlut = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (qid, emb) =>
+        val bk = bcB.value
+        val lut = new Array[Double](bk.length * bk(0).length)
+        var sub = 0
+        while (sub < bk.length) {
+          val slice = emb.slice(sub * dSub, (sub + 1) * dSub)
+          var code = 0
+          while (code < bk(sub).length) {
+            lut(sub * bk(sub).length + code) = PqKernel.dot(slice, bk(sub)(code))
+            code += 1
+          }
+          sub += 1
+        }
+        (qid, lut)
+      }
+      .toDF("q_id", "lut")
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("p_sim_key").desc, col("c_id"))
+    val probes = q.join(broadcast(cents))
+      .withColumn("p_sim_key",
+        round(floatDot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("p_rank", row_number().over(wProbe))
+      .where(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("q_label"), tokenQuant(col("q_emb")).as("q_toks"),
+        col("c_id").as("bucket"))
+      .join(broadcast(qlut), Seq("q_id"))
+    // ADC proxy (fixed sub order 0..3) → top-m prune → exact kernel
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(round(col("adc"), 6).desc, col("vec_id"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("maxsim").desc, col("vec_id"))
+    joinProbes(assigned, probes, n, queryMod, nprobe, rowBytes = 1200L)
+      .where(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .withColumn("adc", expr(
+        """aggregate(sequence(0, 3), CAST(0 AS DOUBLE),
+          |  (acc, s) -> acc + element_at(lut, s * 16 + element_at(codes, s + 1) + 1))"""
+          .stripMargin))
+      // slim the row BEFORE the rank shuffle: the per-query LUT and codes
+      // have served their purpose — only the exact kernel's inputs ride
+      .select(col("q_id"), col("vec_id"), col("bucket"), col("adc"),
+        col("q_toks"), col("embedding"))
+      .withColumn("a_rank", row_number().over(wAdc))
+      .where(col("a_rank") <= m)
       .withColumn("maxsim", maxSimScore(col("q_toks"), tokenQuant(col("embedding"))))
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= k)

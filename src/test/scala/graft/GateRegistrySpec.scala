@@ -27,7 +27,7 @@ class GateRegistrySpec extends AnyFunSuite {
       SparkEntry.families.map(_._3.size).sum)
   }
 
-  test("registry carries the full suite (219 queries, 219 oracles)") {
+  test("registry carries the full suite (220 queries, 220 oracles)") {
     // r13: +q_arma_hr (218); oracles 189 + {q_semdedup, q_semdedup_linear,
     // q_compaction_plan, q_arma_hr, q_pq_topk, q_ivf_pq_topk,
     // q_ivf_pq_topk_res, q_ivf_pq_recall, q_ivf_pq_recall_res,
@@ -45,7 +45,9 @@ class GateRegistrySpec extends AnyFunSuite {
     // at the q_arima_css gate in WindowGates).
     // r16: + q_maxsim_rescore (exact-rescore over IVF candidates, the
     // guard-named path past the exact gate's pair-mass cap) = 219.
-    assert(SparkEntry.queries.size == 219)
-    assert(SparkEntry.oracleSql.size == 219)
+    // r17: + q_maxsim_rescore_adc (PQ-ADC top-m prune ahead of the exact
+    // kernel — the IVFADC composition VERDICT r16 #3 asked for) = 220.
+    assert(SparkEntry.queries.size == 220)
+    assert(SparkEntry.oracleSql.size == 220)
   }
 }

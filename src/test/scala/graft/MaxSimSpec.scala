@@ -183,4 +183,66 @@ class MaxSimSpec extends SparkTestBase {
     // and the default cap admits every oracle/bench fixture scale
     assert(runOp(base).nonEmpty)
   }
+
+  test("ADC-prefiltered rescore with an admit-all m equals the rescore twin exactly") {
+    // r17: with m >= the corpus size the top-m prune admits every probed
+    // candidate, so the ADC variant must reproduce maxSimTopKRescore's
+    // output byte-for-byte — proving the prefilter ONLY prunes and never
+    // perturbs routing, scoring, or ranking
+    val base = loadBase()
+    val rescore = Similarity.maxSimTopKRescore(spark, sf)
+      .select("q_id", "vec_id", "bucket", "rank", "maxsim")
+      .as[(Long, Long, Long, Int, Long)].collect().toSet
+    val adcAll = Similarity.maxSimTopKRescoreAdc(spark, sf, m = base.length + 1)
+      .select("q_id", "vec_id", "bucket", "rank", "maxsim")
+      .as[(Long, Long, Long, Int, Long)].collect().toSet
+    assert(adcAll == rescore,
+      "admit-all ADC prefilter must be a no-op relative to the rescore twin")
+  }
+
+  test("ADC-prefiltered rescore emits exactly-scored, contract-respecting rows at default m") {
+    // the emitted top-k must remain EXACTLY scored (the late-interaction
+    // integer kernel, byte-equal to the independent reference) and every
+    // emitted candidate must respect the routing + same-label contract;
+    // what m trades is membership recall only
+    val base = loadBase().sortBy(_._1)
+    val byId = base.map(c => c._1 -> c).toMap
+    val nc = Similarity.centroidCount(base.length.toLong)
+    val cents = base.filter(_._1 < nc).map(c => (c._1, c._3))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      (0 until a.length).map(i => a(i).toDouble * b(i).toDouble).sum
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val bucketOf = base.map { case (id, _, v) =>
+      var bestId = -1L; var bestSim = Double.NegativeInfinity
+      cents.foreach { case (cid, cv) =>
+        val sim = dot(v, cv) / (nrm(v) * nrm(cv))
+        if (sim > bestSim) { bestSim = sim; bestId = cid }
+      }
+      id -> bestId
+    }.toMap
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val probedOf = base.filter(_._1 % 199 == 0).map { case (qid, _, qv) =>
+      qid -> cents
+        .map { case (cid, cv) => (cid, r6(dot(qv, cv) / (nrm(qv) * nrm(cv)))) }
+        .sortBy { case (cid, key) => (-key, cid) }
+        .take(2).map(_._1).toSet
+    }.toMap
+    val out = Similarity.maxSimTopKRescoreAdc(spark, sf)
+      .select("q_id", "vec_id", "rank", "maxsim")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.sortBy(_._3).map(_._3) == (1 to rows.length), "rank gap")
+    }
+    out.foreach { case (qid, vid, _, score) =>
+      val (_, qlab, qv) = byId(qid)
+      val (_, clab, cv) = byId(vid)
+      assert(clab == qlab, s"label contract broken for ($qid, $vid)")
+      assert(probedOf(qid).contains(bucketOf(vid)),
+        s"candidate ($qid, $vid) outside the probed buckets")
+      assert(score == refMaxSim(qv, cv),
+        s"emitted score not the exact kernel's for ($qid, $vid)")
+    }
+  }
 }

@@ -73,6 +73,25 @@ class NgramBandedSpec extends SparkTestBase {
     }
   }
 
+  test("memoized dir-level gates equal the build-from-docs variants row-for-row") {
+    // r17: the three ngram gates (and minhashBanded) consume ONE memoized
+    // postings/sizes/signatures build per (session, dir) — results must be
+    // identical to the per-call builders they replaced, and the banded
+    // size-bound prefilter must be output-invariant (it drops only pairs
+    // whose max achievable jaccard is already below threshold)
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Dedup.ngramJaccard(spark, sf)) ==
+      rows(Dedup.ngramJaccardDocs(docs)))
+    assert(rows(Dedup.ngramContainment(spark, sf)) ==
+      rows(Dedup.ngramContainmentDocs(docs)))
+    assert(rows(Dedup.ngramJaccardBanded(spark, sf)) ==
+      rows(Dedup.ngramJaccardBandedDocs(docs)))
+    assert(rows(Dedup.minhashBanded(spark, sf)) ==
+      rows(Dedup.minhashBandedDocs(docs)))
+  }
+
   test("planted near-dup is found by the banded path") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = "the quick brown fox jumps over the lazy dog again and again tonight"

@@ -49,6 +49,7 @@ class PlanContractSpec extends SparkTestBase {
     // the ≤4096-row centroid frame (the r16 rescore twin's probes stage,
     // same shape as q_maxsim_ivf's)
     "q_maxsim_rescore"    -> "broadcast centroid set vs query probe ranking",
+    "q_maxsim_rescore_adc" -> "broadcast centroid set vs query probe ranking (same ≤4096-row build side as the rescore twin)",
     "q_mrl_recall"        -> "broadcast probe set, truncated-dim recall readout",
     "q_hard_negatives"    -> "broadcast anchor rows vs near-miss band (inequality)",
     "q_simhash_recall"    -> "broadcast probe fingerprints vs band blocks",
