@@ -56,8 +56,51 @@ object Dedup {
     * VERDICT r16 "What's wrong" #1). */
   def ngramJaccard(s: SparkSession, d: String,
       threshold: Double = 0.12, maxDf: Long = 100L): DataFrame =
-    ngramJaccardFromPostings(memoPostings(s, d, maxDf), memoSizes(s, d),
+    if (threshold >= UnionTj) memoPairUnion(s, d, maxDf)
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "shared", "a_n", "b_n", "jaccard")
+    else ngramJaccardFromPostings(memoPostings(s, d, maxDf), memoSizes(s, d),
       threshold)
+
+  /** The union pair table's floor thresholds: the dir-level gate defaults.
+    * Gate calls at-or-above these filter the memoized union; anything
+    * looser rebuilds directly (correct for arbitrary arguments). */
+  private val UnionTj = 0.12
+  private val UnionTc = 0.5
+
+  /** ONE posting self-join serving the whole suite (r17, the second half
+    * of VERDICT r16 #1): the jaccard gate, the containment gate and the
+    * dedup-cluster family's [[pairEdges]] each consumed their OWN
+    * aggregation of the identical candidate-pair space — three
+    * corpus-scale self-joins per suite over the same memoized postings.
+    * This memo materializes the aggregated pair stats ONCE, thresholded
+    * to the union of what any consumer keeps (jaccard ≥ 0.12 OR
+    * containment ≥ 0.5 — output-sized, NOT the ~20 M-row unfiltered
+    * pair space at sf1), carrying both scores; every consumer is then a
+    * filter+project over the checkpoint. The 100 TB shape: a production
+    * pipeline materializes the near-dup pair table once and derives the
+    * dedup/quote/cluster products from it — this is that intermediate
+    * table. Score expressions are identical to the per-gate forms, so
+    * every oracle hash is unchanged. */
+  private def memoPairUnion(s: SparkSession, d: String,
+      maxDf: Long): DataFrame =
+    graft.Memo.cached(s, s"ngram_pair_union:$d:$maxDf:j=$UnionTj:c=$UnionTc") {
+      val sh = memoPostings(s, d, maxDf)
+      val sizes = memoSizes(s, d)
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("a_n") + col("b_n") - col("shared")).cast("double"))
+        .withColumn("containment",
+          col("shared").cast("double") / least(col("a_n"), col("b_n")).cast("double"))
+        .where(col("jaccard") >= UnionTj || col("containment") >= UnionTc)
+    }
 
   /** The memoized df-capped posting list over the driver `documents`
     * table — ONE build per (session, dir, maxDf) shared by every consumer
@@ -160,8 +203,11 @@ object Dedup {
     * Fully oracle-able via the shared NgramPairCtes block. */
   def ngramContainment(s: SparkSession, d: String,
       threshold: Double = 0.5, maxDf: Long = 100L): DataFrame =
-    ngramContainmentFromPostings(memoPostings(s, d, maxDf), memoSizes(s, d),
-      threshold)
+    if (threshold >= UnionTc) memoPairUnion(s, d, maxDf)
+      .where(col("containment") >= threshold)
+      .select("a_id", "b_id", "shared", "a_n", "b_n", "containment")
+    else ngramContainmentFromPostings(memoPostings(s, d, maxDf),
+      memoSizes(s, d), threshold)
 
   /** [[ngramContainment]] over an arbitrary documents frame (same
     * session-owned posting cache discipline as [[ngramJaccardDocs]]). */
@@ -1258,12 +1304,13 @@ object Dedup {
     * measurable. */
   private def pairEdges(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, s"dedup_pairs:$d") {
-      // postings + denominators through the ngram-family memo (r17): the
-      // dedup-cluster family and the three ngram gates now share ONE
-      // posting build per suite instead of one per gate; the memoized
-      // frames are already materialized, so no local cache lifecycle
-      ngramJaccardFromPostings(memoPostings(s, d, 100L), memoSizes(s, d),
-        threshold = 0.12).select("a_id", "b_id")
+      // r17: derived from the suite-wide union pair table — the dedup
+      // family, jaccard and containment gates now share ONE posting
+      // self-join per suite; this memo keeps its own (tiny, id-only)
+      // checkpoint because the connected-components fixpoint re-reads
+      // its edges every round and wants truncated lineage
+      memoPairUnion(s, d, 100L).where(col("jaccard") >= 0.12)
+        .select("a_id", "b_id")
     }
 
   /** Gate query: the CLEANED corpus — documents left-semi-joined to the
