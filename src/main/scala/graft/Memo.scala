@@ -35,11 +35,41 @@ object Memo {
   private val entries =
     mutable.Map.empty[SparkSession, mutable.Map[String, (DataFrame, Set[Int])]]
 
+  /** Driver-side value memo (centroid arrays, PQ codebooks, corpus
+    * counts): the ANN family's builds are bounded driver arrays by
+    * construction (≤ 4096 centroids, k·dim codebook floats), so they
+    * memo as plain values rather than checkpointed frames. Same
+    * lifecycle as [[entries]]: per-session, swept only by [[clear]]. */
+  private val values =
+    mutable.Map.empty[SparkSession, mutable.Map[String, Any]]
+
   private def mapFor(s: SparkSession): mutable.Map[String, (DataFrame, Set[Int])] =
     synchronized {
       entries.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
       entries.getOrElseUpdate(s, mutable.Map.empty)
     }
+
+  private def valuesFor(s: SparkSession): mutable.Map[String, Any] =
+    synchronized {
+      values.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+      values.getOrElseUpdate(s, mutable.Map.empty)
+    }
+
+  /** Memoize a deterministic driver-side value for (s, key). `build` runs
+    * outside the lock (it may run Spark jobs); a losing racer's value is
+    * discarded — all builders are deterministic, so both values are equal
+    * and nothing leaks (no blocks to release, unlike [[cached]]). */
+  def cachedValue[T](s: SparkSession, key: String)(build: => T): T = {
+    synchronized { valuesFor(s).get(key) } match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val t0 = System.nanoTime()
+        val v = build
+        System.err.println(
+          f"[memo] value key=$key t=${(System.nanoTime() - t0) / 1e9}%.1fs")
+        synchronized { valuesFor(s).getOrElseUpdate(key, v).asInstanceOf[T] }
+    }
+  }
 
   /** Memoize `build`'s result for (s, key): first call materializes it
     * with an eager localCheckpoint and records the checkpoint's block ids;
@@ -104,7 +134,8 @@ object Memo {
     }
   }
 
-  /** Drop s's memo entries and unpersist their blocks. */
+  /** Drop s's memo entries (frames AND driver values) and unpersist the
+    * frames' blocks. */
   def clear(s: SparkSession): Unit = synchronized {
     val m = mapFor(s)
     val keep = ownedIds(s)
@@ -112,5 +143,6 @@ object Memo {
       if (keep.contains(id)) rdd.unpersist(false)
     }
     m.clear()
+    valuesFor(s).clear()
   }
 }

@@ -885,8 +885,15 @@ object Dedup {
   def embeddingNearDup(s: SparkSession, d: String,
       tau: Double = Double.NaN, nCentroids: Int = 0, maxBucket: Int = 100000,
       tauMargin: Double = 0.05): DataFrame =
-    embeddingNearDupVecs(Tables.embeddings(s, d), tau, nCentroids, maxBucket,
-      tauMargin = tauMargin)
+    // session memo (r17): q_embed_clusters re-ran this whole pair build
+    // ([[embedDedupClusters]] starts from exactly this call) — the pair
+    // graph is the materialize-once intermediate both gates read. Vecs
+    // already checkpoints eagerly; the memo only pins ownership so the
+    // harness sweep keeps it across the two gates.
+    graft.Memo.cached(s,
+        s"embed_neardup:$d:$tau:$nCentroids:$maxBucket:$tauMargin")(
+      embeddingNearDupVecs(Tables.embeddings(s, d), tau, nCentroids, maxBucket,
+        tauMargin = tauMargin))
 
   /** [[embeddingNearDup]] over an arbitrary (vec_id, embedding) frame —
     * the testable form. The bucketed corpus is cached for the pair

@@ -101,6 +101,74 @@ object Similarity {
   /** A centroid: (stable id, vector, L2 norm). */
   type Cent = (Long, Array[Float], Double)
 
+  // ---- ANN-family shared-build memos (r17 optimization round) ----------
+  //
+  // The similarity suite re-derived the SAME deterministic index pieces
+  // per gate: the corpus count, the seed/Lloyd centroid arrays, the IVF
+  // assignment pass, the PQ codebooks and code table, and the brute-force
+  // ground-truth top-k — e.g. q_ivf_pq_recall re-ran q_ivf_pq_topk's
+  // whole build+search, and four gates each paid their own brute-force
+  // cosine corpus pass. A production deployment builds the index ONCE per
+  // corpus snapshot and every query/audit session reads it (exactly the
+  // argument `Memo`'s scaladoc makes for the dedup fixpoints); these
+  // memos are that intermediate index. All builders are deterministic
+  // (seeded centroids, vec_id-ordered sums), so every downstream oracle
+  // hash is unchanged; bench/Verify attribute the one-time build to the
+  // first caller via the [memo] stderr receipts.
+
+  /** Memoized corpus row count — one count job per (session, dir). */
+  private def embCount(s: SparkSession, d: String): Long =
+    graft.Memo.cachedValue(s, s"emb_count:$d")(Tables.embeddings(s, d).count())
+
+  /** Memoized seed centroids (the nc lowest vec_ids) for the dir corpus. */
+  private def seedCentsD(s: SparkSession, d: String, nc: Int): Array[Cent] =
+    graft.Memo.cachedValue(s, s"emb_seed_cents:$d:$nc")(
+      seedCents(withNorm(s, d), nc))
+
+  /** Memoized Lloyd-refined centroids for the dir corpus — shared by
+    * annRecall's refined annIvf and the residual IVFADC family (both
+    * refine the same seeds for 2 rounds). */
+  private def refinedCentsD(s: SparkSession, d: String, nc: Int,
+      iters: Int): Array[Cent] =
+    graft.Memo.cachedValue(s, s"emb_refined_cents:$d:$nc:$iters")(
+      refineCentroids(withNorm(s, d), nc, iters))
+
+  /** Memoized seed-centroid IVF assignment over the dir corpus, CARRYING
+    * the label column — the one corpus-wide assignment pass shared by
+    * q_ann_ivf, q_maxsim_ivf, q_maxsim_rescore, q_maxsim_rescore_adc and
+    * the q_ivf_pq_topk build (label-free consumers drop the column; the
+    * kernel and centroid set are identical, so every assignment is
+    * bit-equal to the per-gate passes this replaces). */
+  private[graft] def memoAssigned(s: SparkSession, d: String): DataFrame = {
+    val nc = centroidCount(embCount(s, d))
+    graft.Memo.cached(s, s"ivf_assigned:$d:$nc") {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(seedCentsD(s, d, nc))
+      withNorm(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+        .as[(Long, Int, Array[Float], Double)]
+        .map { case (id, lab, emb, nrm) =>
+          (id, lab, emb, nrm, AssignKernel.nearestCent(bc.value, emb, nrm))
+        }
+        .toDF("vec_id", "label", "embedding", "nrm", "bucket")
+    }
+  }
+
+  /** Memoized PQ codebooks over the RAW dir corpus (the q_ann_pq
+    * parameterization) — shared by q_pq_topk, the q_ivf_pq_topk build
+    * and q_maxsim_rescore_adc. Residual codebooks depend on the centroid
+    * set and stay inside the (memoized) residual build. */
+  private def pqBooks(s: SparkSession, d: String, m: Int, k: Int,
+      iters: Int): Codebooks =
+    graft.Memo.cachedValue(s, s"pq_books:$d:$m:$k:$iters")(
+      pqTrain(Tables.embeddings(s, d), m, k, iters))
+
+  /** Memoized PQ code table over the raw dir corpus. */
+  private def memoCodes(s: SparkSession, d: String, m: Int, k: Int,
+      iters: Int): DataFrame =
+    graft.Memo.cached(s, s"pq_codes:$d:$m:$k:$iters")(
+      pqEncode(Tables.embeddings(s, d), pqBooks(s, d, m, k, iters)))
+
   /** Deterministic centroid seeds: the nCentroids lowest vec_ids. */
   private def seedCents(e: DataFrame, nCentroids: Int): Array[Cent] = {
     val s = e.sparkSession
@@ -492,8 +560,10 @@ object Similarity {
       nQueries: Int = 10, topK: Int = 5, iters: Int = 3): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-    val books = pqTrain(e, m, k, iters)
-    val codes = pqEncode(e, books)
+    // codebooks + code table ride the session memo shared with the
+    // q_ivf_pq_topk build and q_maxsim_rescore_adc (identical training)
+    val books = pqBooks(s, d, m, k, iters)
+    val codes = memoCodes(s, d, m, k, iters)
     val queries = e.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
@@ -536,16 +606,31 @@ object Similarity {
     * probed-bucket containment, own-cluster recall, and determinism. */
   def ivfPqTopK(s: SparkSession, d: String, nCentroids: Int = 0, nprobe: Int = 2,
       m: Int = 4, k: Int = 16, nQueries: Int = 10, topK: Int = 5,
-      iters: Int = 3, refineIters: Int = 0): DataFrame = {
+      iters: Int = 3, refineIters: Int = 0): DataFrame =
+    // result memo (r17): q_ivf_pq_recall re-ran this ENTIRE build+search
+    // after q_ivf_pq_topk already produced the identical frame — the
+    // audit now reads the same searched index the gate emits, the
+    // production shape (one index build, many readers)
+    graft.Memo.cached(s, s"ivf_pq_topk:$d:$nCentroids:$nprobe:$m:$k:" +
+        s"$nQueries:$topK:$iters:$refineIters")(
+      ivfPqTopKBuild(s, d, nCentroids, nprobe, m, k, nQueries, topK, iters,
+        refineIters))
+
+  private[graft] def ivfPqTopKBuild(s: SparkSession, d: String, nCentroids: Int,
+      nprobe: Int, m: Int, k: Int, nQueries: Int, topK: Int,
+      iters: Int, refineIters: Int): DataFrame = {
     import s.implicits._
     val e = withNorm(s, d)
-    val nc = if (nCentroids > 0) nCentroids else centroidCount(e.count())
+    val nc = if (nCentroids > 0) nCentroids else centroidCount(embCount(s, d))
     val cents =
-      if (refineIters > 0) refineCentroids(e, nc, refineIters)
-      else seedCents(e, nc)
-    val assigned = assignWith(e, cents).select("vec_id", "bucket")
-    val books = pqTrain(e, m, k, iters)
-    val codes = pqEncode(e, books)
+      if (refineIters > 0) refinedCentsD(s, d, nc, refineIters)
+      else seedCentsD(s, d, nc)
+    // seed-centroid default rides the suite-shared assignment + PQ memos
+    val assigned = if (refineIters == 0 && nCentroids == 0)
+      memoAssigned(s, d).select("vec_id", "bucket")
+    else assignWith(e, cents).select("vec_id", "bucket")
+    val books = pqBooks(s, d, m, k, iters)
+    val codes = memoCodes(s, d, m, k, iters)
     val corpus = assigned.join(codes, Seq("vec_id"))
     val queries = e.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -626,19 +711,31 @@ object Similarity {
     * form (residual fuses into assignment). */
   def ivfPqResidualTopK(s: SparkSession, d: String, nCentroids: Int = 0,
       nprobe: Int = 2, m: Int = 4, k: Int = 16, nQueries: Int = 10,
-      topK: Int = 5, iters: Int = 3, refineIters: Int = 2): DataFrame = {
+      topK: Int = 5, iters: Int = 3, refineIters: Int = 2): DataFrame =
+    // result memo (r17): q_ivf_pq_recall_res re-ran this entire
+    // build+search after q_ivf_pq_topk_res — same one-index-many-readers
+    // argument as the raw twin above
+    graft.Memo.cached(s, s"ivf_pq_res_topk:$d:$nCentroids:$nprobe:$m:$k:" +
+        s"$nQueries:$topK:$iters:$refineIters")(
+      ivfPqResidualTopKBuild(s, d, nCentroids, nprobe, m, k, nQueries, topK,
+        iters, refineIters))
+
+  private[graft] def ivfPqResidualTopKBuild(s: SparkSession, d: String,
+      nCentroids: Int, nprobe: Int, m: Int, k: Int, nQueries: Int,
+      topK: Int, iters: Int, refineIters: Int): DataFrame = {
     import s.implicits._
     val e = withNorm(s, d)
-    val nc = if (nCentroids > 0) nCentroids else centroidCount(e.count())
+    val nc = if (nCentroids > 0) nCentroids else centroidCount(embCount(s, d))
     // IVFADC presumes a TRAINED coarse quantizer: residuals against raw
     // seed vectors average LARGER than the unit vectors themselves
     // (measured 1.18 vs 1.00 at sf0.001), inverting the whole premise —
     // Lloyd-refined centroids are bucket means, so residuals shrink to
     // the within-bucket spread (0.93 measured). refineIters = 0 exists
-    // only for controlled raw-vs-residual experiments.
+    // only for controlled raw-vs-residual experiments. The refined set
+    // rides the session memo shared with q_ann_recall's refined probe.
     val cents =
-      if (refineIters > 0) refineCentroids(e, nc, refineIters)
-      else seedCents(e, nc)
+      if (refineIters > 0) refinedCentsD(s, d, nc, refineIters)
+      else seedCentsD(s, d, nc)
     val residuals = residualsOf(e, cents)
     // no explicit cache: pqTrain owns a cache of its input for the Lloyd
     // rounds (see pqTrain), and the one extra residual recompute for the
@@ -719,7 +816,14 @@ object Similarity {
     * dot products, so cosine truth would conflate metric mismatch with
     * quantization loss). Same broadcast-queries/one-corpus-pass shape and
     * the same deterministic rank key discipline as [[cosineTopK]]. */
-  def dotTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def dotTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame =
+    graft.Memo.cached(s, s"dot_topk:$d:$nQueries:$k")(
+      dotTopKBuild(s, d, nQueries, k))
+
+  /** [[dotTopK]]'s corpus pass — memoized above because BOTH PQ recall
+    * gates (raw and residual) audit against the identical ground truth. */
+  private[graft] def dotTopKBuild(s: SparkSession, d: String, nQueries: Int,
+      k: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -766,8 +870,30 @@ object Similarity {
 
   /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast),
     * corpus = all vectors. Ranking key is (round(cos,6) DESC, vec_id) so
-    * the result is deterministic under floating-point ULP differences. */
-  def cosineTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    * the result is deterministic under floating-point ULP differences.
+    *
+    * Suite-shared (r17): FOUR gates paid this corpus pass — q_cosine_topk
+    * itself, q_ann_recall's and q_mrl_recall's ground truths (k = 5) and
+    * q_hybrid_rrf's dense list (nQueries = 5, k = 20). One memoized build
+    * at (nQueries = 10, k = 20) now serves all of them: per-query rank is
+    * independent of k and of which OTHER queries run, so filtering the
+    * canonical build to (q_id < nQueries, rank ≤ k) is row-identical to a
+    * direct build — callers outside the canonical envelope fall through
+    * to the direct form. */
+  def cosineTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 10): DataFrame =
+    if (nQueries <= CosineMemoQ && k <= CosineMemoK)
+      graft.Memo.cached(s, s"cosine_topk:$d:q=$CosineMemoQ:k=$CosineMemoK")(
+        cosineTopKBuild(s, d, CosineMemoQ, CosineMemoK))
+        .where(col("q_id") < nQueries && col("rank") <= k)
+    else cosineTopKBuild(s, d, nQueries, k)
+
+  /** Canonical memo envelope: covers every gate caller (10 queries, top
+    * 20) while keeping the checkpointed frame top-k-bounded. */
+  private val CosineMemoQ = 10
+  private val CosineMemoK = 20
+
+  private[graft] def cosineTopKBuild(s: SparkSession, d: String, nQueries: Int,
+      k: Int): DataFrame = {
     val e = withNorm(s, d)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -841,9 +967,11 @@ object Similarity {
         .where(col("rank") <= k)
         .select(col("q_id"), col("vec_id"))
     }
-    // nQueries·k rows; localCheckpoint so the |dims| recall joins don't
-    // each re-run the full-dim scan (same discipline as Dedup.dupSpans)
-    val truth = topkAt(full.select(col("vec_id"), col("embedding")))
+    // full-dim truth = the memoized brute-force cosine top-k (identical
+    // window key and self-exclusion — r17: one corpus pass serves
+    // q_cosine_topk, both recall truths and q_hybrid_rrf's dense list);
+    // nQueries·k rows, so the |dims| recall joins read a tiny frame
+    val truth = cosineTopK(s, d, nQueries, k).select("q_id", "vec_id")
       .localCheckpoint()
     dims.map { dim =>
       val got = topkAt(full.select(col("vec_id"),
@@ -870,14 +998,20 @@ object Similarity {
       nQueries: Int = 10, k: Int = 5, refineIters: Int = 0): DataFrame = {
     import s.implicits._
     val e = withNorm(s, d)
-    val nc = if (nCentroids > 0) nCentroids else centroidCount(e.count())
+    val nc = if (nCentroids > 0) nCentroids else centroidCount(embCount(s, d))
     // refineIters > 0 swaps the seed centroids for Lloyd-refined ones —
     // better recall, same plan; the gate query keeps 0 so the DuckDB
-    // oracle (which re-derives the seed assignment in SQL) stays exact
-    val centArr = if (refineIters > 0) refineCentroids(e, nc, refineIters)
-      else seedCents(e, nc)
+    // oracle (which re-derives the seed assignment in SQL) stays exact.
+    // Both centroid sets ride the session memo (the refined set is the
+    // SAME 2-round Lloyd the residual IVFADC family trains).
+    val centArr = if (refineIters > 0) refinedCentsD(s, d, nc, refineIters)
+      else seedCentsD(s, d, nc)
     val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
-    val assigned = assignWith(e, centArr)
+    // the seed-centroid default shares the suite-wide assignment pass
+    // (label dropped — assignment is bit-equal by the shared kernel)
+    val assigned = if (refineIters == 0 && nCentroids == 0)
+      memoAssigned(s, d).drop("label")
+    else assignWith(e, centArr)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     ivfSearch(cents, assigned, q, nprobe, k)
@@ -1099,10 +1233,11 @@ object Similarity {
       nprobe: Int = 2, k: Int = 5): DataFrame = {
     import s.implicits._
     val e = withNorm(s, d)
-    val nc = centroidCount(e.count())
-    val centArr = seedCents(e, nc)
+    val nc = centroidCount(embCount(s, d))
+    val centArr = seedCentsD(s, d, nc)
     val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
-    val assigned = assignWith(e, centArr)
+    // suite-shared seed assignment (label dropped; bit-equal kernel)
+    val assigned = memoAssigned(s, d).drop("label")
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -1146,17 +1281,13 @@ object Similarity {
       nprobe: Int = 2, k: Int = 5): DataFrame = {
     import s.implicits._
     val e = withNorm(s, d)
-    val n = e.count()
+    val n = embCount(s, d)
     val nc = centroidCount(n)
-    val centArr = seedCents(e, nc)
+    val centArr = seedCentsD(s, d, nc)
     val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
-    val bc = s.sparkContext.broadcast(centArr)
-    val assigned = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
-      .as[(Long, Int, Array[Float], Double)]
-      .map { case (id, lab, emb, nrm) =>
-        (id, lab, emb, nrm, AssignKernel.nearestCent(bc.value, emb, nrm))
-      }
-      .toDF("vec_id", "label", "embedding", "nrm", "bucket")
+    // the label-carrying assignment IS the suite-shared pass (r17): the
+    // per-gate closure map this replaces was the memoAssigned build
+    val assigned = memoAssigned(s, d)
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -1214,23 +1345,24 @@ object Similarity {
       nprobe: Int = 2, k: Int = 5, m: Int = 32): DataFrame = {
     import s.implicits._
     val e = withNorm(s, d)
-    val n = e.count()
+    val n = embCount(s, d)
     val nc = centroidCount(n)
-    val centArr = seedCents(e, nc)
+    val centArr = seedCentsD(s, d, nc)
     val cents = centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
-    val books = pqTrain(e, 4, 16, 3)
+    val books = pqBooks(s, d, 4, 16, 3)
     val dSub = books(0)(0).length
-    val bcC = s.sparkContext.broadcast(centArr)
     val bcB = s.sparkContext.broadcast(books)
-    // ONE corpus pass: coarse bucket (shared kernel) + PQ codes — the
-    // encode rides the assignment scan instead of a second pass + join
-    val assigned = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
-      .as[(Long, Int, Array[Float], Double)]
-      .map { case (id, lab, emb, nrm) =>
+    // the coarse assignment rides the suite-shared memo (r17); the PQ
+    // encode is a narrow map over the checkpointed frame — the fused
+    // assign+encode scan this replaces re-derived the assignment the
+    // memo already holds, and the encode math is unchanged
+    val assigned = memoAssigned(s, d)
+      .as[(Long, Int, Array[Float], Double, Long)]
+      .map { case (id, lab, emb, nrm, bucket) =>
         val bk = bcB.value
         val codes = Array.tabulate(bk.length)(sub =>
           PqKernel.nearestL2(bk(sub), emb.slice(sub * dSub, (sub + 1) * dSub)))
-        (id, lab, emb, nrm, AssignKernel.nearestCent(bcC.value, emb, nrm), codes)
+        (id, lab, emb, nrm, bucket, codes)
       }
       .toDF("vec_id", "label", "embedding", "nrm", "bucket", "codes")
     // per-query flattened ADC LUT: lut[sub * 16 + code] = <q_slice, codeword>
@@ -1370,17 +1502,11 @@ object Similarity {
       .withColumn("r_lex", row_number().over(wLex))
       .where(col("r_lex") <= nList)
       .select(col("q_id"), col("doc_id"), col("r_lex"))
-    val e = withNorm(s, d)
-    val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
-    val wSem = Window.partitionBy("q_id").orderBy(col("sim_key").desc, col("vec_id"))
-    val sem = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("sim_key",
-        round(floatDot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6))
-      .withColumn("r_sem", row_number().over(wSem))
-      .where(col("r_sem") <= nList)
-      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_sem"))
+    // dense list = the memoized brute-force cosine top-k (identical
+    // window key, queries and self-exclusion — r17: shares the one
+    // corpus pass with q_cosine_topk and both recall truths)
+    val sem = cosineTopK(s, d, nQueries, nList)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rank").as("r_sem"))
     val wR = Window.partitionBy("q_id").orderBy(col("rrf_key").desc, col("doc_id"))
     lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("r_lex", coalesce(col("r_lex"), lit(0)))
