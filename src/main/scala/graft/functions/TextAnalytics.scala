@@ -594,14 +594,26 @@ object TextAnalytics {
     * on bounded rows, no pair join, so the pass costs the same as the
     * dedup family's inverted index at any scale. */
   def ngramNovelty(s: SparkSession, d: String, n: Int = 3): DataFrame =
-    ngramNoveltyDocs(Tables.documents(s, d), n)
+    // rides the ngram family's memoized hashed shingle stream (r17): one
+    // tokenize+window pass per session, and the groupBy+join shuffles
+    // carry 8-byte longs instead of ~25-char strings
+    noveltyFromShingles(graft.operators.Dedup.memoShingleStream(s, d, n))
 
   /** [[ngramNovelty]] over an arbitrary (doc_id, text) frame. */
-  def ngramNoveltyDocs(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(tokenWindows(col("toks"), n))).as("sh"))
+  def ngramNoveltyDocs(docs: DataFrame, n: Int = 3): DataFrame =
+    noveltyFromShingles(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          explode(array_distinct(tokenWindows(col("toks"), n))).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
+
+  /** First-occurrence attribution over a (doc_id, shingle-hash) stream.
+    * Shingles group/join as xxhash64 INT64 keys — same 8-byte shuffle
+    * trick and the same negligible-collision contract as
+    * `Dedup.rarePostings` (the emitted columns are per-doc COUNTS, so the
+    * string-keyed DuckDB oracle replays them exactly absent collisions). */
+  private def noveltyFromShingles(sh: DataFrame): DataFrame = {
     val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
     sh.join(first, Seq("sh"))
       .groupBy("doc_id")

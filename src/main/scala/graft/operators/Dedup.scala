@@ -110,8 +110,27 @@ object Dedup {
     * discipline as arima_family/dedup_pairs: results are deterministic,
     * so every downstream oracle hash is unchanged. */
   private def memoPostings(s: SparkSession, d: String, maxDf: Long): DataFrame =
-    graft.Memo.cached(s, s"ngram_postings:$d:$maxDf")(
-      rarePostings(Tables.documents(s, d), maxDf))
+    graft.Memo.cached(s, s"ngram_postings:$d:$maxDf") {
+      // derive from the shared hashed shingle stream (one tokenize+window
+      // pass per session serves this, q_ngram_novelty and the sizes
+      // build) — df-cap semantics identical to rarePostings
+      val posting = memoShingleStream(s, d, 3)
+      val hot = posting.groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("sh")
+      posting.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+
+  /** The memoized UNCAPPED hashed shingle stream (doc_id, xxhash64(sh))
+    * over the driver documents — the single tokenize+window pass the
+    * whole ngram family derives from (r17): [[memoPostings]] filters the
+    * hot tail off it, and `TextAnalytics.ngramNovelty`'s first-occurrence
+    * attribution reads it directly (novelty needs the UNcapped stream —
+    * hot shingles still attribute to their first document). */
+  private[graft] def memoShingleStream(s: SparkSession, d: String,
+      n: Int): DataFrame =
+    graft.Memo.cached(s, s"ngram_shingle_stream:$d:$n")(
+      shingles(Tables.documents(s, d), n)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")))
 
   /** Memoized uncapped per-doc shingle counts (Jaccard denominators). */
   private def memoSizes(s: SparkSession, d: String): DataFrame =
