@@ -56,9 +56,13 @@ object Pipelines {
     * At 1000 executors the cap still yields tens of thousands of
     * fit-frame partitions — parallelism-bound, not formula-bound. */
   private def fitPartitions(s: SparkSession, d: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val rows = if (fs.exists(p)) graft.Tables.events(s, d).count() else 0L
+    // one count job per (session, dir) — every ML gate calls this, and
+    // each paid its own columnar count(*) before the r17 memo
+    val rows = graft.Memo.cachedValue(s, s"events_count:$d") {
+      val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) graft.Tables.events(s, d).count() else 0L
+    }
     // The cap is a DATA-ONLY constant (ADVICE r16 #1): the r16 form was
     // 32 × defaultParallelism, which re-introduced environment
     // sensitivity above the cap — the fit-frame partition count (and so

@@ -135,9 +135,36 @@ object Analytics {
     * report is acted on, and the reshape costs one Generate over one
     * row. `ts` profiles its epoch-micros projection so both engines
     * count the same precision. */
-  def profile(s: SparkSession, d: String): DataFrame =
-    profileAgg(s, d, "n_distinct",
-      c => count_distinct(col(c)).as(s"${c}__distinct"))
+  def profile(s: SparkSession, d: String): DataFrame = {
+    // the exact 1-row aggregate is session-shared with
+    // [[profileSketchVerdict]] (r17): both gates paid their own Expand
+    // multi-distinct pass over the identical aggregate before the memo
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', `${c}__nulls`, `${c}__exact`").mkString(", ")
+    memoProfileExact(s, d)
+      .selectExpr("n_rows",
+        s"stack(${ProfileCols.size}, $stackArgs) as " +
+          "(column_name, n_nulls, n_distinct)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+  }
+
+  /** The profiled column set, shared by the exact and sketch forms. */
+  private val ProfileCols =
+    Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+
+  /** Memoized 1-row exact profile aggregate (n_rows + per-column null and
+    * exact-distinct counts) over the events table — ONE Expand
+    * multi-distinct pass per session serves [[profile]] and
+    * [[profileSketchVerdict]]. */
+  private def memoProfileExact(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"profile_exact:$d") {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__exact")))
+      ev.agg(aggs.head, aggs.tail: _*)
+    }
 
   /** Key-skew diagnostic — the "will this groupBy/join skew?" report
     * every scale-out plan review starts with: per candidate key column,
@@ -463,12 +490,10 @@ object Analytics {
   def profileSketchVerdict(s: SparkSession, d: String,
       rsd: Double = 0.02): DataFrame = {
     val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
-    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
-    val exactAggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      count_distinct(col(c)).as(s"${c}__exact")))
+    val cols = ProfileCols
     val estAggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"${c}__est"))
-    val joined = ev.agg(exactAggs.head, exactAggs.tail: _*)
+    // exact side rides the session memo shared with [[profile]] (r17)
+    val joined = memoProfileExact(s, d)
       .crossJoin(broadcast(ev.agg(estAggs.head, estAggs.tail: _*))) // 1-row × 1-row
     val stackArgs = cols
       .map(c => s"'$c', `${c}__nulls`, `${c}__exact`, `${c}__est`")

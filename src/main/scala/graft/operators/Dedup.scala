@@ -1518,7 +1518,11 @@ object Dedup {
     * agreement, and the decision margins the hash check rests on. */
   def semDedup(s: SparkSession, d: String, tau: Double = 0.95,
       nClusters: Int = 0, iters: Int = 2): DataFrame =
-    semDedupVecs(Similarity.withNorm(s, d), tau, nClusters, iters)
+    semDedupVecs(Similarity.withNorm(s, d), tau,
+      // resolve the default √n sizing from the memoized corpus count
+      // (identical value; skips a per-gate count job)
+      if (nClusters > 0) nClusters
+      else Similarity.centroidCount(Similarity.embCount(s, d)), iters)
 
   /** [[semDedup]] at the PRODUCTION parameterization: `nClusters =
     * n / targetClusterSize`, so the expected cluster size — and with it
@@ -1532,7 +1536,8 @@ object Dedup {
   def semDedupLinear(s: SparkSession, d: String, tau: Double = 0.95,
       targetClusterSize: Int = 25, iters: Int = 2): DataFrame = {
     val e = Similarity.withNorm(s, d)
-    val nc = math.max(4, (e.count() / targetClusterSize).toInt)
+    val nc = math.max(4,
+      (Similarity.embCount(s, d) / targetClusterSize).toInt)
     semDedupVecs(e, tau, nc, iters)
   }
 

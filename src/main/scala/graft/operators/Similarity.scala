@@ -117,7 +117,7 @@ object Similarity {
   // first caller via the [memo] stderr receipts.
 
   /** Memoized corpus row count — one count job per (session, dir). */
-  private def embCount(s: SparkSession, d: String): Long =
+  private[graft] def embCount(s: SparkSession, d: String): Long =
     graft.Memo.cachedValue(s, s"emb_count:$d")(Tables.embeddings(s, d).count())
 
   /** Memoized seed centroids (the nc lowest vec_ids) for the dir corpus. */
@@ -1056,12 +1056,16 @@ object Similarity {
   def ivfIndexSave(s: SparkSession, d: String, path: String,
       nCentroids: Int = 0): Unit = {
     import s.implicits._
-    val e = withNorm(s, d)
-    val nc = if (nCentroids > 0) nCentroids else centroidCount(e.count())
-    val centArr = seedCents(e, nc)
+    val nc = if (nCentroids > 0) nCentroids else centroidCount(embCount(s, d))
+    val centArr = if (nCentroids > 0) seedCents(withNorm(s, d), nCentroids)
+      else seedCentsD(s, d, nc)
     centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    assignWith(e, centArr)
+    // the gate's contract is the save/reload identity, not the assignment
+    // pass — the default parameterization writes the suite-shared
+    // assignment (bit-equal by the shared kernel)
+    (if (nCentroids > 0) assignWith(withNorm(s, d), centArr)
+     else memoAssigned(s, d).drop("label"))
       .repartition(col("bucket")) // postings co-located by bucket on disk
       .write.mode("overwrite").parquet(s"$path/postings")
   }
@@ -1099,14 +1103,16 @@ object Similarity {
     import s.implicits._
     val path = graft.Scratch.dir(s"ivf_append_$d")
     val e = withNorm(s, d)
-    val n = e.count()
+    val n = embCount(s, d)
     val nc = centroidCount(n)
     // capacity planning: the frozen centroid count reflects the corpus
     // the index will GROW to, not the base batch it starts from
     val splitAt = math.max(n / 2, nc.toLong)
     val base = e.where(col("vec_id") < splitAt)
     val batch = e.where(col("vec_id") >= splitAt)
-    val centArr = seedCents(base, nc)
+    // the lowest-id seeds live in the base half (splitAt >= nc), so the
+    // base seeds ARE the suite-shared corpus seeds
+    val centArr = seedCentsD(s, d, nc)
     centArr.toSeq.toDF("c_id", "c_emb", "c_nrm")
       .write.mode("overwrite").parquet(s"$path/centroids")
     assignWith(base, centArr).repartition(col("bucket"))
