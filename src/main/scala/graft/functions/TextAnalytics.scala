@@ -100,8 +100,10 @@ object TextAnalytics {
     val docs = Tables.documents(s, d)
     val m = docs.agg(max("doc_id").as("mx"))
     def thr(k: Int): Column = expr(s"(mx + 1) * $k div $steps")
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val firsts = tok.groupBy("token").agg(min("doc_id").as("first_doc"))
+    // first-occurrence table from the session term-count memo (r17):
+    // min(doc_id) rides the same aggregate pass the count consumers pay
+    val firsts = memoTermCounts(s, d)
+      .select(col("term").as("token"), col("first_doc"))
     val vAggs = (1 to steps).map(k =>
       sum(when(col("first_doc") < thr(k), 1L).otherwise(0L)).as(s"v$k"))
     val vrow = firsts.crossJoin(broadcast(m)).agg(vAggs.head, vAggs.tail: _*)
@@ -132,7 +134,13 @@ object TextAnalytics {
   def tfidfTopTerms(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val n = docs.count()
+    // r17: one count job per (session, dir) — shared with any other
+    // doc-count consumer. The tf table is NOT checkpointed although it
+    // feeds both the df rollup and the probe side: materializing the
+    // (doc, term, tf) table costs more than the tokenize+partial-agg it
+    // would save (measured at sf1 — the TimeTok receipt's "tokenize is
+    // not the bottleneck" conclusion, from the checkpoint side).
+    val n = graft.Memo.cachedValue(s, s"documents_count:$d")(docs.count())
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -146,6 +154,72 @@ object TextAnalytics {
       .where(col("rank") <= topK)
       .select("doc_id", "rank", "term", "tf", "df", "score")
   }
+
+  // ── r17 session memos: the text family's shared count tables ───────
+  // The family's gates each rebuilt the same corpus-wide aggregates
+  // (the suite-level redundancy pattern of the ngram/ANN/arima
+  // families): the unigram term-count table ran 5× per suite
+  // (q_unigram_logprob, q_collocations, q_heavy_hitters,
+  // q_tokenize_ids, q_vocab_growth), the bigram pair-count table 2×
+  // (q_bigram_logprob, q_collocations), and the per-doc unigram LM
+  // score table 4× across 3 gates (q_unigram_logprob, q_quality_prune,
+  // q_quality_prune_sketch — the sketch evaluates its lazy score frame
+  // on BOTH sides of the threshold). One Memo.cached build per
+  // (session, dir) now serves every consumer; all builders are
+  // deterministic, so downstream oracle hashes are unchanged
+  // (TextMemoSpec pins memo-path == direct-build rows per rewired
+  // consumer). The *Docs forms stay memo-free for arbitrary frames.
+
+  /** Memoized corpus term-count table (term, c, first_doc) over the
+    * driver documents — ONE tokenize+groupBy(term) pass per session.
+    * `first_doc` rides along for [[vocabGrowth]]'s first-occurrence
+    * formulation (same aggregate pass, zero extra shuffle). */
+  private def memoTermCounts(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"text_term_counts:$d")(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("c"), min("doc_id").as("first_doc")))
+
+  /** Memoized corpus bigram-count table (w1, w2, c_xy) — adjacent token
+    * pairs WITH multiplicity over docs with ≥ 2 tokens. Serves
+    * [[bigramLogProb]] (pair counts; the prefix counts derive by a
+    * vocab²-sized rollup, identical integers) and [[collocationsPmi]]. */
+  private def memoBigramCounts(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"text_bigram_counts:$d")(
+      Tables.documents(s, d)
+        .select(tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")))
+
+  /** Memoized per-doc unigram LM score table — [[unigramLogProbDocs]]'
+    * result over the driver documents, with the term-count side read
+    * from [[memoTermCounts]] (identical integers, so the per-occurrence
+    * ln() stream is the same multiset of doubles the unmemoized form
+    * sums; the 6-dp round key already owns the sum-order hazard). */
+  private def memoUnigramScores(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, s"text_unigram_scores:$d") {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tc = memoTermCounts(s, d).select(col("term"), col("c"))
+      val tot = tc.agg(sum("c").as("n"))
+      toks.join(tc, Seq("term")).crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(log(col("c").cast("double") / col("n"))) / count(lit(1)), 6)
+            .as("avg_logprob"))
+    }
+
+  /** Per-doc token counts (doc_id, dl) off the memoized score table —
+    * the shared doc-length side for BM25-style scorers (q_bm25,
+    * q_hybrid_rrf): identical integers to a dedicated
+    * tokenize+groupBy(doc_id) pass over the same unfiltered stream. */
+  private[graft] def docTokenCounts(s: SparkSession, d: String): DataFrame =
+    memoUnigramScores(s, d).select(col("doc_id"), col("n_tokens").as("dl"))
 
   /** Word n-grams WITH multiplicity — repetition analysis needs counts,
     * unlike the dedup shingles (which are distinct per doc). `minTokens`
@@ -375,8 +449,16 @@ object TextAnalytics {
     * corpus scan, no collect. The result is tiny (≤ k rows by the
     * pigeonhole bound), but the shuffle still carries the full distinct
     * vocabulary — which is what [[heavyHittersSketch]] removes. */
-  def heavyHitters(s: SparkSession, d: String, k: Int = 30): DataFrame =
-    heavyHittersDocs(Tables.documents(s, d), k)
+  def heavyHitters(s: SparkSession, d: String, k: Int = 30): DataFrame = {
+    // session-memoized count side (r17): the vocab-sized term-count
+    // table is the whole cost of this gate; the φ-threshold cut over it
+    // is a broadcast-scalar filter (identical integers → identical rows)
+    val counts = memoTermCounts(s, d).select(col("term"), col("c").as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .where(col("cnt") * k >= col("total"))
+      .select(col("term"), col("cnt"), col("total"))
+  }
 
   /** [[heavyHitters]] over an arbitrary (doc_id, text) frame. */
   def heavyHittersDocs(docs: DataFrame, k: Int = 30): DataFrame = {
@@ -454,13 +536,26 @@ object TextAnalytics {
   def bm25(s: SparkSession, d: String,
       query: Seq[String] = Seq("spark", "join", "filter"),
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25Docs(Tables.documents(s, d), query, k1, b)
+    // session-memoized doc-length side (r17): per-doc token counts are
+    // exactly the n_tokens column of the shared unigram score table
+    // (same unfiltered token stream, exact integers), so the gate's
+    // second full tokenize+groupBy(doc_id) pass reads the memo instead
+    bm25From(Tables.documents(s, d), docTokenCounts(s, d), query, k1, b)
 
   /** [[bm25]] over an arbitrary (doc_id, text) frame. */
   def bm25Docs(docs: DataFrame, query: Seq[String],
+      k1: Double, b: Double): DataFrame =
+    bm25From(docs,
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id").agg(count(lit(1)).as("dl")),
+      query, k1, b)
+
+  /** The scoring half of [[bm25]] over a prebuilt per-doc length table
+    * (doc_id, dl) — shared verbatim by the memo path and the *Docs
+    * path. */
+  private def bm25From(docs: DataFrame, dl: DataFrame, query: Seq[String],
       k1: Double, b: Double): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
     val tf = toks.where(col("term").isin(query: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -514,7 +609,10 @@ object TextAnalytics {
     * ln() doubles whose order no engine pins (same accepted class as the
     * q_tfidf scores). */
   def unigramLogProb(s: SparkSession, d: String): DataFrame =
-    unigramLogProbDocs(Tables.documents(s, d))
+    // session-memoized (r17): q_unigram_logprob, q_quality_prune and
+    // q_quality_prune_sketch all consume this exact frame (the sketch
+    // twice — both sides of its threshold); one build serves all
+    memoUnigramScores(s, d)
 
   /** [[unigramLogProb]] over an arbitrary (doc_id, text) frame. */
   def unigramLogProbDocs(docs: DataFrame): DataFrame = {
@@ -545,8 +643,30 @@ object TextAnalytics {
     * equi-joins from occurrences to the AGGREGATED count tables, the
     * per-doc mean is another partial agg. round(·, 6) on the mean for
     * the cross-engine float-sum-order hazard. */
-  def bigramLogProb(s: SparkSession, d: String): DataFrame =
-    bigramLogProbDocs(Tables.documents(s, d))
+  def bigramLogProb(s: SparkSession, d: String): DataFrame = {
+    // session-memoized count side (r17, shared with q_collocations):
+    // the pair-count table reads the memo, the prefix counts roll up
+    // from it (Σ_w2 c_xy(w1,·) — identical integers to the direct
+    // groupBy(w1) count over the bigram stream), and only the per-doc
+    // probe side still walks the corpus — one tokenize pass per call
+    // instead of three (the c2/c1/probe subtrees each re-derived it)
+    val c2 = memoBigramCounts(s, d)
+      .select(col("w1"), col("w2"), col("c_xy").as("c2"))
+    val c1 = memoBigramCounts(s, d)
+      .groupBy("w1").agg(sum("c_xy").as("c1"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(col("c2").cast("double") / col("c1"))) / count(lit(1)), 6)
+          .as("avg_bigram_logprob"))
+  }
 
   /** [[bigramLogProb]] over an arbitrary (doc_id, text) frame. */
   def bigramLogProbDocs(docs: DataFrame): DataFrame = {
@@ -806,12 +926,21 @@ object TextAnalytics {
     * come back position-ordered via array_sort over (pos, id) structs —
     * no per-doc window. */
   def tokenizeIds(s: SparkSession, d: String, vocabSize: Int = 64): DataFrame =
-    tokenizeIdsDocs(Tables.documents(s, d), vocabSize)
+    // session-memoized count side (r17): the vocabulary cut reads the
+    // shared term-count table; the corpus-side posexplode+broadcast-join
+    // mapping pass is the gate's own remaining work
+    tokenizeIdsFrom(Tables.documents(s, d),
+      memoTermCounts(s, d).select(col("term"), col("c")), vocabSize)
 
-  def tokenizeIdsDocs(docs: DataFrame, vocabSize: Int = 64): DataFrame = {
+  def tokenizeIdsDocs(docs: DataFrame, vocabSize: Int = 64): DataFrame =
+    tokenizeIdsFrom(docs,
+      docs.select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c")), vocabSize)
+
+  private def tokenizeIdsFrom(docs: DataFrame, counts: DataFrame,
+      vocabSize: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
     val wId = org.apache.spark.sql.expressions.Window
       .orderBy(col("c").desc, col("term").asc) // over <= vocabSize rows
     val vocab = counts.orderBy(col("c").desc, col("term").asc).limit(vocabSize)
@@ -843,7 +972,16 @@ object TextAnalytics {
     * round(6) belts-and-braces the report. No top-k float cut: the
     * emitted set is decided by the INTEGER minCount threshold alone. */
   def collocationsPmi(s: SparkSession, d: String, minCount: Long = 5L): DataFrame =
-    collocationsPmiDocs(Tables.documents(s, d), minCount)
+    // session-memoized count sides (r17): both corpus passes (unigram
+    // stream, bigram stream) read the shared count tables — identical
+    // integers, so the six-ln fixed-order tree is bit-identical. The
+    // memos are eagerly-checkpointed vocab-/vocab²-bounded frames, so
+    // the per-call cache+release dance of the unmemoized form (and its
+    // eager localCheckpoint) is no longer needed — the returned plan is
+    // joins over checkpoint scans.
+    collocationsFromCounts(
+      memoTermCounts(s, d).select(col("term").as("w"), col("c").as("cw")),
+      memoBigramCounts(s, d), minCount)
 
   def collocationsPmiDocs(docs: DataFrame, minCount: Long = 5L): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
@@ -862,26 +1000,32 @@ object TextAnalytics {
         slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")).cache()
-    try {
-      val totals = uni.agg(sum("cw").as("n_tok"))
-        .crossJoin(bgCounts.agg(sum("c_xy").as("n_big")))
-      bgCounts
-        .where(col("c_xy") >= minCount)
-        .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c_w1"))),
-          Seq("w1"))
-        .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c_w2"))),
-          Seq("w2"))
-        .crossJoin(broadcast(totals))
-        .withColumn("pmi", round(
-          log(col("c_xy").cast("double")) - log(col("n_big").cast("double"))
-            - log(col("c_w1").cast("double")) + log(col("n_tok").cast("double"))
-            - log(col("c_w2").cast("double")) + log(col("n_tok").cast("double")),
-          6))
-        .select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi")
-        .localCheckpoint(true)
-    } finally {
+    try collocationsFromCounts(uni, bgCounts, minCount).localCheckpoint(true)
+    finally {
       uni.unpersist()
       bgCounts.unpersist()
     }
+  }
+
+  /** The PMI scoring half of [[collocationsPmi]] over prebuilt unigram
+    * (w, cw) and bigram (w1, w2, c_xy) count tables — the expression
+    * tree is shared verbatim by the memo path and the *Docs path. */
+  private def collocationsFromCounts(uni: DataFrame, bgCounts: DataFrame,
+      minCount: Long): DataFrame = {
+    val totals = uni.agg(sum("cw").as("n_tok"))
+      .crossJoin(bgCounts.agg(sum("c_xy").as("n_big")))
+    bgCounts
+      .where(col("c_xy") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c_w1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c_w2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log(col("c_xy").cast("double")) - log(col("n_big").cast("double"))
+          - log(col("c_w1").cast("double")) + log(col("n_tok").cast("double"))
+          - log(col("c_w2").cast("double")) + log(col("n_tok").cast("double")),
+        6))
+      .select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi")
   }
 }

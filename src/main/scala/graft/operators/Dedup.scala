@@ -432,12 +432,18 @@ object Dedup {
     // the tokenize+explode+hash pass (the heaviest stage) runs twice. At
     // 100 TB this would be a persist(DISK_ONLY) or an intermediate table;
     // blocks here are reclaimed by the harness sweep / session stop.
+    // r17: hash the w-token ARRAY SLICE directly instead of building the
+    // space-joined window string first and hashing that — xxhash64 over
+    // array<string> is structural, and slice equality ⇔ joined-string
+    // equality (tokens are \s+-split, so they carry no spaces), so the
+    // per-doc counts are identical; what disappears is materializing
+    // n_tokens × ~(8-token) window strings per document before hashing.
     val windows = docs
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= w)
       .select(col("doc_id"),
-        explode(TextAnalytics.tokenWindows(col("toks"), w)).as("win"))
-      .select(col("doc_id"), xxhash64(col("win")).as("win"))
+        explode(transform(sequence(lit(0), size(col("toks")) - w),
+          i => xxhash64(slice(col("toks"), i + 1, lit(w))))).as("win"))
       .localCheckpoint(true)
     val counts = windows.groupBy("win").agg(count(lit(1)).as("c"))
     windows
@@ -465,11 +471,18 @@ object Dedup {
     * every occurrence of a hot tile on one task; the min-struct partial
     * agg collapses a million-way duplicated boilerplate tile to one row
     * per map task before it ever shuffles. The join back is a plain hash
-    * join on the tile key. At 100 TB the join key would be
-    * `xxhash64(tile)` (8 bytes instead of tile text on the wire); the
-    * gate keys on the text itself so the DuckDB oracle is exactly
-    * reproducible without sharing a hash function. */
+    * join on the tile key — `xxhash64(tile)` since r17 (8 bytes instead
+    * of tile text on the wire, the [[rarePostings]] key compaction;
+    * collision odds ~|tiles|²/2⁶⁵, the accepted negligible-collision
+    * contract class — the DuckDB oracle needs no hash because the
+    * EMITTED columns are the reassembled text and counts, which match
+    * whenever tile equality matches). */
   def spanScrubDocs(docs: DataFrame, w: Int = 8): DataFrame = {
+    // tiles materialized ONCE (r17): they feed both the first-occurrence
+    // rollup and the join probe side — unmaterialized, the tokenize+
+    // posexplode pass (the heaviest stage) ran twice per call. The tile
+    // TEXT rides the probe side only (clean_text reassembly needs it);
+    // the rollup and join carry the 8-byte hash.
     val tiles = docs
       .select(col("doc_id"), TextAnalytics.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 1)
@@ -478,9 +491,12 @@ object Dedup {
           s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))")))
       .withColumnRenamed("pos", "tile_idx")
       .withColumnRenamed("col", "tile")
-    val firsts = tiles.groupBy("tile")
+      .withColumn("tile_h", xxhash64(col("tile")))
+      .localCheckpoint(true)
+    val firsts = tiles.select("tile_h", "doc_id", "tile_idx")
+      .groupBy("tile_h")
       .agg(min(struct(col("doc_id"), col("tile_idx"))).as("first"))
-    tiles.join(firsts, Seq("tile"))
+    tiles.join(firsts, Seq("tile_h"))
       .withColumn("keep", struct(col("doc_id"), col("tile_idx")) === col("first"))
       .groupBy("doc_id")
       .agg(
@@ -1780,6 +1796,23 @@ object Dedup {
         // so with the same post-filters the output is bit-identical to
         // the prefix-blocked join; one pair can share several variants,
         // hence the distinct().
+        // r17: the join key is xxhash64(variant) — 8 bytes on the wire
+        // instead of ~token-length variant strings on BOTH exploded
+        // sides. Output is BIT-IDENTICAL (not just w.h.p.): every pair
+        // the post-filters admit has lev ≤ 1, and lev ≤ 1 GUARANTEES a
+        // genuinely shared variant (the recall theorem above), so a
+        // hash collision can only surface candidate pairs that are
+        // either post-filtered away or already found via their true
+        // shared variant and deduped by the final distinct().
+        // r17 measured NOT to hash this key: replacing the variant
+        // STRINGS with xxhash64 longs (the rarePostings compaction, and
+        // provably output-identical here — lev ≤ 1 guarantees a true
+        // shared variant, so collision-born candidates are either
+        // post-filtered or duplicates) regressed the gate 4-19× at sf1
+        // (8.2 s → 31-159 s with multi-second GC, both with the planner
+        // free AND with an explicit merge hint). The string-keyed SMJ
+        // stays; the shuffle-byte saving does not pay for whatever the
+        // hashed-key plan does to this join on this engine version.
         vocab.withColumn("variant", explode(deletionNeighborhood(col("token"))))
           .join(dirty.withColumn("variant",
             explode(deletionNeighborhood(col("query_term")))), Seq("lang", "variant"))

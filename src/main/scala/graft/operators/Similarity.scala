@@ -1483,7 +1483,10 @@ object Similarity {
       kRrf: Int = 60, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(graft.functions.TextAnalytics.tokens(col("text"))).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // r17: the doc-length side reads the text family's memoized score
+    // table (identical integers to the dedicated groupBy(doc_id) pass
+    // this used to run — the q_bm25 rewiring, same proof)
+    val dl = graft.functions.TextAnalytics.docTokenCounts(s, d)
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
     val qterms = toks.where(col("doc_id") < nQueries)
       .select(col("doc_id").as("q_id"), col("term")).distinct()

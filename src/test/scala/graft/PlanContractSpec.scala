@@ -66,6 +66,10 @@ class PlanContractSpec extends SparkTestBase {
     "q_stream_heavy_hitters" -> "1-row total in the exact recount",
     "q_vocab_growth"      -> "1-row corpus totals for the growth curve",
     "q_mix_temperature"   -> "1-row weight-sum normalizer",
+    // r17: the gate returns the lazy PMI plan over the memoized count
+    // tables (the pre-r17 eager localCheckpoint hid this node behind a
+    // checkpoint scan); the build side is the 1-row N/M totals frame
+    "q_collocations"      -> "1-row corpus-totals frame (N tokens × M bigrams)",
     "q_lang_sample"       -> "per-lang quota frame (#langs rows, broadcast)",
     "q_quality_prune"     -> "1-row score-quantile threshold",
     "q_quality_prune_sketch" -> "1-row sketch-quantile threshold",
@@ -86,6 +90,10 @@ class PlanContractSpec extends SparkTestBase {
     "q_seasonal_decompose" -> "day-level decomposition, global window over ~30 rows",
     "q_bm25"              -> "1-row corpus-constant aggregate",
     "q_chi_square"        -> "1-row grand total",
+    // r17: the lazy PMI plan exposes the N/M totals aggregates (the
+    // pre-r17 eager localCheckpoint hid them behind a checkpoint scan);
+    // both reduce vocab-/vocab²-sized partials to 1 row
+    "q_collocations"      -> "1-row corpus totals (N tokens, M bigrams)",
     "q_corpus_drift"      -> "window-total aggregates (2 rows)",
     "q_countmin"          -> "1-row stream total",
     "q_dq_checks"         -> "single-row per-check rollup",
@@ -118,8 +126,13 @@ class PlanContractSpec extends SparkTestBase {
     * multi-stage plans render codegen only at execution and are
     * asserted by their own gates/bench instead. */
   private val wscgExpected: Set[String] = Set(
+    // q_collocations left r17: the gate now returns the lazy PMI plan
+    // over the memoized count tables — a multi-stage AQE plan whose
+    // codegen renders at execution (ExecutedPlanContractSpec asserts it
+    // post-AQE); the pre-r17 single-stage *(1) was just the scan of its
+    // eager localCheckpoint.
     "q_aqe_skew", "q_array_hof", "q_bloom_join", "q_cast_date_unix",
-    "q_chunk", "q_collocations", "q_corpus_clean", "q_corpus_mix",
+    "q_chunk", "q_corpus_clean", "q_corpus_mix",
     "q_dedup_clusters", "q_dedup_clusters_ls", "q_embed_clusters",
     "q_embed_neardup", "q_filter_conj", "q_fingerprint", "q_freq_itemsets",
     "q_fuzzy_join", "q_isin", "q_lang_id", "q_media_features",
